@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table registry over the driver-generated parquet star schema
+  * (`/root/testdata/sf*`). Mirrors the reference's source layer
+  * (reference `scripts/database/load_tables.py:23-75` defines the OLTP
+  * tables; here the stand-ins are the TPC-H-ish tables from TESTDATA.md).
+  *
+  * All readers are plain `spark.read.parquet` scans so Catalyst predicate
+  * pushdown / column pruning reach the parquet footers — at 100 TB these
+  * scans are the dominant cost and must stay prunable.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
+
+/** Column helpers shared by every query.
+  *
+  * The central trick: money/measure aggregates go through
+  * `DECIMAL(18,2)` sums and are cast back to `DOUBLE` at the end.
+  * Decimal addition is exact and order-independent, so Spark (whatever
+  * partial/final aggregation order AQE picks) and the DuckDB oracle
+  * produce bit-identical doubles — plain `sum(double)` would differ in
+  * the last ulp depending on reduction order and break hash comparison.
+  */
+object Cols {
+  private val Money: DecimalType = DecimalType(18, 2)
+
+  /** Exact, order-independent sum of a 2-decimal measure, as double. */
+  def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+
+  /** Exact sum of a product of two 2-decimal measures, as double. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(Money) * b.cast(Money)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, then ONE double division
+    * (identical in Spark and DuckDB given identical operands). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+}

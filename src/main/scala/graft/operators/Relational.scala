@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators re-expressed Spark-first.
+  *
+  * Each function is a pure `DataFrame => DataFrame` plan fragment; the
+  * physical strategy (broadcast vs sort-merge, partial aggregation,
+  * pushdown) is left to Catalyst + AQE, which is the whole point of
+  * declaring these as logical plans instead of hand-scheduling them the
+  * way the reference's imperative callers do.
+  *
+  * Reference call sites (all relative to /root/reference/):
+  *  - inner fact join: scripts/spark_jobs/silver_clean_transform.py:103
+  *  - semi join via projected inner join: scripts/spark_jobs/bronze_batch_load.py:83-87
+  *  - left dim enrich: scripts/spark_jobs/silver_clean_transform.py:72
+  *  - dropDuplicates: scripts/spark_jobs/silver_clean_transform.py:74,88
+  */
+object Relational {
+
+  /** J1 — inner equi-join in USING-column form (single join column in
+    * output), as `orders.join(order_items, "order_id", "inner")` at
+    * silver_clean_transform.py:103. Both sides large → Catalyst picks
+    * sort-merge / shuffled hash; at 100 TB this is the big shuffle, so
+    * callers should pre-project columns (ColumnPruning does the rest).
+    */
+  def factJoin(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "inner")
+
+  /** J2 — keep rows of `df` whose key appears in `keys`. The reference
+    * spells this as an inner join against a projected single column
+    * (bronze_batch_load.py:83-87), correct only because the key is unique
+    * on the other side; the Spark-first form is LEFT SEMI, which never
+    * duplicates and lets the planner broadcast the key set.
+    */
+  def semiJoin(df: DataFrame, keys: DataFrame, key: String): DataFrame =
+    df.join(keys.select(key), Seq(key), "left_semi")
+
+  /** The reference's literal formulation of J2, kept for the equivalence
+    * test (bronze_batch_load.py:83-87). */
+  def semiJoinViaInner(df: DataFrame, keys: DataFrame, key: String): DataFrame =
+    df.join(keys.select(key).dropDuplicates(key), Seq(key), "inner")
+
+  /** J3/J4 — left-outer dim enrichment with an explicit broadcast hint:
+    * dims (categories=13 rows, products=20k in the reference) must never
+    * shuffle the fact side. AQE would usually get this right; the hint
+    * makes it deterministic at 100 TB where stats may mislead.
+    */
+  def dimEnrich(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "left")
+
+  /** A4 (deterministic form) — latest row per key. The reference's
+    * `dropDuplicates(key)` keeps an arbitrary row; the testable variant
+    * is `row_number() == 1` over (orderCols) desc. Single shuffle on
+    * `key`, then a per-partition sort — no second pass.
+    */
+  def latestPerKey(df: DataFrame, key: String, orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2 (batch form) — bounded per-key recency list: keep the `n` most
+    * recent rows per key (the Redis `LPUSH`+`LTRIM 0 49` semantics at
+    * streaming_flow.py:109-110), with the position exposed as `rn`.
+    */
+  def boundedRecentPerKey(df: DataFrame, key: String, n: Int, orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** W3 — global top-N with a deterministic total order (tie-broken by
+    * `tieBreak` asc). Emits `rank`. The plan is agg → single-partition
+    * window over the (small) aggregated set; the window input is the
+    * aggregate output, never the fact table, so this survives scale-up.
+    */
+  def topN(aggregated: DataFrame, n: Int, measure: Column, tieBreak: Column): DataFrame = {
+    val w = Window.orderBy(measure.desc, tieBreak.asc)
+    aggregated.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+
+  /** Top-N per group: rank within `partCols` by `measure` desc with a
+    * deterministic tiebreak, keep `n`. */
+  def topNPerGroup(df: DataFrame, n: Int, partCols: Seq[Column],
+                   measure: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(measure.desc, tieBreak.asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+}
