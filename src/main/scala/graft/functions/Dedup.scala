@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale notes (the whole point of each design):
+  *  - exact: one shuffle on a 128-bit digest — the canonical 100 TB
+  *    dedup; group keys are tiny regardless of document size.
+  *  - MinHash/LSH: signatures are computed scan-side (k mins over one
+  *    explode), candidates come from an equi-join on (band, bandHash) —
+  *    NEVER an O(n²) cross join. Band buckets are the only shuffle keys.
+  *  - SimHash: per-row pure expression (nested higher-order functions,
+  *    zero shuffle, zero explode) — runs at scan speed; bucketing by
+  *    high bits gives the candidate join the same equi-join shape.
+  *  - n-gram Jaccard: exact verification for candidate pairs that share
+  *    at least one gram — an equi-join on gram, then a pair-count
+  *    aggregate; used standalone at small scale or as the LSH verify
+  *    stage at large scale.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) id and duplicate count per
+    * identical text. `md5` = 128-bit collision-safe group key. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast(BinaryType)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word `n`-shingles per doc (order-insensitive set). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams =
+      if (n == 1) array_distinct(toks)
+      else array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    df.select(col(idCol), explode(grams).as("gram"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * seeded xxhash64; one explode + one groupBy(doc) with k `min`
+    * aggregates (map-side partial mins make the shuffle tiny). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    sh.groupBy(col(idCol))
+      .agg((0 until k).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh_$i")).head,
+           (1 until k).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh_$i")): _*)
+  }
+
+  /** LSH banding: hash r consecutive signature components per band; docs
+    * colliding in ANY band become candidate pairs (a<b to halve). The
+    * pair's estimated Jaccard = fraction of equal signature components.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                        estThreshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val banded = sigs.select(
+      col(idCol),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("bh"))
+      }: _*)).as("bucket"))
+      .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.select(col(idCol).as("a"), col("sig").as("sig_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("b"), col("sig").as("sig_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"), "inner")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / k).as("est_jaccard"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash-64 as a single codegen'd expression: per-token xxhash64,
+    * per-bit majority vote, reassembled into one long. No explode, no
+    * shuffle — O(64·tokens) arithmetic inside the scan. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(Text.tokens(text), t => xxhash64(t))
+    // Unrolled in Scala (bit index must be a literal for shiftright);
+    // bits are disjoint so summing the 64 one-bit terms assembles the
+    // word. 1L<<63 lands on the sign bit — fine, it is added once.
+    (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (v, h) => v + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard for all pairs sharing ≥1 gram, thresholded.
+    * Plan: distinct grams → equi-join on gram → pair count = |∩| →
+    * join per-doc sizes → J = |∩| / (|A|+|B|−|∩|). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val g = shingles(df, idCol, textCol, n)
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val inter = g.select(col(idCol).as("a"), col("gram"))
+      .join(g.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary`
+  * columns with a typed metadata struct, processed batch-at-a-time in
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch shape).
+  *
+  * The DECODE step is a deliberate STUB (no image/audio codecs in this
+  * container — see the builder contract): `StubDecoder` derives
+  * deterministic fake features from the bytes. Everything around it —
+  * schema, encoders, partition-local batching, the feature contract —
+  * is real and tested, so swapping in a libjpeg/ffmpeg-backed decoder
+  * is a one-function change.
+  */
+object Multimodal {
+
+  /** A media row: id + opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte],
+                      lang: String, n_chars: Long)
+
+  /** Decoded features. In a real deployment width/height/duration come
+    * from the codec; here they come from StubDecoder. */
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
+                           width: Int, height: Int, checksum: Long)
+
+  /** The pluggable decode step. A production decoder would parse the
+    * container format here; the stub derives features purely from the
+    * byte payload so results are deterministic and testable. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Long)
+  }
+
+  object StubDecoder extends Decoder {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      var h = 1469598103934665603L // FNV-1a over the payload = "checksum"
+      var i = 0
+      while (i < payload.length) { h = (h ^ (payload(i) & 0xff)) * 1099511628211L; i += 1 }
+      (math.floorMod(h, 640).toInt + 1, math.floorMod(h >> 16, 480).toInt + 1, h)
+    }
+  }
+
+  /** Build a media table from the documents table: payload = utf-8 bytes
+    * of the text standing in for an encoded blob. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"), lit("image/fake").as("media_type"),
+      col("text").cast(BinaryType).as("payload"),
+      col("lang"), col("n_chars"))
+
+  /** Partition-local batch featurize — the `mapInPandas` shape: one
+    * decoder instance per partition, rows streamed through it. No
+    * shuffle; runs at scan parallelism. */
+  def featurize(media: DataFrame, decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, sum) = decoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, sum)
+      }
+    }
+  }
+
+  /** Frame-sampling metadata: every `stride`-th byte offset as a fake
+    * frame index — the plumbing (explode of a per-row sequence into
+    * (doc, frame_idx, offset) rows) is exactly what a video sampler
+    * produces; only the offsets are synthetic. */
+  def frameSample(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("doc_id"),
+        posexplode(sequence(lit(0L),
+          greatest(floor(length(col("payload")) / stride).cast("long") - 1, lit(0L)))))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        (col("col") * stride).as("byte_offset"))
+}

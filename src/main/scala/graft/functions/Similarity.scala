@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Relational
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same output shape:
+  *  - brute force: broadcast the (small) query set against every vector —
+  *    exact, O(n·q·d), the correctness baseline and perfectly scalable
+  *    when |queries| is small (the fact side streams through codegen,
+  *    nothing shuffles);
+  *  - IVF: k-means-free inverted-file variant — centroids are sampled
+  *    deterministically, every vector is assigned to its nearest
+  *    centroid once (broadcast join), queries probe only the `nprobe`
+  *    nearest buckets. At 100 TB the bucket assignment is the only full
+  *    pass; per-query work drops by ~|buckets|/nprobe.
+  *
+  * All dot products are `aggregate(zip_with(...))` higher-order
+  * expressions in double precision — codegen'd, left-to-right
+  * summation, deterministic.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (excluding self). The
+    * query side MUST be small (it is broadcast to every task). */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("v_emb")).as("cos_sim"))
+    Relational.topNPerGroup(scored, k, Seq(col("query_id")),
+      col("cos_sim"), col("neighbor_id"))
+  }
+
+  /** Deterministic centroid sample: the `c` vectors with the smallest
+    * ids (a stand-in for a trained codebook; the plan shape is what
+    * matters). */
+  def centroids(vectors: DataFrame, c: Int): DataFrame =
+    vectors.orderBy(col("vec_id")).limit(c)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** Assign every vector to its nearest centroid (rank-1 over a
+    * broadcast cross score) — the IVF build pass. */
+  def ivfAssign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("c_emb")).as("c_sim"))
+    Relational.topNPerGroup(scored, 1, Seq(col("vec_id")), col("c_sim"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF probe: per query, rank centroids, keep `nprobe`, join the
+    * inverted lists, exact-score only those vectors, top-k. */
+  def ivfTopK(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = Relational.topNPerGroup(
+      q.crossJoin(broadcast(cents))
+        .select(col("query_id"), col("q_emb"), col("centroid_id"),
+          cosine(col("q_emb"), col("c_emb")).as("c_sim")),
+      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"), "inner")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+    Relational.topNPerGroup(scored, k, Seq(col("query_id")),
+      col("cos_sim"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via the IVF buckets: only
+    * vectors sharing a centroid are compared (equi-join on centroid_id,
+    * not an O(n²) cross join), then thresholded. */
+  def cosineNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("centroid_id"), "inner")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for a training-data pipeline, built entirely
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs): language
+  * ID (stopword-hit heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and a rolling-hash fingerprint.
+  *
+  * Everything is a scalar expression over one row — embarrassingly
+  * parallel, no shuffle, stays inside WholeStageCodegen. That is the
+  * 100 TB design: these run at scan speed.
+  */
+object Text {
+
+  /** Whitespace tokens of trimmed text (single-space delimited in the
+    * corpus; trailing empties avoided by trimming first). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-tokens: letter runs, digit runs, single other symbols.
+    * Mirrors the usual pre-tokenizer split. */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Characters that are neither lowercase letters nor spaces, as a
+    * ratio of total length (punctuation/symbol density). */
+  def nonAlphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z ]", "")).cast(DoubleType) / length(text)
+
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast(DoubleType) / tokenCount(text)
+
+  /** Per-language stopword sets for the n-gram-free language-ID
+    * heuristic. Real pipelines use char-n-gram models; the heuristic
+    * keeps the same plan shape (pure scalar scoring + argmax). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  /** Count of tokens found in `words` — a codegen'd higher-order filter,
+    * no explode, no shuffle. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordHits(text, words).cast(DoubleType) / tokenCount(text)
+
+  /** Deterministic argmax over the four scores with fixed tiebreak order
+    * en > es > de > fr; all-zero ⇒ 'und'. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, Stopwords("en"))
+    val es = stopwordHits(text, Stopwords("es"))
+    val de = stopwordHits(text, Stopwords("de"))
+    val fr = stopwordHits(text, Stopwords("fr"))
+    when(en === 0 && es === 0 && de === 0 && fr === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Composite quality score in [0,1]: favors texts with reasonable
+    * length, low symbol density, and some stopword mass — the usual
+    * cheap pre-filter before expensive dedup/classification. Pure
+    * double arithmetic on deterministic operands. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / lit(200.0), lit(1.0))
+    val symPenalty = lit(1.0) - least(nonAlphaRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, Stopwords.values.flatten.toSeq) * 5.0, lit(1.0))
+    (lenScore + symPenalty + stopScore) / 3.0
+  }
+
+  /** Rolling polynomial fingerprint over whitespace tokens:
+    * fp = Σ-fold (acc*31 + crc32(token)) mod 2^40. Order-sensitive (a
+    * real rolling hash) and computed entirely inside codegen via the
+    * `aggregate` higher-order function. The modulus keeps the fold
+    * inside long range — Spark 4 runs ANSI mode, where silent wrap-
+    * around would instead raise ARITHMETIC_OVERFLOW. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast(BinaryType)), lit(1L << 40)))
+}

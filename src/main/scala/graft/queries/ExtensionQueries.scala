@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.operators.Relational
+
+/** Training-data-pipeline extensions (SURVEY §7.2 M5 / BASELINE north
+  * star): dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), ANN
+  * similarity search (brute force + IVF), multimodal columns, and text
+  * analysis — each over the driver's documents/embeddings tables.
+  */
+object ExtensionQueries {
+
+  /** q15 — exact dedup via hash-groupBy (one shuffle on a 128-bit key). */
+  val q15 = Q("q15_exact_dedup",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+      |       COUNT(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** q16 — per-document text statistics, all scalar expressions at scan
+    * speed. DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics. */
+  val q16 = Q("q16_text_stats",
+    """SELECT doc_id,
+      |       length(text) AS n_chars_actual,
+      |       len(string_split(trim(text), ' ')) AS n_tokens,
+      |       CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |         / len(string_split(trim(text), ' ')) AS avg_token_len,
+      |       CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+      |         / length(text) AS non_alpha_ratio
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.avgTokenLen(col("text")).as("avg_token_len"),
+      Text.nonAlphaRatio(col("text")).as("non_alpha_ratio"))
+  }
+
+  private def hitsSql(langWords: Seq[String]): String =
+    s"len(list_filter(string_split(trim(text), ' '), x -> x IN (${langWords.map("'" + _ + "'").mkString(",")})))"
+
+  /** q17 — language ID by stopword scoring with a deterministic argmax
+    * (tiebreak en > es > de > fr; all-zero → 'und'). */
+  val q17 = Q("q17_langid", {
+    val en = hitsSql(Text.Stopwords("en")); val es = hitsSql(Text.Stopwords("es"))
+    val de = hitsSql(Text.Stopwords("de")); val fr = hitsSql(Text.Stopwords("fr"))
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  CASE WHEN $en = 0 AND $es = 0 AND $de = 0 AND $fr = 0 THEN 'und'
+       |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+       |       WHEN $de >= $fr THEN 'de' ELSE 'fr' END AS lang_predicted,
+       |  CAST($en AS BIGINT) AS en_hits
+       |FROM documents""".stripMargin }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      Text.langId(col("text")).as("lang_predicted"),
+      Text.stopwordHits(col("text"), Text.Stopwords("en")).cast(LongType).as("en_hits"))
+  }
+
+  /** q18 — BPE-ish token counting via regexp_extract_all. */
+  val q18 = Q("q18_token_count",
+    s"""SELECT doc_id,
+       |       len(string_split(trim(text), ' ')) AS ws_tokens,
+       |       len(regexp_extract_all(text, '${Text.BpePattern}')) AS bpe_tokens
+       |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("ws_tokens"),
+      Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+  }
+
+  /** q19 — MinHash/LSH banded buckets (the dedup index itself: one row
+    * per doc per band). xxhash64 has no DuckDB twin → rows-only check;
+    * the semantics are pinned by DedupSpec instead. */
+  val q19 = Q.noOracle("q19_minhash_buckets") { (s, d) =>
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 1, k = 16)
+    sigs.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"mh_$i")): _*).as("band_hash"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
+  }
+
+  /** q20 — MinHash candidate pairs over word-3-shingles (same gram unit
+    * as the exact q22, so LSH recall is measurable), est Jaccard ≥ 0.2. */
+  val q20 = Q.noOracle("q20_minhash_pairs") { (s, d) =>
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, k = 16)
+    Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8, estThreshold = 0.2)
+  }
+
+  /** q21 — SimHash-64 per doc + 12-bit bucket (candidate blocking key). */
+  val q21 = Q.noOracle("q21_simhash") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Dedup.simhash(col("text")).as("simhash"),
+      shiftrightunsigned(Dedup.simhash(col("text")), 52).as("bucket"))
+  }
+
+  /** q22 — exact word-3-gram Jaccard pairs (≥ 0.2) — the verify stage of
+    * near-dup detection, and fully SQL-expressible. */
+  val q22 = Q("q22_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
+      |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a
+      |JOIN sizes sb ON sb.doc_id = b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) >= 0.2""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.2)
+  }
+
+  /** q23 — brute-force cosine top-10 for the first 5 vectors as queries.
+    * The oracle mirrors the exact left-to-right double summation via
+    * list_reduce, so cosines are bit-identical. */
+  val q23 = Q("q23_cosine_topk",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, v.vec_id AS neighbor_id,
+      |         list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i]),
+      |                     (x, y) -> x + y)
+      |         / (sqrt(list_reduce(list_transform(range(1, len(qe) + 1), i -> qe[i] * qe[i]),
+      |                             (x, y) -> x + y))
+      |          * sqrt(list_reduce(list_transform(range(1, len(e) + 1), i -> e[i] * e[i]),
+      |                             (x, y) -> x + y))) AS cos_sim
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** q24 — IVF approximate top-10 (16 buckets, probe 4): the scale path.
+    * Approximation ⇒ no SQL oracle; recall vs q23 is pinned in
+    * SimilaritySpec. */
+  val q24 = Q.noOracle("q24_ivf_ann") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val cents = Similarity.centroids(vecs, 16)
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    Similarity.ivfTopK(assigned, cents, vecs.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+  }
+
+  /** q25 — embedding-cosine near-dup pairs within IVF buckets. */
+  val q25 = Q.noOracle("q25_embedding_near_dups") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val assigned = Similarity.ivfAssign(vecs, Similarity.centroids(vecs, 16))
+    // the synthetic embeddings are near-orthogonal (top-10 cosines land
+    // in 0.25-0.39) — 0.3 marks the "suspiciously similar" tail there;
+    // a real corpus would use ~0.95
+    Similarity.cosineNearDupPairs(assigned, threshold = 0.3)
+  }
+
+  /** q26 — multimodal featurize through the mapPartitions batch path
+    * (decode stubbed, plumbing real). FNV checksum has no DuckDB twin →
+    * rows-only; the decode contract is pinned in MultimodalSpec. */
+  val q26 = Q.noOracle("q26_media_features") { (s, d) =>
+    Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+  }
+
+  /** q27 — multimodal metadata projection (SQL-expressible slice of the
+    * media table: byte length + digest of the payload). */
+  val q27 = Q("q27_media_meta",
+    """SELECT doc_id, 'image/fake' AS media_type,
+      |       octet_length(encode(text)) AS byte_len,
+      |       md5(text) AS payload_md5, lang, n_chars
+      |FROM documents""".stripMargin) { (s, d) =>
+    Multimodal.mediaTable(Tables.documents(s, d)).select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).as("byte_len"),
+      md5(col("payload")).as("payload_md5"),
+      col("lang"), col("n_chars"))
+  }
+
+  /** q28 — rolling-hash document fingerprint (order-sensitive, unlike
+    * the set-hash in q15); crc32 has no DuckDB twin → rows-only. */
+  val q28 = Q.noOracle("q28_fingerprint") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+  }
+
+  /** q29 — sessionization over the event stream (gap > 30 min ⇒ new
+    * session): lag + cumulative-sum windows, then a session rollup.
+    * `ts` is int64 epoch-nanos on both engines (see Sessions), so the
+    * gap arithmetic is exact. */
+  val q29 = Q("q29_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+      |                     OVER (PARTITION BY user_id ORDER BY event_id)
+      |                   > 1800000000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       min(event_id) AS first_event_id, max(event_id) AS last_event_id
+      |FROM sess GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val flagged = Tables.events(s, d).select(
+      col("user_id"), col("event_id"), col("ts"),
+      when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1)
+        .otherwise(0).as("is_new"))
+    flagged
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+  }
+
+  /** q30 — HLL-sketch distinct (approx_count_distinct): the 100 TB
+    * alternative to exact COUNT(DISTINCT); estimator differs from
+    * DuckDB's → rows-only, exactness pinned against q10 in a spec. */
+  val q30 = Q.noOracle("q30_hll_distinct") { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+  }
+
+  /** q31 — quality-score filter: the cheap scan-side pre-filter of a
+    * data pipeline; pure deterministic double arithmetic → oracled. */
+  val q31 = Q("q31_quality_filter", {
+    val allStops = Text.Stopwords.values.flatten.toSeq
+    val hits = hitsSql(allStops)
+    s"""SELECT doc_id, score FROM (
+       |  SELECT doc_id,
+       |    (least(length(text) / 200.0, 1.0)
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+       |                      / length(text) * 4.0, 1.0))
+       |     + least(CAST($hits AS DOUBLE) / len(string_split(trim(text), ' ')) * 5.0, 1.0))
+       |    / 3.0 AS score
+       |  FROM documents) WHERE score >= 0.5""".stripMargin }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
+      .filter(col("score") >= 0.5)
+  }
+
+  val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q28, q29, q30, q31)
+}

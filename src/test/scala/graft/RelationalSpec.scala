@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.queries.CoreQueries
+
+/** Per-operator unit tests for the relational core (SURVEY §5.2):
+  * edge semantics the oracle compare can't isolate. */
+class RelationalSpec extends SparkSpec {
+
+  test("J2: left-semi ≡ reference's projected inner join (unique keys)") {
+    val li = Tables.lineitem(spark, sf)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") > lit(java.time.LocalDateTime.parse("2001-01-01T00:00")))
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val semi = Relational.semiJoin(li, recent, "l_orderkey")
+    val inner = Relational.semiJoinViaInner(li, recent, "l_orderkey")
+      .select(semi.columns.map(col): _*)
+    assert(semi.count() === inner.count())
+    assert(semi.exceptAll(inner).isEmpty && inner.exceptAll(semi).isEmpty)
+  }
+
+  test("P9: watermark filter is strictly greater-than") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "t")
+    val kept = pipeline.Medallion.incrementalSlice(df, "t", Some(2L)).collect()
+    assert(kept.map(_.getString(0)).toSet === Set("c")) // row AT the watermark excluded
+  }
+
+  test("P11: between is inclusive on both ends") {
+    import spark.implicits._
+    val df = Seq(0, 1, 3, 5, 6).toDF("rating")
+    assert(df.filter(col("rating").between(1, 5)).collect().map(_.getInt(0)).toSet === Set(1, 3, 5))
+  }
+
+  test("A4: latestPerKey keeps exactly one deterministic row per key") {
+    import spark.implicits._
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "v", "tag")
+    val got = Relational.latestPerKey(df, "k", col("v")).collect()
+      .map(r => (r.getInt(0), r.getString(2))).toMap
+    assert(got === Map(1 -> "new", 2 -> "only"))
+  }
+
+  test("J3/J4: left enrich keeps unmatched fact rows with null dims") {
+    import spark.implicits._
+    val fact = Seq((1, "x"), (99, "y")).toDF("k", "payload")
+    val dim = Seq((1, "dim1")).toDF("k", "name")
+    val out = Relational.dimEnrich(fact, dim, "k").orderBy("k").collect()
+    assert(out.length === 2 && out(1).isNullAt(2)) // key 99 survives, name null
+  }
+
+  test("W2: boundedRecentPerKey truncates at n with rn 1..n") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("u", i)).toDF("k", "t")
+    val out = Relational.boundedRecentPerKey(df, "k", 3, col("t"))
+    assert(out.count() === 3)
+    assert(out.agg(max("rn")).head.getInt(0) === 3)
+    assert(out.agg(max("t")).head.getInt(0) === 10) // most recent kept
+  }
+
+  test("rerank: cart beats views beats offline, dedup keeps best class, ≤10") {
+    val out = CoreQueries.q13.fn(spark, sf)
+    import spark.implicits._
+    val byUser = out.groupBy("user_id").agg(
+      count(lit(1)).as("n"), countDistinct(col("item_id")).as("d"),
+      max("pos").as("maxpos"))
+    assert(byUser.filter(col("n") > 10).isEmpty)          // truncation
+    assert(byUser.filter(col("n") =!= col("d")).isEmpty)  // duplicate-free
+    assert(byUser.filter(col("maxpos") =!= col("n")).isEmpty) // contiguous positions
+  }
+
+  test("incremental load ≡ full load (property over a date split)") {
+    val orders = Tables.orders(spark, sf)
+    val cut = lit(java.time.LocalDateTime.parse("1999-01-01T00:00"))
+    val base = orders.filter(col("o_orderdate") <= cut)
+    val wm = pipeline.Medallion.highWatermark(base, "o_orderdate")
+    val delta = pipeline.Medallion.incrementalSlice(orders, "o_orderdate", wm)
+    assert(base.count() + delta.count() === orders.count())
+    assert(base.unionAll(delta).exceptAll(orders).isEmpty)
+  }
+}

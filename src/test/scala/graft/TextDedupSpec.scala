@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Text}
+
+/** Semantics of the text-analysis and dedup operators that have no SQL
+  * oracle (hash-based ones) plus invariants of the oracled ones. */
+class TextDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y"), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs have identical signatures; disjoint docs differ") {
+    val sigs = Dedup.minhashSignatures(
+      docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t"),
+      "doc_id", "text", shingleN = 1, k = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minhash LSH finds the duplicate pair with est_jaccard 1.0") {
+    val sigs = Dedup.minhashSignatures(
+      docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t"),
+      "doc_id", "text", shingleN = 1, k = 8)
+    val pairs = Dedup.minhashCandidates(sigs, "doc_id", k = 8, bands = 4, estThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: equal for equal docs, close for near docs, far for disjoint") {
+    val out = docs(
+      1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+      3L -> "a b c d e f g x", 4L -> "p q r s t u v w")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L))
+    assert(java.lang.Long.bitCount(out(1L) ^ out(3L)) < java.lang.Long.bitCount(out(1L) ^ out(4L)))
+  }
+
+  test("ngram jaccard: identical=1, overlapping in (0,1), disjoint absent") {
+    val out = Dedup.ngramJaccardPairs(
+      docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c x y", 4L -> "p q r s t"),
+      "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) > 0.0 && out((1L, 3L)) < 1.0)
+    assert(!out.contains((1L, 4L)) && !out.contains((3L, 4L)))
+  }
+
+  test("LSH recall vs exact pairs on the corpus (same shingle unit)") {
+    val exact = queries.ExtensionQueries.q22.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = queries.ExtensionQueries.q20.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands × 2 rows at J≥0.2 collide with p = 1-(1-J^2)^8 ≥ 0.28;
+    // on this corpus every exact pair has J≥0.2 and most ≥0.5 → demand
+    // substantial (not perfect) recall, and no empty output.
+    assert(cand.nonEmpty)
+    assert((exact intersect cand).size.toDouble >= 0.5 * exact.size)
+  }
+
+  test("langid picks the language whose stopwords dominate") {
+    val out = docs(
+      1L -> "the cat of the house and the dog",
+      2L -> "el perro de la casa y el gato",
+      3L -> "zzz yyy xxx")
+      .select(col("doc_id"), Text.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = docs(1L -> "hello world42 x!").select(
+      Text.tokenCount(col("text")).as("ws"),
+      Text.bpeTokenCount(col("text")).as("bpe")).head
+    assert(r.getInt(0) === 3)
+    // hello | world | 42 | x | !
+    assert(r.getInt(1) === 5)
+  }
+
+  test("fingerprint is order-sensitive (unlike set hashing)") {
+    val fp = docs(1L -> "a b c", 2L -> "c b a")
+      .select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+}
