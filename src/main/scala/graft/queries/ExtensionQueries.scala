@@ -262,6 +262,20 @@ object ExtensionQueries {
       .filter(col("score") >= 0.5)
   }
 
+  /** q32 — JSON field extraction (the batch twin of the streaming
+    * from_json parse chain): parse `props`, aggregate by the extracted
+    * key. */
+  val q32 = Q("q32_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total_value"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q32)
 }

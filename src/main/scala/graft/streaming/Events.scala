@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming pipeline re-expressing the reference's Kafka →
+  * bronze / serving-state flow (/root/reference/scripts/spark_jobs/
+  * streaming_flow.py).
+  *
+  * The plan fragments are pure `DataFrame => DataFrame` so the same
+  * code runs under MemoryStream in tests and a Kafka source in
+  * production — the source/sink wiring is the only difference
+  * (SURVEY §2.9: same parse chain, processing-time partitions, append
+  * output mode, per-query checkpoints).
+  */
+object Events {
+
+  /** Per-event-type schemas (streaming_flow.py:42-65). Note the
+    * reference's deliberate asymmetry: streaming user_id is a STRING
+    * (anonymous_NNNN page views), timestamp stays an unparsed STRING. */
+  private val base = Seq(
+    StructField("user_id", StringType),
+    StructField("timestamp", StringType))
+
+  val eventSchemas: Map[String, StructType] = Map(
+    "page_view" -> StructType(base :+ StructField("product_id", StringType)),
+    "add_to_cart" -> StructType(base ++ Seq(
+      StructField("product_id", StringType),
+      StructField("quantity", IntegerType))),
+    "purchase" -> StructType(base ++ Seq(
+      StructField("order_id", StringType),
+      StructField("product_id", StringType),
+      StructField("quantity", IntegerType),
+      StructField("price", DoubleType))),
+    "review" -> StructType(base ++ Seq(
+      StructField("product_id", StringType),
+      StructField("rating", IntegerType))))
+
+  /** P2 + from_json + P4 + P7 + P6 — the whole parse chain
+    * (streaming_flow.py:188-197): cast Kafka binary value to string,
+    * permissive JSON parse (malformed ⇒ null fields), flatten, tag the
+    * event type, derive processing-time partition columns. The clock
+    * column is injectable so tests pin the late-data behavior: an event
+    * with an old `timestamp` string still lands in TODAY's partition.
+    */
+  def parse(kafkaShaped: DataFrame, etype: String,
+            clock: Column = current_timestamp()): DataFrame =
+    kafkaShaped
+      .selectExpr("CAST(value AS STRING) AS json_str")
+      .select(from_json(col("json_str"), eventSchemas(etype)).as("data"))
+      .select(col("data.*"))
+      .withColumn("event_type", lit(etype))
+      .withColumn("year", year(clock))
+      .withColumn("month", month(clock))
+      .withColumn("day", dayofmonth(clock))
+
+  /** Null-guard applied before serving-state updates
+    * (streaming_flow.py:215). */
+  def guarded(parsed: DataFrame): DataFrame =
+    parsed.filter(col("user_id").isNotNull && col("product_id").isNotNull)
+
+  /** K5 — streaming parquet sink with checkpoint + processing-time
+    * partitions (streaming_flow.py:200-208); exactly-once via the file
+    * sink log. */
+  def parquetSink(parsed: DataFrame, path: String, checkpoint: String) =
+    parsed.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day")
+      .outputMode(OutputMode.Append)
+
+  // ------------------------------------------------------------- rerank U1
+
+  /** The reference's rerank_simple (streaming_flow.py:68-84): priority
+    * concat cart ++ views ++ offline, order-preserving dedup, top 10.
+    * Pure function — used inside typed maps and property tests. */
+  def rerank(offline: Seq[String], views: Seq[String], cart: Seq[String],
+             topN: Int = 10): Seq[String] =
+    (cart ++ views ++ offline).distinct.take(topN)
+
+  /** The same semantics as a single codegen'd Column over three array
+    * columns (SURVEY U1's SQL-expressible form). */
+  def rerankCol(offline: Column, views: Column, cart: Column, topN: Int = 10): Column =
+    slice(array_distinct(concat(cart, views, offline)), 1, topN)
+
+  // -------------------------------------------- W2 bounded per-user state
+
+  case class ItemEvent(user_id: String, product_id: String, kind: String)
+  case class UserState(items: List[String])
+  case class UserItems(user_id: String, items: Seq[String])
+
+  /** The Redis `LPUSH` + `LTRIM 0 49` semantics (streaming_flow.py:
+    * 103-111) kept *inside* the engine: per-user bounded most-recent
+    * list via flatMapGroupsWithState. Emits the updated list per user
+    * per batch. State size is bounded (≤ `keep` ids per user) so the
+    * state store stays O(users) at any stream length — the property
+    * that makes this safe at 100 TB of events.
+    */
+  def boundedRecentItems(events: Dataset[ItemEvent], keep: Int = 50): Dataset[UserItems] = {
+    import events.sparkSession.implicits._
+    def update(user: String, batch: Iterator[ItemEvent],
+               state: GroupState[UserState]): Iterator[UserItems] = {
+      val prev = state.getOption.map(_.items).getOrElse(Nil)
+      // newest first, like LPUSH; batch iterator arrives in stream order
+      val next = (batch.map(_.product_id).toList.reverse ++ prev).take(keep)
+      state.update(UserState(next))
+      Iterator.single(UserItems(user, next))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  // ----------------------------------------------- K6/K7 foreachBatch sink
+
+  /** Pluggable serving-state store (the Redis stand-in). Implementations
+    * must be Serializable — one connection per PARTITION, never a
+    * driver-side collect (the reference's collect()-then-loop at
+    * streaming_flow.py:92,134 is its main scalability flaw; this is the
+    * corrected shape). */
+  trait KVStore extends Serializable {
+    def push(key: String, value: String, keep: Int): Unit
+    def get(key: String): Seq[String]
+  }
+
+  /** In-memory store for local tests (single-JVM local mode ⇒ the
+    * "executor-side" map is visible to assertions). */
+  object InMemoryKV extends KVStore {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+    def push(key: String, value: String, keep: Int): Unit =
+      m.merge(key, List(value), (old, nw) => (nw ++ old).take(keep))
+    def get(key: String): Seq[String] = Option(m.get(key)).getOrElse(Nil)
+    def clear(): Unit = m.clear()
+  }
+
+  /** foreachBatch wiring: route page views to `:views`, cart adds to
+    * `:cart` (streaming_flow.py:102-110), executed partition-local. */
+  def servingStateBatch(store: KVStore, keep: Int = 50)(batch: DataFrame, id: Long): Unit =
+    guarded(batch).select("user_id", "product_id", "event_type")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val suffix = if (r.getString(2) == "page_view") "views" else "cart"
+          store.push(s"user:${r.getString(0)}:$suffix", r.getString(1), keep)
+        }
+      }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Sessions
+
+/** Runnable end-to-end wiring of the streaming layer — the
+  * MemoryStream-driven twin of the reference's Kafka flow
+  * (/root/reference/scripts/spark_jobs/streaming_flow.py:170-238):
+  * source → parse chain → (a) partitioned parquet bronze sink with
+  * checkpoint, (b) foreachBatch serving-state sink, (c) stateful
+  * bounded per-user lists → rerank. Swap MemoryStream for
+  * `readStream.format("kafka")` and InMemoryKV for a Redis-backed
+  * KVStore and this is the production job.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = if (args.nonEmpty) args(0)
+      else Files.createTempDirectory("graft_stream_demo").toString
+    val clock = lit(java.sql.Date.valueOf(java.time.LocalDate.now().toString)).cast("timestamp")
+
+    // ---- source (Kafka-shaped: a `value` column) --------------------
+    val ms = MemoryStream[String]
+    ms.addData(
+      """{"user_id":"u1","timestamp":"2020-01-01T00:00:00","product_id":"p1"}""",
+      """{"user_id":"u1","timestamp":"2020-01-01T00:01:00","product_id":"p2"}""",
+      """{"user_id":"u2","timestamp":"2020-01-01T00:02:00","product_id":"p9"}""",
+      """garbage that is not json""")
+    val parsed = Events.parse(ms.toDF(), "page_view", clock)
+
+    // ---- sink K5: bronze parquet, processing-time partitions --------
+    val q1 = Events.parquetSink(parsed, s"$dir/bronze", s"$dir/chk_bronze")
+      .trigger(Trigger.AvailableNow()).start()
+    // ---- sink K6: serving state, partition-local --------------------
+    val q2 = parsed.writeStream
+      .foreachBatch(Events.servingStateBatch(Events.InMemoryKV, keep = 50) _)
+      .option("checkpointLocation", s"$dir/chk_kv")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(); q2.awaitTermination()
+
+    println(s"[demo] bronze rows: ${spark.read.parquet(s"$dir/bronze").count()}")
+    println(s"[demo] bronze partitions: " +
+      new java.io.File(s"$dir/bronze").listFiles().map(_.getName).filter(_.startsWith("year=")).mkString(","))
+    println(s"[demo] u1 views: ${Events.InMemoryKV.get("user:u1:views")}")
+
+    // ---- W2 stateful bounded lists + U1 rerank ----------------------
+    val items = MemoryStream[Events.ItemEvent]
+    items.addData(Events.ItemEvent("u1", "a", "view"), Events.ItemEvent("u1", "b", "view"))
+    val q3 = Events.boundedRecentItems(items.toDS(), keep = 3).writeStream
+      .format("memory").queryName("demo_state").outputMode("update").start()
+    q3.processAllAvailable()
+    items.addData(Events.ItemEvent("u1", "c", "view"), Events.ItemEvent("u1", "d", "view"))
+    q3.processAllAvailable(); q3.stop()
+    val state = spark.table("demo_state").as[Events.UserItems].collect()
+      .filter(_.user_id == "u1").last
+    println(s"[demo] u1 bounded state (keep=3): ${state.items}")
+    println(s"[demo] u1 rerank: " +
+      Events.rerank(offline = Seq("off1", "a"), views = state.items, cart = Seq("c1")))
+    spark.stop()
+  }
+}

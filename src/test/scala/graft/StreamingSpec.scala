@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Events
+
+/** Streaming semantics pinned per SURVEY §2.9 using MemoryStream (the
+  * same downstream plan a Kafka source would feed). */
+class StreamingSpec extends SparkSpec {
+  import Events._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("parse chain: cast→from_json→flatten→tag→processing-time partitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(
+      """{"user_id":"u1","timestamp":"2020-01-01T00:00:00","product_id":"p1"}""",
+      """not json at all""")
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    runToMemory(parse(ms.toDF().withColumnRenamed("value", "value"), "page_view", clock),
+      "parsed")
+    val rows = spark.table("parsed").collect()
+    assert(rows.length === 2)
+    val good = rows.find(r => r.getAs[String]("user_id") == "u1").get
+    assert(good.getAs[String]("product_id") === "p1")
+    assert(good.getAs[String]("event_type") === "page_view")
+    // late-data rule: the OLD event timestamp string does not matter —
+    // partitions come from processing time
+    assert(good.getAs[Int]("year") === 2026 && good.getAs[Int]("month") === 8)
+    // malformed JSON -> permissive nulls, row retained
+    val bad = rows.find(r => r.getAs[String]("user_id") == null).get
+    assert(bad.getAs[String]("product_id") === null)
+  }
+
+  test("rerank: priority order, order-preserving dedup, cap at 10") {
+    assert(rerank(Seq("o1", "o2"), Seq("v1", "o1"), Seq("c1", "v1"))
+      === Seq("c1", "v1", "o1", "o2"))
+    val many = rerank((1 to 20).map("o" + _), Seq("v1"), Seq("c1"))
+    assert(many.length === 10 && many.head === "c1" && many(1) === "v1")
+    // column form agrees with the pure function
+    import spark.implicits._
+    val df = Seq((Seq("o1", "o2"), Seq("v1", "o1"), Seq("c1", "v1")))
+      .toDF("offline", "views", "cart")
+    val got = df.select(rerankCol(col("offline"), col("views"), col("cart")))
+      .head.getSeq[String](0)
+    assert(got === Seq("c1", "v1", "o1", "o2"))
+  }
+
+  test("W2: flatMapGroupsWithState keeps a bounded most-recent list across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[ItemEvent]
+    val q = boundedRecentItems(ms.toDS(), keep = 3).writeStream
+      .format("memory").queryName("state_out").outputMode("update").start()
+    ms.addData(ItemEvent("u1", "a", "view"), ItemEvent("u1", "b", "view"))
+    q.processAllAvailable()
+    ms.addData(ItemEvent("u1", "c", "view"), ItemEvent("u1", "d", "view"),
+      ItemEvent("u2", "z", "view"))
+    q.processAllAvailable()
+    val byBatch = spark.table("state_out").as[UserItems].collect()
+    q.stop()
+    // u1 after batch 2: newest-first [d, c, b] — 'a' trimmed at keep=3
+    val u1Final = byBatch.filter(_.user_id == "u1").last
+    assert(u1Final.items === Seq("d", "c", "b"))
+    assert(byBatch.filter(_.user_id == "u2").last.items === Seq("z"))
+  }
+
+  test("K5: streaming parquet sink is exactly-once across restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val ms = MemoryStream[String]
+    ms.addData("""{"user_id":"u1","timestamp":"t","product_id":"p1"}""")
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    def start() = parquetSink(parse(ms.toDF(), "page_view", clock),
+      s"$dir/data", s"$dir/chk").trigger(Trigger.AvailableNow()).start()
+    val q1 = start(); q1.awaitTermination()
+    // restart with NO new data: checkpoint must prevent re-writing batch 0
+    val q2 = start(); q2.awaitTermination()
+    assert(spark.read.parquet(s"$dir/data").count() === 1)
+    // partition layout on disk (hive-style, processing date)
+    assert(new java.io.File(s"$dir/data/year=2026/month=8/day=12").exists())
+  }
+
+  test("K6: foreachBatch serving-state sink routes views vs cart, partition-local") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    InMemoryKV.clear()
+    val ms = MemoryStream[String]
+    ms.addData(
+      """{"user_id":"u1","timestamp":"t","product_id":"p1"}""",
+      """{"user_id":"u1","timestamp":"t","product_id":"p2"}""",
+      """{"user_id":null,"timestamp":"t","product_id":"px"}""")
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    val q = parse(ms.toDF(), "page_view", clock).writeStream
+      .foreachBatch(servingStateBatch(InMemoryKV, keep = 50) _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(InMemoryKV.get("user:u1:views").toSet === Set("p1", "p2"))
+    assert(InMemoryKV.get("user:u1:cart").isEmpty) // page views never land in cart
+    assert(InMemoryKV.get("user:null:views").isEmpty) // null guard held
+  }
+
+  test("rerank end-to-end: state lists feed the rerank column") {
+    import spark.implicits._
+    val df = Seq(("u1", Seq("off1", "v1"), Seq("v1", "v2"), Seq("c1")))
+      .toDF("user_id", "offline", "views", "cart")
+    val out = df.select(col("user_id"),
+      rerankCol(col("offline"), col("views"), col("cart")).as("recs"))
+      .head.getSeq[String](1)
+    assert(out === Seq("c1", "v1", "v2", "off1"))
+  }
+}
