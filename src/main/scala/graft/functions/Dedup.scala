@@ -29,14 +29,23 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast(BinaryType)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word `n`-shingles per doc (order-insensitive set). */
+  /** Distinct word `n`-shingles per doc (order-insensitive set).
+    *
+    * The token array is bound ONCE per row via a lambda variable
+    * (`transform(array(tokens), t -> ...)`): referencing the raw
+    * `split(...)` expression inside the index lambda would re-split the
+    * text for every element — O(tokens²) string work per row, which
+    * dominated the first benchmark run. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val grams =
       if (n == 1) array_distinct(toks)
-      else array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      else element_at(
+        transform(array(toks), t =>
+          array_distinct(
+            transform(sequence(lit(0), size(t) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))),
+        1)
     df.select(col(idCol), explode(grams).as("gram"))
   }
 
@@ -83,15 +92,20 @@ object Dedup {
     * shuffle — O(64·tokens) arithmetic inside the scan. */
   def simhash(text: Column): Column = {
     val hashes = transform(Text.tokens(text), t => xxhash64(t))
-    // Unrolled in Scala (bit index must be a literal for shiftright);
-    // bits are disjoint so summing the 64 one-bit terms assembles the
-    // word. 1L<<63 lands on the sign bit — fine, it is added once.
-    (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (v, h) => v + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // Bit index must be a literal for shiftright, so the 64 bit-vote
+    // terms are unrolled in Scala; bits are disjoint so summing them
+    // assembles the word (1L<<63 = the sign bit, added once). The hash
+    // array is lambda-bound ONCE — referencing `hashes` in all 64 terms
+    // directly would tokenize+hash the text 64 times per row.
+    element_at(
+      transform(array(hashes), hs =>
+        (0 until 64).map { i =>
+          val votes = aggregate(hs, lit(0L),
+            (v, h) => v + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L)))
+          when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)),
+      1)
   }
 
   /** Hamming distance between two simhash longs (bit_count of xor). */

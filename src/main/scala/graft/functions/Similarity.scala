@@ -20,7 +20,10 @@ import graft.operators.Relational
   *
   * All dot products are `aggregate(zip_with(...))` higher-order
   * expressions in double precision — codegen'd, left-to-right
-  * summation, deterministic.
+  * summation, deterministic. Norms are computed ONCE per vector and
+  * carried as a column: cos(a,b) = dot / (norm_a * norm_b) with the
+  * exact same operands as the naive form (oracle-stable), but O(n+m)
+  * sqrt work instead of O(n·m).
   */
 object Similarity {
 
@@ -31,17 +34,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Naive per-pair cosine — kept for tests and one-off use; the
+    * operators below use the precomputed-norm form. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** (id, embedding, norm) projection — the build-side pass. */
+  private def withNorm(df: DataFrame, idAs: String, embAs: String, normAs: String) =
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      norm(col("embedding")).as(normAs))
 
   /** Exact top-k neighbors for each query vector (excluding self). The
     * query side MUST be small (it is broadcast to every task). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_emb"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val v = withNorm(vectors, "neighbor_id", "v_emb", "v_norm")
+    val q = withNorm(queries, "query_id", "q_emb", "q_norm")
     val scored = v.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("v_emb")).as("cos_sim"))
+        (dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm"))).as("cos_sim"))
     Relational.topNPerGroup(scored, k, Seq(col("query_id")),
       col("cos_sim"), col("neighbor_id"))
   }
@@ -54,30 +64,34 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
 
   /** Assign every vector to its nearest centroid (rank-1 over a
-    * broadcast cross score) — the IVF build pass. */
+    * broadcast cross score) — the IVF build pass. Output carries the
+    * vector norm for all downstream cosine work. */
   def ivfAssign(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c_emb")).as("c_sim"))
+    val v = withNorm(vectors, "vec_id", "embedding", "v_norm")
+    val c = cents.select(col("centroid_id"), col("c_emb"), norm(col("c_emb")).as("c_norm"))
+    val scored = v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm"))).as("c_sim"))
     Relational.topNPerGroup(scored, 1, Seq(col("vec_id")), col("c_sim"), col("centroid_id"))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"))
   }
 
   /** IVF probe: per query, rank centroids, keep `nprobe`, join the
     * inverted lists, exact-score only those vectors, top-k. */
   def ivfTopK(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = withNorm(queries, "query_id", "q_emb", "q_norm")
+    val c = cents.select(col("centroid_id"), col("c_emb"), norm(col("c_emb")).as("c_norm"))
     val probes = Relational.topNPerGroup(
-      q.crossJoin(broadcast(cents))
-        .select(col("query_id"), col("q_emb"), col("centroid_id"),
-          cosine(col("q_emb"), col("c_emb")).as("c_sim")),
+      q.crossJoin(broadcast(c))
+        .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"),
+          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("c_sim")),
       nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"), "inner")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        (dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("v_norm"))).as("cos_sim"))
     Relational.topNPerGroup(scored, k, Seq(col("query_id")),
       col("cos_sim"), col("neighbor_id"))
   }
@@ -86,11 +100,14 @@ object Similarity {
     * vectors sharing a centroid are compared (equi-join on centroid_id,
     * not an O(n²) cross join), then thresholded. */
   def cosineNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("v_norm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("v_norm").as("nb"))
     a.join(b, Seq("centroid_id"), "inner")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos_sim"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
