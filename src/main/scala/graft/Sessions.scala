@@ -21,6 +21,7 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -51,4 +51,11 @@ object Cols {
   /** Deterministic average: exact decimal sum, then ONE double division
     * (identical in Spark and DuckDB given identical operands). */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** The events table's `ts` is int64 epoch-nanos (see Sessions —
+    * Spark 4 reads ns parquet timestamps as long under
+    * `legacy.parquet.nanosAsLong`). This converts to a microsecond
+    * TimestampType column when calendar arithmetic is needed; keep the
+    * raw long for ordering/diff arithmetic (exact, oracle-friendly). */
+  def nanosToTimestamp(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
 }

@@ -298,5 +298,48 @@ object CoreQueries {
       .unionAll(sup.intersect(cus).select(lit("both").as("tag"), col("k")))
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+  /** q33 — left-anti join (NOT EXISTS): customers with no URGENT order.
+    * Rounds out the join surface (inner/left/semi/anti). */
+  val q33 = Q("q33_anti_join",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        Seq("o_custkey"), "left_anti")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** q34 — ROLLUP (year, month) over order totals: the dashboard
+    * subtotal surface (monthly, yearly, grand total in one pass —
+    * partial aggregation handles all grouping sets in a single
+    * shuffle). */
+  val q34 = Q("q34_rollup",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |       CAST(month(o_orderdate) AS INT) AS month,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP(1, 2)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("year", year(col("o_orderdate")))
+      .withColumn("month", month(col("o_orderdate")))
+      .rollup("year", "month")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  /** q35 — CUBE (orderstatus, orderpriority): all 4 grouping sets. */
+  val q35 = Q("q35_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE(1, 2)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q33, q34, q35)
 }

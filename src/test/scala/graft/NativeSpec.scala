@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.plans.NativeExpressions
+
+/** The native DotProductF32 expression: bit-parity with the HOF form,
+  * SQL registration via GraftExtensions, and a sanity perf comparison. */
+class NativeSpec extends SparkSpec {
+
+  test("native dot == HOF dot, bit-exact, on the real embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id"), col("embedding").as("eb"))
+    val both = a.join(b, "vec_id").limit(200).select(
+      Similarity.dotHof(col("ea"), col("eb")).as("hof"),
+      NativeExpressions.dotF32(col("ea"), col("eb")).as("native"))
+    // exact bit equality, not tolerance: both are left-to-right double sums
+    assert(both.filter(col("hof") =!= col("native")).isEmpty)
+    assert(both.count() === 200)
+  }
+
+  test("graft_dot_f32 resolves in SQL through GraftExtensions") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT graft_dot_f32(a.embedding, b.embedding) AS d
+        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head
+    assert(!r.isNullAt(0) && (r.getDouble(0) !== 0.0))
+  }
+
+  test("null inputs propagate (BinaryExpression null-intolerance)") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(NativeExpressions.dotF32(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("native path is not slower than HOF on a 250k-pair workload") {
+    val e = Tables.embeddings(spark, sf)
+    val pairs = e.select(col("embedding").as("ea"))
+      .crossJoin(e.select(col("embedding").as("eb"))).cache()
+    pairs.count() // materialize cache so both timings measure compute only
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      pairs.select(sum(c)).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hof = time(Similarity.dotHof(col("ea"), col("eb")))
+    val native = time(NativeExpressions.dotF32(col("ea"), col("eb")))
+    pairs.unpersist()
+    info(f"hof=$hof%.2fs native=$native%.2fs speedup=${hof / native}%.1fx")
+    assert(native <= hof * 1.5, f"native=$native%.2fs hof=$hof%.2fs") // generous: no regression
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** S5 CSV / S6 JSONL (batch + file-stream) source semantics. */
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  test("S5: CSV with header + explicit schema (the COPY-FROM-CSV twin)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("seed.csv"),
+      "id,name,price\n1,widget,9.99\n2,gadget,19.50\n")
+    val df = Sources.csv(spark, dir.toString, schema)
+    assert(df.schema === schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2 && rows(0).getString(1) === "widget"
+      && rows(1).getDouble(2) === 19.50)
+  }
+
+  test("S6 batch: JSONL with explicit schema; malformed line -> permissive nulls") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(dir.resolve("events.jsonl"),
+      """{"id":1,"name":"a","price":1.5}""" + "\n" + "}{bad" + "\n")
+    val df = Sources.jsonl(spark, dir.toString, schema)
+    assert(df.count() === 2)
+    assert(df.filter(col("id").isNotNull).count() === 1)
+  }
+
+  test("S6 stream: JSONL drop-dir feeds the same parse-chain plan") {
+    val dir = Files.createTempDirectory("graft_jstream")
+    Files.writeString(dir.resolve("b1.jsonl"),
+      """{"id":1,"name":"a","price":1.5}""" + "\n" + """{"id":2,"name":"b","price":2.5}""" + "\n")
+    val q = Sources.jsonlStream(spark, dir.toString, schema)
+      .withColumn("total", col("price") * 2)
+      .writeStream.format("memory").queryName("jsonl_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("jsonl_out").count() === 2)
+    assert(spark.table("jsonl_out").agg(sum("total")).head.getDouble(0) === 8.0)
+  }
+
+  test("nanosToTimestamp: event ts longs convert to calendar time") {
+    val r = Tables.events(spark, sf)
+      .select(Cols.nanosToTimestamp(col("ts")).as("t"))
+      .agg(min(year(col("t"))), max(year(col("t")))).head
+    assert(r.getInt(0) === 2024 && r.getInt(1) === 2024)
+  }
+}
