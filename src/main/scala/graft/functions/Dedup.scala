@@ -90,13 +90,17 @@ object Dedup {
   /** SimHash-64 as a single codegen'd expression: per-token xxhash64,
     * per-bit majority vote, reassembled into one long. No explode, no
     * shuffle — O(64·tokens) arithmetic inside the scan. */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.plans.NativeExpressions.simhash64(transform(Text.tokens(text), t => xxhash64(t)))
+
+  /** The pure-built-ins SimHash formulation, kept as the parity
+    * reference for NativeSpec. Bit index must be a literal for
+    * shiftright, so the 64 bit-vote terms are unrolled in Scala; bits
+    * are disjoint so summing them assembles the word (1L<<63 = the sign
+    * bit, added once). The hash array is lambda-bound ONCE — see
+    * `shingles` for why. */
+  def simhashHof(text: Column): Column = {
     val hashes = transform(Text.tokens(text), t => xxhash64(t))
-    // Bit index must be a literal for shiftright, so the 64 bit-vote
-    // terms are unrolled in Scala; bits are disjoint so summing them
-    // assembles the word (1L<<63 = the sign bit, added once). The hash
-    // array is lambda-bound ONCE — referencing `hashes` in all 64 terms
-    // directly would tokenize+hash the text 64 times per row.
     element_at(
       transform(array(hashes), hs =>
         (0 until 64).map { i =>

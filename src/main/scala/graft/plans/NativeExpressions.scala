@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -60,11 +60,64 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** SimHash-64 over an array of 64-bit token hashes: per-bit majority
+  * vote, one pass, no per-bit re-traversal (the HOF form in
+  * graft.functions.Dedup walks the hash array 64 times). Bit-identical
+  * to the HOF form (NativeSpec pins it). Empty array ⇒ 0L.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < xs.numElements()) {
+      val h = xs.getLong(i); var b = 0
+      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      i += 1
+    }
+    var r = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h"); val r = ctx.freshName("r")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $r |= (1L << $b); }
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def dotF32(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF32(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates
@@ -76,5 +129,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32"),
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

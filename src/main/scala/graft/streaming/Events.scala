@@ -92,25 +92,40 @@ object Events {
   case class UserState(items: List[String])
   case class UserItems(user_id: String, items: Seq[String])
 
-  /** The Redis `LPUSH` + `LTRIM 0 49` semantics (streaming_flow.py:
-    * 103-111) kept *inside* the engine: per-user bounded most-recent
-    * list via flatMapGroupsWithState. Emits the updated list per user
-    * per batch. State size is bounded (≤ `keep` ids per user) so the
-    * state store stays O(users) at any stream length — the property
-    * that makes this safe at 100 TB of events.
+  /** The Redis `LPUSH` + `LTRIM 0 49` + `EXPIRE 24h` semantics
+    * (streaming_flow.py:103-111) kept *inside* the engine: per-user
+    * bounded most-recent list via flatMapGroupsWithState, with an
+    * optional processing-time TTL evicting idle users. State size is
+    * bounded (≤ `keep` ids per user) AND idle keys expire, so the state
+    * store stays O(active users) at any stream length — the two
+    * properties that make this safe at 100 TB of events.
+    *
+    * The update function is exposed for direct unit-testing with
+    * `TestGroupState` (timeouts can't be driven from a MemoryStream).
     */
-  def boundedRecentItems(events: Dataset[ItemEvent], keep: Int = 50): Dataset[UserItems] = {
-    import events.sparkSession.implicits._
-    def update(user: String, batch: Iterator[ItemEvent],
-               state: GroupState[UserState]): Iterator[UserItems] = {
-      val prev = state.getOption.map(_.items).getOrElse(Nil)
-      // newest first, like LPUSH; batch iterator arrives in stream order
-      val next = (batch.map(_.product_id).toList.reverse ++ prev).take(keep)
-      state.update(UserState(next))
-      Iterator.single(UserItems(user, next))
+  def updateUserItems(keep: Int, ttl: Option[String])(
+      user: String, batch: Iterator[ItemEvent],
+      state: GroupState[UserState]): Iterator[UserItems] = {
+    if (state.hasTimedOut) { // TTL fired with no new events: evict (Redis EXPIRE)
+      state.remove()
+      return Iterator.empty
     }
+    val prev = state.getOption.map(_.items).getOrElse(Nil)
+    // newest first, like LPUSH; batch iterator arrives in stream order
+    val next = (batch.map(_.product_id).toList.reverse ++ prev).take(keep)
+    state.update(UserState(next))
+    ttl.foreach(state.setTimeoutDuration) // refresh on every touch, like EXPIRE
+    Iterator.single(UserItems(user, next))
+  }
+
+  def boundedRecentItems(events: Dataset[ItemEvent], keep: Int = 50,
+                         ttl: Option[String] = None): Dataset[UserItems] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateUserItems(keep, ttl))
   }
 
   // ----------------------------------------------- K6/K7 foreachBatch sink

@@ -61,6 +61,29 @@ object PipelineDemo {
     println(s"[demo] u1 bounded state (keep=3): ${state.items}")
     println(s"[demo] u1 rerank: " +
       Events.rerank(offline = Seq("off1", "a"), views = state.items, cart = Seq("c1")))
+
+    // ---- W2 TTL (Redis EXPIRE twin): idle state evicts ---------------
+    // 1s TTL; u1's list from batch 1 must be GONE by batch 3, so the
+    // re-appearing u1 starts fresh instead of accumulating. NOTE: a
+    // ProcessingTimeTimeout query with the default 0ms trigger busy-
+    // loops on empty timeout batches and processAllAvailable never
+    // settles — give it a real trigger interval and poll the sink.
+    val tItems = MemoryStream[Events.ItemEvent]
+    val q4 = Events.boundedRecentItems(tItems.toDS(), keep = 5, ttl = Some("1 second"))
+      .writeStream.format("memory").queryName("demo_ttl").outputMode("update")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    def u1Lists() = spark.table("demo_ttl").as[Events.UserItems].collect()
+      .filter(_.user_id == "u1").map(_.items).toList
+    def awaitU1(n: Int): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (u1Lists().size < n && System.nanoTime() < deadline) Thread.sleep(100)
+    }
+    tItems.addData(Events.ItemEvent("u1", "old1", "view"))
+    awaitU1(1)
+    Thread.sleep(2500) // let the TTL lapse (timeout batches fire on the trigger)
+    tItems.addData(Events.ItemEvent("u1", "new1", "view"))
+    awaitU1(2); q4.stop()
+    println(s"[demo] u1 lists across TTL lapse: ${u1Lists()} (expect List(old1) then List(new1))")
     spark.stop()
   }
 }

@@ -35,6 +35,19 @@ class NativeSpec extends SparkSpec {
     assert(df.select(NativeExpressions.dotF32(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("native simhash == HOF simhash on the corpus; SQL form resolves") {
+    val d = Tables.documents(spark, sf)
+    val both = d.select(
+      graft.functions.Dedup.simhash(col("text")).as("native"),
+      graft.functions.Dedup.simhashHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    d.createOrReplaceTempView("docs_v")
+    val r = spark.sql(
+      """SELECT graft_simhash64(transform(split(trim(text), ' '), t -> xxhash64(t))) AS sh
+        |FROM docs_v LIMIT 1""".stripMargin).head
+    assert(!r.isNullAt(0))
+  }
+
   test("native path is not slower than HOF on a 250k-pair workload") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("embedding").as("ea"))
