@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layer: the storage-layout change that removes the J1
+  * fact-join shuffle at scale (SCALE.md "Fact join J1").
+  *
+  * Writing both join sides bucketed by the join key into the session
+  * catalog lets Catalyst plan a co-located sort-merge join with NO
+  * Exchange on either side — at 100 TB that converts the single biggest
+  * network cost of the gold pipeline into local disk reads. Bucket
+  * count is a layout-time decision: pick ~(table size / 256 MB),
+  * identical on both sides.
+  *
+  * Parquet bucketing requires a catalog table (`saveAsTable`), not a
+  * path write — the bucket spec lives in catalog metadata.
+  */
+object Lakehouse {
+
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)
+  }
+
+  /** Co-located inner equi-join of two tables bucketed on `key` with
+    * the same bucket count: planner emits zero shuffles. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key), "inner")
+
+  /** Shuffle-exchange count of the EXECUTED plan (runs the query) —
+    * 0 is the property the bucketed layout buys. Traverses through
+    * AQE wrappers and materialized query stages, which `plan.exists`
+    * does not. */
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.count()
+    def walk(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  def isShuffleFree(df: DataFrame): Boolean = shuffleCount(df) == 0
+}
