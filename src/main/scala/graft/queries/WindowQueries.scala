@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Cols, Tables}
+import graft.operators.TopKByWeight
+
+/** Window-function battery, pivot, percentiles and the typed top-k
+  * aggregate — the analytic surface beyond the reference's own usage
+  * (SURVEY §2.6 notes the reference has none in Spark code; the BI
+  * layer implies them). */
+object WindowQueries {
+
+  /** q36 — ranking-function battery over supplier account balances
+    * within nation: rank / dense_rank / lead / lag / ntile, all with
+    * the same deterministic ordering. */
+  val q36 = Q("q36_window_battery",
+    """SELECT s_suppkey, s_nationkey,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       row_number() OVER w AS rn,
+      |       ntile(4) OVER w AS quartile,
+      |       lag(s_suppkey) OVER w AS prev_supp,
+      |       lead(s_suppkey) OVER w AS next_supp
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d).select(
+      col("s_suppkey"), col("s_nationkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      row_number().over(w).as("rn"),
+      ntile(4).over(w).as("quartile"),
+      lag(col("s_suppkey"), 1).over(w).as("prev_supp"),
+      lead(col("s_suppkey"), 1).over(w).as("next_supp"))
+  }
+
+  /** q37 — pivot: event counts per user spread across event-type
+    * columns. The oracle uses conditional aggregation (the portable
+    * spelling of PIVOT). */
+  val q37 = Q("q37_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // pivot yields null for absent cells; FILTER yields 0
+  }
+
+  /** q38 — exact percentiles (median / p90) of order totals per status.
+    * Spark `percentile` and DuckDB `quantile_cont` both use linear
+    * interpolation over the sorted set — identical operands, identical
+    * doubles. The 100 TB variant is `approx_percentile` (bounded-memory
+    * sketch), exposed in q39's rows-only entry alongside. */
+  val q38 = Q("q38_percentiles",
+    """SELECT o_orderstatus,
+      |       quantile_cont(o_totalprice, 0.5) AS median_price,
+      |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |       COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q39 — the typed TopKByWeight Aggregator (O(k) buffer per group)
+    * exploded to rows; approx_percentile alongside as the sketch-based
+    * scale variant of q38. Rows-only: Aggregator + sketch have no
+    * DuckDB twins. */
+  val q39 = Q.noOracle("q39_topk_aggregator") { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+      .as[(String, Long, Double)]
+    li.groupByKey(_._1)
+      .mapValues { case (_, id, w) => (id, w) }
+      .agg(new TopKByWeight(10).toColumn.name("topk"))
+      .toDF("l_returnflag", "topk")
+      .select(col("l_returnflag"), posexplode(col("topk")))
+      .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("col").as("l_partkey"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39)
+}
