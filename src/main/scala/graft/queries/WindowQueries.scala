@@ -88,5 +88,23 @@ object WindowQueries {
       .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("col").as("l_partkey"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39)
+  /** q40 — tumbling event-time window aggregate (batch twin of the
+    * watermarked streaming form, Events.windowedCounts): hourly event
+    * counts and exact value sums. Window starts land on whole hours, so
+    * the ns-vs-µs timestamp gap can't bite; the oracle's time_bucket
+    * over the ns timestamps yields the same boundaries. */
+  val q40 = Q("q40_tumbling_window",
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts_t", Cols.nanosToTimestamp(col("ts")))
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40)
 }

@@ -61,6 +61,44 @@ object Events {
   def guarded(parsed: DataFrame): DataFrame =
     parsed.filter(col("user_id").isNotNull && col("product_id").isNotNull)
 
+  /** Dead-letter variant of the parse chain: the reference silently
+    * keeps malformed JSON as all-null rows (permissive `from_json`);
+    * this splits instead — `good` rows parsed, `bad` rows carrying the
+    * raw payload for a quarantine sink. Split on user_id nullability:
+    * every event schema requires it, so a null user_id means the JSON
+    * didn't parse (or failed the same guard the reference applies).
+    */
+  def parseWithDeadLetter(kafkaShaped: DataFrame, etype: String,
+                          clock: Column = current_timestamp()): (DataFrame, DataFrame) = {
+    val withRaw = kafkaShaped
+      .selectExpr("CAST(value AS STRING) AS json_str")
+      .select(col("json_str"),
+        from_json(col("json_str"), eventSchemas(etype)).as("data"))
+    val good = withRaw.filter(col("data.user_id").isNotNull)
+      .select(col("data.*"))
+      .withColumn("event_type", lit(etype))
+      .withColumn("year", year(clock))
+      .withColumn("month", month(clock))
+      .withColumn("day", dayofmonth(clock))
+    val bad = withRaw.filter(col("data.user_id").isNull)
+      .select(col("json_str").as("raw"), lit(etype).as("event_type"),
+        clock.cast("date").as("received_date"))
+    (good, bad)
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * optional extension SURVEY §2.9 plans beyond the reference's
+    * processing-time-only surface. Late rows beyond the watermark are
+    * dropped; with Append mode a window emits once it is closed.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** K5 — streaming parquet sink with checkpoint + processing-time
     * partitions (streaming_flow.py:200-208); exactly-once via the file
     * sink log. */

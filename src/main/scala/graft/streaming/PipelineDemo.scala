@@ -84,6 +84,21 @@ object PipelineDemo {
     tItems.addData(Events.ItemEvent("u1", "new1", "view"))
     awaitU1(2); q4.stop()
     println(s"[demo] u1 lists across TTL lapse: ${u1Lists()} (expect List(old1) then List(new1))")
+
+    // ---- dead-letter split: quarantine malformed payloads ------------
+    val dlms = MemoryStream[String]
+    dlms.addData(
+      """{"user_id":"u1","timestamp":"t","product_id":"p1"}""",
+      "junk{{",
+      """{"timestamp":"t","product_id":"orphan"}""")
+    val (goodS, badS) = Events.parseWithDeadLetter(dlms.toDF(), "page_view", clock)
+    val q5 = goodS.writeStream.format("memory").queryName("demo_dl_good")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q6 = badS.writeStream.format("memory").queryName("demo_dl_bad")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q5.awaitTermination(); q6.awaitTermination()
+    println(s"[demo] dead-letter: good=${spark.table("demo_dl_good").count()} " +
+      s"bad=${spark.table("demo_dl_bad").select("raw").as[String].collect().toList}")
     spark.stop()
   }
 }

@@ -69,6 +69,23 @@ class RelationalSpec extends SparkSpec {
     assert(byUser.filter(col("maxpos") =!= col("n")).isEmpty) // contiguous positions
   }
 
+  test("full_name divergence pinned: reference's arithmetic '+' on strings vs concat_ws intent") {
+    import spark.implicits._
+    val df = Seq(("Ada", "Lovelace"), ("Solo", null)).toDF("first", "last")
+    // The reference builds full_name with Python '+' on Columns
+    // (silver_clean_transform.py:90), which is arithmetic Add over
+    // strings — always NULL on its Spark 3.5 (non-ANSI). Under our
+    // Spark 4 ANSI sessions the same mistake fails loudly instead:
+    intercept[Exception] {
+      df.select((col("first") + lit(" ") + col("last")).as("full_name")).collect()
+    }
+    // We implement the INTENT (SURVEY §2.8): concat_ws, which also
+    // null-skips missing parts instead of nulling the whole name.
+    val got = df.select(concat_ws(" ", trim(col("first")), trim(col("last"))))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("Ada Lovelace", "Solo"))
+  }
+
   test("incremental load ≡ full load (property over a date split)") {
     val orders = Tables.orders(spark, sf)
     val cut = lit(java.time.LocalDateTime.parse("1999-01-01T00:00"))

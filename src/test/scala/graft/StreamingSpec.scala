@@ -109,6 +109,47 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryKV.get("user:null:views").isEmpty) // null guard held
   }
 
+  test("dead-letter split: malformed rows quarantined with raw payload") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(
+      """{"user_id":"u1","timestamp":"t","product_id":"p1"}""",
+      """total garbage""",
+      """{"product_id":"orphan","timestamp":"t"}""")
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    val (good, bad) = parseWithDeadLetter(ms.toDF(), "page_view", clock)
+    runToMemory(good, "dl_good"); runToMemory(bad, "dl_bad")
+    assert(spark.table("dl_good").count() === 1)
+    val badRows = spark.table("dl_bad").collect().map(_.getAs[String]("raw")).toSet
+    assert(badRows === Set("total garbage",
+      """{"product_id":"orphan","timestamp":"t"}"""))
+  }
+
+  test("watermarked tumbling window: in-window counts, late row dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = windowedCounts(
+      ms.toDF().toDF("ts", "event_type"), "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    ms.addData((t("2026-01-01 00:01:00"), "view"), (t("2026-01-01 00:02:00"), "view"))
+    q.processAllAvailable()
+    // advance the watermark far past the first window, then send a LATE row into it
+    ms.addData((t("2026-01-01 01:00:00"), "view"))
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 00:03:00"), "view")) // late: before watermark
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 02:00:00"), "view")) // push watermark to close window 2
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // first window emitted with 2 (late 3rd row dropped by the watermark)
+    assert(rows("2026-01-01 00:00:00.0") === 2L)
+    assert(rows.contains("2026-01-01 01:00:00.0"))
+  }
+
   test("rerank end-to-end: state lists feed the rerank column") {
     import spark.implicits._
     val df = Seq(("u1", Seq("off1", "v1"), Seq("v1", "v2"), Seq("c1")))
