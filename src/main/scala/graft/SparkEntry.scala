@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all
+    CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

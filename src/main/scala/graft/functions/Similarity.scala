@@ -65,11 +65,32 @@ object Similarity {
   }
 
   /** Deterministic centroid sample: the `c` vectors with the smallest
-    * ids (a stand-in for a trained codebook; the plan shape is what
-    * matters). */
+    * ids (k-means init; the plan shape is what matters). */
   def centroids(vectors: DataFrame, c: Int): DataFrame =
     vectors.orderBy(col("vec_id")).limit(c)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** Lloyd-iteration k-means refinement of the codebook: assign every
+    * vector to its nearest centroid, recompute centroids as the
+    * element-wise mean of their members, repeat. Deterministic (id
+    * init, cosine assignment with id tiebreak). Each iteration is one
+    * assign pass (broadcast codebook — the only full-data scan) plus a
+    * tiny per-cluster aggregate: d mean-aggregates over c groups, so
+    * the shuffle carries c·d doubles regardless of input size. Empty
+    * clusters keep their previous centroid. */
+  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int, dim: Int): DataFrame = {
+    var cents = centroids(vectors, c)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vectors, cents)
+      val means = assigned.groupBy(col("centroid_id"))
+        .agg(array((0 until dim).map(i =>
+          avg(col("embedding").getItem(i)).cast("float")): _*).as("m_emb"))
+      cents = cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+    }
+    cents
+  }
 
   /** Assign every vector to its nearest centroid (rank-1 over a
     * broadcast cross score) — the IVF build pass. Output carries the

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+
+/** Scalar-function battery and subquery shapes beyond the reference's
+  * own usage — the "a user of the reference could run every query they
+  * run today, and the ones their BI tool generates" surface. */
+object FunctionQueries {
+
+  /** q41 — string/date/math scalar battery over customers+orders.
+    * Cross-engine notes: substring is 1-based in both; DuckDB
+    * `instr` == Spark `instr`; datediff argument ORDER differs
+    * (Spark datediff(end, start) == DuckDB datediff('day', start, end));
+    * DuckDB dayofweek is Sunday=0 where Spark is Sunday=1 (+1 in the
+    * oracle);
+    * IEEE sqrt/ln/power are bit-identical; round() is avoided (half-up
+    * vs half-even). */
+  val q41 = Q("q41_scalar_battery",
+    """SELECT c_custkey,
+      |       substring(c_name, 1, 8) AS name_prefix,
+      |       replace(c_name, 'Customer', 'C') AS name_short,
+      |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+      |       instr(c_name, '#') AS hash_pos,
+      |       length(c_mktsegment) AS seg_len,
+      |       abs(c_acctbal) AS abs_bal,
+      |       sqrt(abs(c_acctbal)) AS sqrt_bal,
+      |       CAST(c_acctbal AS DOUBLE) * CAST(c_acctbal AS DOUBLE) AS bal_sq
+      |FROM customer""".stripMargin) { (s, d) =>
+    // ln/exp/pow go through libm and can differ by 1 ulp between
+    // engines (observed on ln) — the battery sticks to IEEE-defined
+    // ops (abs, sqrt, multiply), which are bit-identical.
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      regexp_replace(col("c_name"), "Customer", "C").as("name_short"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded_id"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      length(col("c_mktsegment")).cast("long").as("seg_len"),
+      abs(col("c_acctbal")).as("abs_bal"),
+      sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+      (col("c_acctbal") * col("c_acctbal")).as("bal_sq"))
+  }
+
+  /** q42 — date-function battery: truncation, day arithmetic, extract,
+    * last_day. All integer/date-typed outputs → precision-safe. */
+  val q42 = Q("q42_date_battery",
+    """SELECT o_orderkey,
+      |       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 1000).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+      datediff(col("o_orderdate"),
+        lit(java.time.LocalDateTime.parse("1995-01-01T00:00:00"))).as("days_since_95"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      quarter(col("o_orderdate")).as("qtr"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"))
+  }
+
+  /** q43 — correlated subquery shapes (Catalyst decorrelation, SURVEY
+    * §4 "not exercised" in the reference): customers whose balance
+    * beats their nation's average, with the nation average alongside.
+    * (Customers, not suppliers: at sf0.001 every supplier nation is a
+    * singleton, which makes the result trivially empty.) Expressed
+    * relationally in Spark (the decorrelated plan), as a correlated
+    * scalar subquery in the oracle. */
+  val q43 = Q("q43_correlated_subquery",
+    """SELECT c_custkey, c_name, c_acctbal,
+      |       (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val navg = cust.groupBy(col("c_nationkey"))
+      .agg(Cols.davg(col("c_acctbal")).as("nation_avg"))
+    cust.join(broadcast(navg), Seq("c_nationkey"), "inner")
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43)
+}

@@ -43,6 +43,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("k-means refinement: recall@10 ≥ id-sample centroids' recall") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.ivfTopK(Similarity.ivfAssign(vecs, cents), cents, queries, 10, 4)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val base = recall(Similarity.centroids(vecs, 16))
+    val trained = recall(Similarity.kmeansCentroids(vecs, 16, iters = 2, dim = 64))
+    info(f"recall id-sample=$base%.2f kmeans=$trained%.2f")
+    assert(trained >= base - 0.1, s"kmeans recall $trained much worse than $base")
+    assert(trained >= 0.4)
+  }
+
   test("media featurize: deterministic stub decode, byte_len = utf8 length") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val out = Multimodal.featurize(media).cache()
