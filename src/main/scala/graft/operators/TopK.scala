@@ -18,8 +18,15 @@ class TopKByWeight(k: Int) extends Aggregator[(Long, Double), List[(Long, Double
     xs.sortBy { case (id, w) => (-w, id) }.take(k)
 
   def zero: List[(Long, Double)] = Nil
+  // buffer invariant: sorted by (-weight, id); a full buffer rejects
+  // losers without re-sorting, so the common case is O(1) per row
   def reduce(buf: List[(Long, Double)], in: (Long, Double)): List[(Long, Double)] =
-    trim(in :: buf)
+    if (buf.lengthCompare(k) < 0) trim(in :: buf)
+    else {
+      val (lid, lw) = buf.last
+      if (lw > in._2 || (lw == in._2 && lid <= in._1)) buf
+      else trim(in :: buf.init)
+    }
   def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
     trim(a ++ b)
   def finish(buf: List[(Long, Double)]): Seq[Long] = buf.map(_._1)

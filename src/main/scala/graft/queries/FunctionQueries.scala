@@ -84,5 +84,39 @@ object FunctionQueries {
       .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43)
+  /** q44 — array aggregation surface: per-nation sorted supplier list.
+    * collect_list is order-nondeterministic after a shuffle, so the
+    * canonical form is sort_array first; the list is emitted string-
+    * joined because list-valued cells don't sort/hash portably in the
+    * compare harness. */
+  val q44 = Q("q44_array_agg",
+    """SELECT n_nationkey,
+      |       array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppliers,
+      |       COUNT(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d).withColumnRenamed("s_nationkey", "n_nationkey")
+      .join(broadcast(Tables.nation(s, d)), Seq("n_nationkey"), "inner")
+      .groupBy("n_nationkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("s_suppkey")))).as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+  }
+
+  /** q45 — sampling surface for training-data pipelines: seeded uniform
+    * sample plus per-stratum (mktsegment) stratified sample. Sampling
+    * PRNGs differ across engines → rows-only; determinism under the
+    * fixed seed and stratum proportions are pinned in a spec. */
+  val q45 = Q.noOracle("q45_sampling") { (s, d) =>
+    val c = Tables.customer(s, d)
+    val uniform = c.sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .select(col("c_custkey"), lit("uniform").as("method"))
+    val fractions = Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.2, "FURNITURE" -> 0.1,
+      "HOUSEHOLD" -> 0.1, "MACHINERY" -> 0.05)
+    val stratified = c.stat.sampleBy("c_mktsegment", fractions, seed = 42)
+      .select(col("c_custkey"), lit("stratified").as("method"))
+    uniform.unionAll(stratified)
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45)
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sampling semantics for the training-data pipeline surface (q45). */
+class SamplingSpec extends SparkSpec {
+
+  test("seeded sample is deterministic across runs") {
+    val c = Tables.customer(spark, sf)
+    val a = c.sample(false, 0.1, 42).select("c_custkey").collect().map(_.getLong(0)).toSet
+    val b = c.sample(false, 0.1, 42).select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+    // different seed samples differently
+    val other = c.sample(false, 0.1, 43).select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(a !== other)
+  }
+
+  test("stratified sampleBy respects per-stratum fractions (loose bounds)") {
+    val c = Tables.customer(spark, "/root/testdata/sf0.01") // 1500 rows, ~300/segment
+    val fractions = Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.1)
+    val got = c.stat.sampleBy("c_mktsegment", fractions, 42L)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = c.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted strata are dropped entirely
+    assert(got.keySet === Set("AUTOMOBILE", "BUILDING"))
+    val autoRate = got("AUTOMOBILE").toDouble / totals("AUTOMOBILE")
+    val buildRate = got("BUILDING").toDouble / totals("BUILDING")
+    assert(autoRate > 0.35 && autoRate < 0.65, s"auto=$autoRate")
+    assert(buildRate > 0.02 && buildRate < 0.2, s"build=$buildRate")
+  }
+}
