@@ -110,6 +110,42 @@ object Events {
       .partitionBy("year", "month", "day")
       .outputMode(OutputMode.Append)
 
+  // ---------------------------------------------------- Kafka wiring (S4/K7)
+
+  /** S4 — the production source (streaming_flow.py:180-185). Offline
+    * tests substitute MemoryStream/file sources with the same `value`
+    * contract; this builder is the one-line swap. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, brokers: String,
+                  topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** K7 payload shape — the reference serializes rerank results with
+    * json.dumps keyed by user (streaming_flow.py:129,151-163); the
+    * engine form is `to_json(struct(...))` with the key column, which
+    * is exactly what the Kafka sink consumes. */
+  def toKafkaPayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** K7 — Kafka sink with the reference's delivery tuning
+    * (streaming_flow.py:122-131: acks=all, retries, compression). */
+  def kafkaSink(payload: DataFrame, brokers: String, topic: String,
+                checkpoint: String) =
+    payload.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("kafka.acks", "all")
+      .option("kafka.retries", "5")
+      .option("kafka.linger.ms", "20")
+      .option("kafka.compression.type", "snappy")
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+
   // ------------------------------------------------------------- rerank U1
 
   /** The reference's rerank_simple (streaming_flow.py:68-84): priority

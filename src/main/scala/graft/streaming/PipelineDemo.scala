@@ -99,6 +99,11 @@ object PipelineDemo {
     q5.awaitTermination(); q6.awaitTermination()
     println(s"[demo] dead-letter: good=${spark.table("demo_dl_good").count()} " +
       s"bad=${spark.table("demo_dl_bad").select("raw").as[String].collect().toList}")
+
+    // ---- K7 payload shape: rerank result -> Kafka key/value ----------
+    val recs = Seq(("u1", Seq("c1", "v1", "off1"))).toDF("user_id", "recommendations")
+    val payload = Events.toKafkaPayload(recs, "user_id").head()
+    println(s"[demo] kafka payload: key=${payload.getString(0)} value=${payload.getString(1)}")
     spark.stop()
   }
 }

@@ -150,6 +150,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains("2026-01-01 01:00:00.0"))
   }
 
+  test("to_json payload round-trips through the from_json parse chain") {
+    import spark.implicits._
+    val recs = Seq(("u1", "2020-01-01T00:00:00", "p9"))
+      .toDF("user_id", "timestamp", "product_id")
+    val payload = toKafkaPayload(recs, "user_id")
+    assert(payload.columns.toSeq === Seq("key", "value")) // the Kafka contract
+    val row = payload.head
+    assert(row.getString(0) === "u1")
+    // the serialized value parses back through the SAME event schema
+    val back = spark.createDataFrame(java.util.List.of(row),
+        payload.schema)
+      .select(from_json(col("value"), eventSchemas("page_view")).as("d"))
+      .select("d.*").head
+    assert(back.getAs[String]("user_id") === "u1" && back.getAs[String]("product_id") === "p9")
+  }
+
   test("rerank end-to-end: state lists feed the rerank column") {
     import spark.implicits._
     val df = Seq(("u1", Seq("off1", "v1"), Seq("v1", "v2"), Seq("c1")))
