@@ -64,6 +64,29 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: a production decoder would decode → scale → re-encode;
+    * the stub derives a new deterministic payload of the target
+    * "resolution" (w·h bytes, content seeded from the original checksum)
+    * so the plumbing — binary in, binary out, metadata updated, runs in
+    * the scan — is real and testable. */
+  def resizeStub(media: DataFrame, w: Int, h: Int,
+                 decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, checksum) = decoder.decode(r.payload)
+        val out = new Array[Byte](math.min(w * h, 4096)) // capped fake raster
+        var i = 0; var st = checksum
+        while (i < out.length) {
+          st = st * 6364136223846793005L + 1442695040888963407L
+          out(i) = (st >>> 56).toByte; i += 1
+        }
+        MediaRow(r.doc_id, s"image/fake;${w}x$h", out, r.lang, r.n_chars)
+      }
+    }.toDF()
+  }
+
   /** Frame-sampling metadata: every `stride`-th byte offset as a fake
     * frame index — the plumbing (explode of a per-row sequence into
     * (doc, frame_idx, offset) rows) is exactly what a video sampler

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.{Cols, Tables}
 
 /** Scalar-function battery and subquery shapes beyond the reference's
@@ -118,5 +119,25 @@ object FunctionQueries {
     uniform.unionAll(stratified)
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45)
+  /** q46 — null-handling battery: coalesce / nullif / safe casting.
+    * ANSI-safe `try_cast` (NULL instead of error on bad input) is the
+    * ingestion-pipeline workhorse; DuckDB TRY_CAST matches. */
+  val q46 = Q("q46_null_handling",
+    """SELECT o_orderkey,
+      |       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+      |       nullif(o_orderpriority, '4-NOT SPECIFIED') AS priority_or_null,
+      |       TRY_CAST(o_orderpriority AS INT) AS bad_cast_null,
+      |       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_num,
+      |       CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn
+      |FROM orders WHERE o_orderkey < 500""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 500).select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_norm"),
+      nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("priority_or_null"),
+      col("o_orderpriority").try_cast(IntegerType).as("bad_cast_null"),
+      substring(col("o_orderpriority"), 1, 1).try_cast(IntegerType).as("priority_num"),
+      when(col("o_totalprice").isNull, -1.0).otherwise(col("o_totalprice")).as("price_nn"))
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46)
 }

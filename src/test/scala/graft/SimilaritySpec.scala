@@ -71,6 +71,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("height") < 1 || col("height") > 480).isEmpty)
   }
 
+  test("resize stub: deterministic payload of the target size, metadata updated") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf)).limit(10)
+    val a = Multimodal.resizeStub(media, 64, 48).cache()
+    assert(a.count() === 10)
+    val r = a.filter(col("doc_id") === 0).head()
+    assert(r.getAs[String]("media_type") === "image/fake;64x48")
+    assert(r.getAs[Array[Byte]]("payload").length === 64 * 48)
+    val again = Multimodal.resizeStub(media, 64, 48).filter(col("doc_id") === 0).head()
+    assert(r.getAs[Array[Byte]]("payload").toSeq === again.getAs[Array[Byte]]("payload").toSeq)
+  }
+
   test("frame sampling yields stride-spaced offsets") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf)).limit(5)
     val frames = Multimodal.frameSample(media, stride = 16)
