@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{Dedup, Similarity, Text}
+import graft.operators.Relational
+import graft.pipeline.Medallion
+
+/** Degenerate-input behavior: empty tables, single rows, empty text,
+  * all-null keys. Operators must return empty/identity results, never
+  * throw — at 100 TB a daily increment or a pruned partition IS
+  * frequently empty. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("dedup family on an empty corpus: empty, not crashed") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").isEmpty)
+    val sigs = Dedup.minhashSignatures(emptyDocs, "doc_id", "text", 1, 8)
+    assert(sigs.isEmpty)
+    assert(Dedup.minhashCandidates(sigs, "doc_id", 8, 4, 0.0).isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 3, 0.0).isEmpty)
+  }
+
+  test("text functions on empty/whitespace text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n"),
+      Dedup.simhash(col("text")).as("sh"),
+      Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    // split(trim("")) yields [""] -> one (empty) token; stable, no throw
+    assert(out(1L)._1 === 1 && out(2L)._1 === 1 && out(3L)._1 === 1)
+    // empty-ish docs still produce deterministic hashes
+    assert(out(1L) === out(2L))
+  }
+
+  test("similarity on a single vector: no self-match, empty top-k") {
+    val one = Seq((0L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(one, one, 5).isEmpty)
+    val cents = Similarity.centroids(one, 4) // fewer vectors than centroids
+    assert(cents.count() === 1)
+    assert(Similarity.ivfTopK(Similarity.ivfAssign(one, cents), cents, one, 5, 2).isEmpty)
+  }
+
+  test("relational ops with empty or all-null-key sides") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val some = Seq((1L, "a")).toDF("k", "v")
+    assert(Relational.factJoin(some, empty.withColumnRenamed("v", "w"), "k").isEmpty)
+    assert(Relational.semiJoin(some, empty, "k").isEmpty)
+    assert(Relational.dimEnrich(some, empty.withColumnRenamed("v", "w"), "k").count() === 1)
+    assert(Relational.latestPerKey(empty, "k", col("v")).isEmpty)
+    val nulls = Seq((Option.empty[java.lang.Long], "x")).toDF("k", "v")
+    // null keys never equi-join
+    assert(Relational.factJoin(nulls, some.withColumnRenamed("v", "w"), "k").isEmpty)
+  }
+
+  test("watermark probe on empty table -> full-load branch") {
+    val empty = Seq.empty[(java.sql.Timestamp, Long)].toDF("t", "id")
+    assert(Medallion.highWatermark(empty, "t").isEmpty)
+    val src = Seq((java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1L)).toDF("t", "id")
+    assert(Medallion.incrementalSlice(src, "t", None).count() === 1)
+  }
+
+  test("rerank with all-empty inputs") {
+    assert(graft.streaming.Events.rerank(Nil, Nil, Nil) === Nil)
+  }
+}
