@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming pipeline re-expressing the reference's Kafka →
@@ -200,6 +202,46 @@ object Events {
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, timeout)(updateUserItems(keep, ttl))
+  }
+
+  /** The same bounded-recent-list semantics on the Spark 4
+    * `transformWithState` API (the successor to flatMapGroupsWithState):
+    * per-state TTL is declarative (`TTLConfig`) instead of the manual
+    * timer dance, and the operator requires the RocksDB state store —
+    * which is also the right store at 100 TB (spillable, incremental
+    * checkpoints). Kept alongside the fMGWS form; same outputs.
+    */
+  class BoundedItemsProcessor(keep: Int, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, ItemEvent, UserItems] {
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("items",
+        Encoders.product[UserState], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(user: String, rows: Iterator[ItemEvent],
+                                 tv: TimerValues): Iterator[UserItems] = {
+      val prev = if (state.exists()) state.get().items else Nil
+      val next = (rows.map(_.product_id).toList.reverse ++ prev).take(keep)
+      state.update(UserState(next))
+      Iterator.single(UserItems(user, next))
+    }
+  }
+
+  /** transformWithState needs the RocksDB state-store provider. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def boundedRecentItemsV2(events: Dataset[ItemEvent], keep: Int = 50,
+                           ttl: Option[java.time.Duration] = None): Dataset[UserItems] = {
+    import events.sparkSession.implicits._
+    // TimeMode.None when no TTL: ProcessingTime keeps the micro-batch
+    // loop hot even with zero registered timers (observed hang under
+    // processAllAvailable) — only pay for time tracking when state
+    // actually expires.
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new BoundedItemsProcessor(keep, ttl), mode, OutputMode.Update())
   }
 
   // ----------------------------------------------- K6/K7 foreachBatch sink

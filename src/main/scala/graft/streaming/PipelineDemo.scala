@@ -100,6 +100,19 @@ object PipelineDemo {
     println(s"[demo] dead-letter: good=${spark.table("demo_dl_good").count()} " +
       s"bad=${spark.table("demo_dl_bad").select("raw").as[String].collect().toList}")
 
+    // ---- W2 on the Spark 4 transformWithState API (RocksDB store) ----
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", Events.RocksDbProvider)
+    val twsItems = MemoryStream[Events.ItemEvent]
+    val q7 = Events.boundedRecentItemsV2(twsItems.toDS(), keep = 3).writeStream
+      .format("memory").queryName("demo_tws").outputMode("update").start()
+    twsItems.addData(Events.ItemEvent("u1", "a", "view"), Events.ItemEvent("u1", "b", "view"))
+    q7.processAllAvailable()
+    twsItems.addData(Events.ItemEvent("u1", "c", "view"), Events.ItemEvent("u1", "d", "view"))
+    q7.processAllAvailable(); q7.stop()
+    println(s"[demo] transformWithState u1 (keep=3): " +
+      spark.table("demo_tws").as[Events.UserItems].collect()
+        .filter(_.user_id == "u1").last.items)
+
     // ---- K7 payload shape: rerank result -> Kafka key/value ----------
     val recs = Seq(("u1", Seq("c1", "v1", "off1"))).toDF("user_id", "recommendations")
     val payload = Events.toKafkaPayload(recs, "user_id").head()

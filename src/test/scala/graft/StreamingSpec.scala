@@ -73,6 +73,27 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch.filter(_.user_id == "u2").last.items === Seq("z"))
   }
 
+  test("W2 on transformWithState: bounded list across batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    try {
+      val ms = MemoryStream[ItemEvent]
+      val q = boundedRecentItemsV2(ms.toDS(), keep = 3).writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      ms.addData(ItemEvent("u1", "a", "view"), ItemEvent("u1", "b", "view"))
+      q.processAllAvailable()
+      ms.addData(ItemEvent("u1", "c", "view"), ItemEvent("u1", "d", "view"))
+      q.processAllAvailable(); q.stop()
+      val u1 = spark.table("tws_out").as[UserItems].collect().filter(_.user_id == "u1")
+      assert(u1.last.items === Seq("d", "c", "b")) // same semantics as the fMGWS form
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("K5: streaming parquet sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
