@@ -139,5 +139,24 @@ object FunctionQueries {
       when(col("o_totalprice").isNull, -1.0).otherwise(col("o_totalprice")).as("price_nn"))
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46)
+  /** q47 — the SQL-string entry path (the Dremio/Superset BI surface of
+    * the reference, README.md:34-35): ONE dialect-neutral SQL string
+    * executed verbatim by BOTH engines — `spark.sql` over registered
+    * temp views on the Spark side, the identical text as the DuckDB
+    * oracle. parse → analyze → optimize → execute in one call. */
+  private val sharedSql =
+    """SELECT o_orderpriority,
+      |       CAST(year(o_orderdate) AS INT) AS year,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT)""".stripMargin
+
+  val q47 = Q("q47_sql_entry", sharedSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sharedSql)
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47)
 }
