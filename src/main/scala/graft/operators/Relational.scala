@@ -89,4 +89,45 @@ object Relational {
     val w = Window.partitionBy(partCols: _*).orderBy(measure.desc, tieBreak.asc)
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
   }
+
+  /** AS-OF join — for each left row, the single right row with the
+    * largest `rightTime` ≤ `leftTime` within the same key (the
+    * point-in-time lookup Spark lacks natively; preference tier (a)
+    * from the build contract: composed from built-ins).
+    *
+    * Plan: tag both sides, UNION, one window pass per key ordered by
+    * (time, right-before-left-on-ties) carrying the right payload
+    * forward with `last(ignoreNulls)`, keep left rows. ONE shuffle on
+    * the key + a per-partition sort — the same cost envelope as a
+    * sort-merge join, and strictly better than the naive
+    * inequality-join (which explodes to a range join).
+    *
+    * Requirements: `right` must be unique per (key, rightTime) —
+    * deduplicate first or the match is ambiguous; times must be the
+    * same integer unit on both sides (epoch micros recommended).
+    * Left rows with no prior right row keep null payload.
+    */
+  def asOfJoin(left: DataFrame, leftTime: String,
+               right: DataFrame, rightTime: String,
+               key: String, rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val payloadNulls = rightPayload.map(c => lit(null).as(c))
+    val lAligned = l.select(
+      Seq(col(key), col("__t"), col("__side")) ++ payloadNulls ++
+        left.columns.filterNot(_ == key).map(c => col(c).as(s"__l_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        rightPayload.map(col) ++
+        left.columns.filterNot(_ == key).map(c => lit(null).as(s"__l_$c")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t").asc, col("__side").asc) // right sorts before left at equal t (<= semantics)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightPayload.foldLeft(lAligned.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(Seq(col(key)) ++
+        left.columns.filterNot(_ == key).map(c => col(s"__l_$c").as(c)) ++
+        rightPayload.map(col): _*)
+  }
 }

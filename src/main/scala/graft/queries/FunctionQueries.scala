@@ -158,5 +158,30 @@ object FunctionQueries {
     s.sql(sharedSql)
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47)
+  /** q48 — AS-OF join (point-in-time lookup): each event matched to the
+    * user's most recent order at-or-before the event. Spark has no
+    * native as-of join — `Relational.asOfJoin` composes it from a
+    * union + one keyed window (single shuffle); DuckDB oracles it with
+    * its native ASOF LEFT JOIN. Times are epoch-micros integers on both
+    * sides; orders are deduped to one per (customer, time) first (as-of
+    * is otherwise ambiguous). */
+  val q48 = Q("q48_asof_join",
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+      |         max(o_orderkey) AS matched_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+      |SELECT l.event_id, l.user_id, r.matched_orderkey
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin) { (s, d) =>
+    val l = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val r = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max(col("o_orderkey")).as("matched_orderkey"))
+    graft.operators.Relational.asOfJoin(l, "t", r, "t", "user_id", Seq("matched_orderkey"))
+      .select("event_id", "user_id", "matched_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48)
 }

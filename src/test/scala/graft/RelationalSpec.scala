@@ -86,6 +86,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq === Seq("Ada Lovelace", "Solo"))
   }
 
+  test("as-of join: latest at-or-before match, equal-time inclusive, null when none") {
+    import spark.implicits._
+    val quotes = Seq( // key, t, px
+      ("A", 10L, 100L), ("A", 20L, 200L), ("A", 30L, 300L),
+      ("B", 15L, 150L)).toDF("k", "t", "px")
+    val trades = Seq( // key, t, id
+      ("A", 25L, 1L),  // between quotes 20 and 30 -> 200
+      ("A", 20L, 2L),  // exactly at a quote -> inclusive -> 200
+      ("A", 5L, 3L),   // before any quote -> null
+      ("B", 99L, 4L),  // after the only quote -> 150
+      ("C", 50L, 5L))  // key with no quotes -> null
+      .toDF("k", "t", "id")
+    val got = operators.Relational.asOfJoin(trades, "t", quotes, "t", "k", Seq("px"))
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> 150L, 5L -> -1L))
+  }
+
   test("incremental load ≡ full load (property over a date split)") {
     val orders = Tables.orders(spark, sf)
     val cut = lit(java.time.LocalDateTime.parse("1999-01-01T00:00"))
