@@ -133,5 +133,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

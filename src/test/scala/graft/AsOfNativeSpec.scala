@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinNative
+import graft.operators.Relational
+
+/** The native AsOfJoinExec (LogicalPlan + Strategy + SparkPlan through
+  * SparkSessionExtensions) against the composed union+window form —
+  * which is itself oracled against DuckDB's native ASOF JOIN in q48. */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native exec semantics on handcrafted edges (ties, equal-t, no-match)") {
+    val quotes = Seq(("A", 10L, 100L), ("A", 20L, 200L), ("A", 30L, 300L), ("B", 15L, 150L))
+      .toDF("k", "t", "px")
+    val trades = Seq(("A", 25L, 1L), ("A", 20L, 2L), ("A", 5L, 3L), ("B", 99L, 4L), ("C", 50L, 5L))
+      .toDF("k", "t", "id")
+    val got = AsOfJoinNative(trades, "t", quotes, "t", "k", Seq("px"))
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> 150L, 5L -> -1L))
+  }
+
+  test("native exec ≡ composed form on the full events/orders tables") {
+    val d = "/root/testdata/sf0.01"
+    val l = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val r = Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max(col("o_orderkey")).as("matched_orderkey"))
+    val native = AsOfJoinNative(l, "t", r, "t", "user_id", Seq("matched_orderkey"))
+      .select("event_id", "user_id", "matched_orderkey")
+    val composed = Relational.asOfJoin(l, "t", r, "t", "user_id", Seq("matched_orderkey"))
+      .select("event_id", "user_id", "matched_orderkey")
+    assert(native.count() === 10000)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    // and the physical plan really is the custom operator (string check:
+    // plan.exists does not traverse into the AQE wrapper)
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+}
