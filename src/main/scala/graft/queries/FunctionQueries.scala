@@ -183,5 +183,30 @@ object FunctionQueries {
       .select("event_id", "user_id", "matched_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48)
+  private val asofOracle =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+      |         max(o_orderkey) AS matched_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+      |SELECT l.event_id, l.user_id, r.matched_orderkey
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin
+
+  /** q49 — the same as-of lookup through the NATIVE custom operator
+    * (plans.AsOfJoinExec — LogicalPlan + Strategy + SparkPlan injected
+    * via GraftExtensions), oracled directly against DuckDB's native
+    * ASOF LEFT JOIN. q48 covers the composed form; q49 puts the custom
+    * physical operator itself under the correctness gate. */
+  val q49 = Q("q49_asof_native", asofOracle) { (s, d) =>
+    val l = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val r = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max(col("o_orderkey")).as("matched_orderkey"))
+    graft.plans.AsOfJoinNative(l, "t", r, "t", "user_id", Seq("matched_orderkey"))
+      .select("event_id", "user_id", "matched_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
