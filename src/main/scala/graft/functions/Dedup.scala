@@ -35,37 +35,68 @@ object Dedup {
     * (`transform(array(tokens), t -> ...)`): referencing the raw
     * `split(...)` expression inside the index lambda would re-split the
     * text for every element — O(tokens²) string work per row, which
-    * dominated the first benchmark run. */
+    * dominated the first benchmark run.
+    *
+    * Docs with fewer than `n` tokens yield NO grams (not an error):
+    * unguarded, `sequence(0, size-n)` would descend for short docs and
+    * the out-of-bounds `element_at` would throw under Spark 4's default
+    * ANSI mode, killing the whole job on one 2-token document. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val grams =
       if (n == 1) array_distinct(toks)
       else element_at(
         transform(array(toks), t =>
-          array_distinct(
-            transform(sequence(lit(0), size(t) - n),
-              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))),
+          when(size(t) >= n,
+            array_distinct(
+              transform(sequence(lit(0), size(t) - n),
+                i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+            .otherwise(array().cast(ArrayType(StringType)))),
         1)
     df.select(col(idCol), explode(grams).as("gram"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64; one explode + one groupBy(doc) with k `min`
-    * aggregates (map-side partial mins make the shuffle tiny). */
+  /** Default seeded gram hash: xxhash64 (one codegen'd primitive op —
+    * the production path). Registered queries pass `Hashes`-derived
+    * md5 forms instead so the DuckDB oracle can verify them. */
+  val XxSeededHash: (Int, Column) => Column = (i, g) => xxhash64(lit(i), g)
+
+  /** Oracle-able seeded gram hash: lexicographic-min-safe md5 hex
+    * (`Hashes.hex15` of "seed|gram"). */
+  val Md5SeededHash: (Int, Column) => Column =
+    (i, g) => Hashes.hex15(concat(lit(s"$i|"), g))
+
+  /** MinHash signatures: k independent permutations approximated by a
+    * seeded hash; one explode + one groupBy(doc) with k `min`
+    * aggregates (map-side partial mins make the shuffle tiny). The
+    * signature component type follows `seededHash` (long for xxhash64,
+    * fixed-width hex string for the md5 oracle form — lexicographic
+    * min ≡ numeric min there). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int): DataFrame = {
+                        shingleN: Int, k: Int,
+                        seededHash: (Int, Column) => Column = XxSeededHash): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
     sh.groupBy(col(idCol))
-      .agg((0 until k).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh_$i")).head,
-           (1 until k).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh_$i")): _*)
+      .agg((0 until k).map(i => min(seededHash(i, col("gram"))).as(s"mh_$i")).head,
+           (1 until k).map(i => min(seededHash(i, col("gram"))).as(s"mh_$i")): _*)
   }
+
+  /** Default band hash over r signature components (production path). */
+  val XxBandHash: Seq[Column] => Column = cols => xxhash64(cols: _*)
+
+  /** Oracle-able band hash: md5 hex of the comma-joined components
+    * (integers and hex strings both render identically on both
+    * engines). */
+  val Md5BandHash: Seq[Column] => Column =
+    cols => Hashes.hex15(concat_ws(",", cols: _*))
 
   /** LSH banding: hash r consecutive signature components per band; docs
     * colliding in ANY band become candidate pairs (a<b to halve). The
     * pair's estimated Jaccard = fraction of equal signature components.
     */
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
-                        estThreshold: Double): DataFrame = {
+                        estThreshold: Double,
+                        bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val banded = sigs.select(
@@ -73,7 +104,7 @@ object Dedup {
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("bh"))
+          bandHash((b * r until (b + 1) * r).map(i => col(s"mh_$i"))).as("bh"))
       }: _*)).as("bucket"))
       .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
     val a = banded.select(col(idCol).as("a"), col("sig").as("sig_a"), col("band"), col("bh"))
@@ -87,11 +118,13 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
   }
 
-  /** SimHash-64 as a single codegen'd expression: per-token xxhash64,
+  /** SimHash-64 as a single codegen'd expression: per-token hash,
     * per-bit majority vote, reassembled into one long. No explode, no
-    * shuffle — O(64·tokens) arithmetic inside the scan. */
-  def simhash(text: Column): Column =
-    graft.plans.NativeExpressions.simhash64(transform(Text.tokens(text), t => xxhash64(t)))
+    * shuffle — O(64·tokens) arithmetic inside the scan. `tokenHash`
+    * defaults to xxhash64 (production); pass `Hashes.h60` for the
+    * oracle-verifiable md5 form (top 4 bits then always 0). */
+  def simhash(text: Column, tokenHash: Column => Column = t => xxhash64(t)): Column =
+    graft.plans.NativeExpressions.simhash64(transform(Text.tokens(text), tokenHash))
 
   /** The pure-built-ins SimHash formulation, kept as the parity
     * reference for NativeSpec. Bit index must be a literal for
@@ -117,13 +150,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard for all pairs sharing ≥1 gram, thresholded.
     * Plan: distinct grams → equi-join on gram → pair count = |∩| →
-    * join per-doc sizes → J = |∩| / (|A|+|B|−|∩|). */
+    * join per-doc sizes → J = |∩| / (|A|+|B|−|∩|).
+    *
+    * `maxGramDf` caps the hot-gram blowup: a gram shared by k docs
+    * yields k² join pairs, so one stopword trigram ("of the and") in a
+    * million docs would shuffle 10¹² rows. Grams with document
+    * frequency above the cap carry ~zero Jaccard signal (they are in
+    * everything) and are dropped from the INTERSECTION only — per-doc
+    * sizes |A| and |B| keep every gram, so the reported J is exact for
+    * pairs whose shared grams are all under the cap and a slight
+    * underestimate otherwise. The df pre-aggregate is itself a bounded
+    * shuffle (one row per distinct gram), which replaces the unbounded
+    * pair shuffle — that trade is the 100 TB design. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxGramDf: Long = 1000L): DataFrame = {
     val g = shingles(df, idCol, textCol, n)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val inter = g.select(col(idCol).as("a"), col("gram"))
-      .join(g.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
+    val kept = g.join(
+      g.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df") <= maxGramDf)
+        .select("gram"),
+      Seq("gram"), "left_semi")
+    val inter = kept.select(col(idCol).as("a"), col("gram"))
+      .join(kept.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter

@@ -78,12 +78,16 @@ object Text {
   }
 
   /** Rolling polynomial fingerprint over whitespace tokens:
-    * fp = Σ-fold (acc*31 + crc32(token)) mod 2^40. Order-sensitive (a
-    * real rolling hash) and computed entirely inside codegen via the
+    * fp = Σ-fold (acc*31 + tokenHash(token)) mod 2^40. Order-sensitive
+    * (a real rolling hash) and computed entirely inside codegen via the
     * `aggregate` higher-order function. The modulus keeps the fold
     * inside long range — Spark 4 runs ANSI mode, where silent wrap-
-    * around would instead raise ARITHMETIC_OVERFLOW. */
-  def fingerprint(text: Column): Column =
+    * around would instead raise ARITHMETIC_OVERFLOW (acc < 2^40, so
+    * acc·31 + a 60-bit hash stays under 2^61). `tokenHash` defaults to
+    * crc32 (cheap, production); pass `Hashes.h60` for the
+    * oracle-verifiable md5 form. */
+  def fingerprint(text: Column,
+                  tokenHash: Column => Column = t => crc32(t.cast(BinaryType))): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast(BinaryType)), lit(1L << 40)))
+      (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(1L << 40)))
 }

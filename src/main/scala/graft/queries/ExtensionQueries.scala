@@ -76,37 +76,107 @@ object ExtensionQueries {
   }
 
   /** q19 — MinHash/LSH banded buckets (the dedup index itself: one row
-    * per doc per band). xxhash64 has no DuckDB twin → rows-only check;
-    * the semantics are pinned by DedupSpec instead. */
-  val q19 = Q.noOracle("q19_minhash_buckets") { (s, d) =>
+    * per doc per band), md5-hex minhash so the whole index sits under
+    * the DuckDB oracle gate (fixed-width lowercase hex ⇒ lexicographic
+    * min ≡ numeric min on both engines). Production swaps
+    * `Dedup.XxSeededHash` back in — the machinery is hash-agnostic. */
+  val q19 = Q("q19_minhash_buckets", {
+    val mins = (0 until 16)
+      .map(i => s"min(substr(md5('$i|' || gram), 1, 15)) AS mh_$i")
+      .mkString(",\n       ")
+    val bandRows = (0 until 4).map { b =>
+      val cat = (b * 4 until (b + 1) * 4).map(i => s"mh_$i").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, substr(md5($cat), 1, 15) AS band_hash FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, unnest(t) AS gram FROM toks),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |FROM grams GROUP BY 1)
+       |$bandRows""".stripMargin
+  }) { (s, d) =>
     val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 1, k = 16)
+      shingleN = 1, k = 16, seededHash = Dedup.Md5SeededHash)
     sigs.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"mh_$i")): _*).as("band_hash"))
+          Dedup.Md5BandHash((b * 4 until (b + 1) * 4).map(i => col(s"mh_$i")))
+            .as("band_hash"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
   }
 
   /** q20 — MinHash candidate pairs over word-3-shingles (same gram unit
-    * as the exact q22, so LSH recall is measurable), est Jaccard ≥ 0.2. */
-  val q20 = Q.noOracle("q20_minhash_pairs") { (s, d) =>
+    * as the exact q22, so LSH recall is measurable), est Jaccard ≥ 0.2.
+    * md5-hex hash family (see q19) puts the full LSH pipeline —
+    * signatures, banding, candidate join, estimate — under the oracle. */
+  val q20 = Q("q20_minhash_pairs", {
+    val mins = (0 until 16)
+      .map(i => s"min(substr(md5('$i|' || gram), 1, 15)) AS mh_$i")
+      .mkString(",\n       ")
+    val bandRows = (0 until 8).map { b =>
+      val cat = (b * 2 until (b + 1) * 2).map(i => s"mh_$i").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, substr(md5($cat), 1, 15) AS bh FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val eq = (0 until 16)
+      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+       |  FROM toks),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |FROM grams GROUP BY 1),
+       |banded AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+       |  FROM banded ba JOIN banded bb
+       |    ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id)
+       |SELECT a, b, est_jaccard FROM (
+       |  SELECT a, b, CAST($eq AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = a
+       |  JOIN sig sb ON sb.doc_id = b)
+       |WHERE est_jaccard >= 0.2""".stripMargin
+  }) { (s, d) =>
     val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, k = 16)
-    Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8, estThreshold = 0.2)
+      shingleN = 3, k = 16, seededHash = Dedup.Md5SeededHash)
+    Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8, estThreshold = 0.2,
+      bandHash = Dedup.Md5BandHash)
   }
 
-  /** q21 — SimHash-64 per doc + 12-bit bucket (candidate blocking key). */
-  val q21 = Q.noOracle("q21_simhash") { (s, d) =>
+  /** q21 — SimHash per doc + 8-bit bucket (candidate blocking key).
+    * The registered form hashes tokens with the md5-derived 60-bit
+    * `Hashes.h60` so the per-bit majority vote is reproducible in the
+    * oracle (bits 60-63 vote all-negative ⇒ 0; value fits signed int64
+    * on both engines). NativeSpec still pins the xxhash64 production
+    * form against the HOF reference. */
+  val q21 = Q("q21_simhash", {
+    val hs = graft.functions.Hashes.tokenH60ListSql("text")
+    s"""SELECT doc_id, simhash, simhash >> 52 AS bucket FROM (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(0, 60), i ->
+       |      CASE WHEN 2 * len(list_filter(hs, v -> (v >> i) & 1 = 1)) > len(hs)
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), (a, b) -> a + b) AS simhash
+       |  FROM (SELECT doc_id, $hs AS hs FROM documents))""".stripMargin
+  }) { (s, d) =>
+    val sh = Dedup.simhash(col("text"), graft.functions.Hashes.h60)
     Tables.documents(s, d).select(
       col("doc_id"),
-      Dedup.simhash(col("text")).as("simhash"),
-      shiftrightunsigned(Dedup.simhash(col("text")), 52).as("bucket"))
+      sh.as("simhash"),
+      shiftrightunsigned(sh, 52).as("bucket"))
   }
 
   /** q22 — exact word-3-gram Jaccard pairs (≥ 0.2) — the verify stage of
-    * near-dup detection, and fully SQL-expressible. */
+    * near-dup detection, and fully SQL-expressible. Grams with document
+    * frequency over 1000 are dropped from the intersection join (hot-
+    * gram k² pair cap — see Dedup.ngramJaccardPairs); the oracle mirrors
+    * the cap, and at gate scale (≤5000 docs, df ≤ corpus size anyway)
+    * both sides are unaffected by it. */
   val q22 = Q("q22_ngram_jaccard",
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -116,16 +186,22 @@ object ExtensionQueries {
       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+      |kept AS (
+      |  SELECT g.doc_id, g.gram FROM grams g
+      |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY 1) f
+      |    ON g.gram = f.gram
+      |  WHERE f.gram_df <= 1000),
       |inter AS (
       |  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS inter
-      |  FROM grams ga JOIN grams gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  FROM kept ga JOIN kept gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
       |  GROUP BY 1, 2)
       |SELECT a, b, CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = a
       |JOIN sizes sb ON sb.doc_id = b
       |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) >= 0.2""".stripMargin) { (s, d) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.2)
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.2, maxGramDf = 1000L)
   }
 
   /** q23 — brute-force cosine top-10 for the first 5 vectors as queries.
@@ -196,10 +272,19 @@ object ExtensionQueries {
   }
 
   /** q28 — rolling-hash document fingerprint (order-sensitive, unlike
-    * the set-hash in q15); crc32 has no DuckDB twin → rows-only. */
-  val q28 = Q.noOracle("q28_fingerprint") { (s, d) =>
+    * the set-hash in q15). The registered form folds md5-derived 60-bit
+    * token hashes (`Hashes.h60`) so the oracle reproduces the exact
+    * fold; production swaps crc32 back in (same fold, cheaper hash). */
+  val q28 = Q("q28_fingerprint", {
+    val hs = graft.functions.Hashes.tokenH60ListSql("text")
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |              (a, v) -> (a * 31 + v) % 1099511627776) AS fingerprint
+       |FROM (SELECT doc_id, $hs AS hs FROM documents)""".stripMargin
+  }) { (s, d) =>
     Tables.documents(s, d).select(
-      col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+      col("doc_id"),
+      Text.fingerprint(col("text"), graft.functions.Hashes.h60).as("fingerprint"))
   }
 
   /** q29 — sessionization over the event stream (gap > 30 min ⇒ new
@@ -215,8 +300,8 @@ object ExtensionQueries {
       |  FROM events),
       |sess AS (
       |  SELECT user_id, event_id,
-      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       min(event_id) AS first_event_id, max(event_id) AS last_event_id

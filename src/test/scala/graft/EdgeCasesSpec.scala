@@ -26,6 +26,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 3, 0.0).isEmpty)
   }
 
+  test("shingles on docs shorter than n: no grams, never ANSI-throws") {
+    // unguarded, sequence(0, size-n) descends for short docs and the
+    // out-of-bounds element_at raises under Spark 4 ANSI mode
+    val df = Seq((1L, "one"), (2L, "one two"), (3L, "one two three"),
+      (4L, ""), (5L, "a b c d")).toDF("doc_id", "text")
+    val grams = Dedup.shingles(df, "doc_id", "text", 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grams.get(1L).isEmpty && grams.get(2L).isEmpty && grams.get(4L).isEmpty)
+    assert(grams(3L) === 1 && grams(5L) === 2)
+    // and the whole minhash/jaccard chain stays alive on a short-doc corpus
+    assert(Dedup.minhashSignatures(df, "doc_id", "text", 3, 8).count() === 2)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0).count() === 0)
+  }
+
+  test("md5 hash family: h60 range and minhash hex-vs-long agreement") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta")).toDF("doc_id", "text")
+    val h = df.select(graft.functions.Hashes.h60(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(h.forall(v => v >= 0 && v < (1L << 60)))
+    // hex15 lexicographic min == h60 numeric min over the same grams
+    val sigHex = Dedup.minhashSignatures(df, "doc_id", "text", 1, 4, Dedup.Md5SeededHash)
+    val sigNum = Dedup.minhashSignatures(df, "doc_id", "text", 1, 4,
+      (i, g) => graft.functions.Hashes.h60(concat(lit(s"$i|"), g)))
+    val hex = sigHex.orderBy("doc_id").collect().map(r => (1 to 4).map(r.getString))
+    val num = sigNum.orderBy("doc_id").collect().map(r => (1 to 4).map(r.getLong))
+    assert(hex.map(_.map(java.lang.Long.parseLong(_, 16))) === num)
+  }
+
   test("text functions on empty/whitespace text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
