@@ -148,6 +148,37 @@ object Dedup {
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** LSH-gated exact Jaccard — the 100 TB near-dup verify path.
+    * MinHash/LSH proposes candidate pairs; exact n-gram Jaccard is then
+    * computed ONLY for those pairs, by joining each candidate's gram
+    * set through the pair table (cand ⋈ grams(a) ⋈ grams(b) on
+    * (b, gram)) — the intersection work is |cand|·grams-per-doc and
+    * never forms a non-candidate pair, unlike the standalone
+    * `ngramJaccardPairs` whose gram self-join grows with corpus-wide
+    * gram co-occurrence. */
+  def lshVerifiedJaccard(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, bands: Int,
+                         estThreshold: Double, threshold: Double,
+                         seededHash: (Int, Column) => Column = XxSeededHash,
+                         bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignatures(df, idCol, textCol, n, k, seededHash),
+      idCol, k, bands, estThreshold, bandHash)
+      .select(col("a"), col("b"))
+    val g = shingles(df, idCol, textCol, n)
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(g.select(col(idCol).as("a"), col("gram")), Seq("a"))
+      .join(g.select(col(idCol).as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard for all pairs sharing ≥1 gram, thresholded.
     * Plan: distinct grams → equi-join on gram → pair count = |∩| →
     * join per-doc sizes → J = |∩| / (|A|+|B|−|∩|).

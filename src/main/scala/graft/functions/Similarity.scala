@@ -92,6 +92,33 @@ object Similarity {
     cents
   }
 
+  /** IVF codebook-size rule of thumb: c ≈ √n makes bucket count and
+    * expected bucket size both ≈ √n, so within-bucket pair work totals
+    * O(n) — the property that keeps near-dup pairing linear at 100 TB.
+    * (A fixed c leaves buckets of n/c: quadratic growth per bucket.) */
+  def codebookSize(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Trained √n codebook: k-means (Lloyd) refined from the id-sample
+    * init, trained on a bounded deterministic sample of ≤256·c vectors
+    * so each Lloyd iteration scans ≤256·c rows, NOT the corpus — at
+    * scale the full data is touched exactly once, by the later
+    * `ivfAssign` pass. The two driver-side actions here (count +
+    * dimension probe) are the codebook "training job" any IVF system
+    * runs before indexing. */
+  def trainedCodebook(vectors: DataFrame, n: Long, iters: Int = 2): DataFrame = {
+    if (n == 0L)
+      return vectors.select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb")).limit(0)
+    val c = codebookSize(n)
+    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    val cap = 256L * c
+    val train =
+      if (n <= cap) vectors
+      else vectors.filter(pmod(xxhash64(col("vec_id")), lit(n / cap)) === 0)
+    kmeansCentroids(train, c, iters, dim)
+  }
+
   /** Assign every vector to its nearest centroid (rank-1 over a
     * broadcast cross score) — the IVF build pass. Output carries the
     * vector norm for all downstream cosine work. */

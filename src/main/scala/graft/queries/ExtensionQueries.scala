@@ -106,11 +106,11 @@ object ExtensionQueries {
       .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
   }
 
-  /** q20 — MinHash candidate pairs over word-3-shingles (same gram unit
-    * as the exact q22, so LSH recall is measurable), est Jaccard ≥ 0.2.
-    * md5-hex hash family (see q19) puts the full LSH pipeline —
-    * signatures, banding, candidate join, estimate — under the oracle. */
-  val q20 = Q("q20_minhash_pairs", {
+  /** Shared md5-minhash oracle CTE chain (word-3-shingles, k=16, 8
+    * bands of 2): toks → grams → sig → banded → cand → scored, where
+    * `scored` carries every banded candidate pair with its estimated
+    * Jaccard. q20 selects from it; q51 gates the exact verify on it. */
+  private val minhashCteSql: String = {
     val mins = (0 until 16)
       .map(i => s"min(substr(md5('$i|' || gram), 1, 15)) AS mh_$i")
       .mkString(",\n       ")
@@ -135,14 +135,22 @@ object ExtensionQueries {
        |cand AS (
        |  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
        |  FROM banded ba JOIN banded bb
-       |    ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id)
-       |SELECT a, b, est_jaccard FROM (
+       |    ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id),
+       |scored AS (
        |  SELECT a, b, CAST($eq AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = a
-       |  JOIN sig sb ON sb.doc_id = b)
-       |WHERE est_jaccard >= 0.2""".stripMargin
-  }) { (s, d) =>
+       |  JOIN sig sb ON sb.doc_id = b)""".stripMargin
+  }
+
+  /** q20 — MinHash candidate pairs over word-3-shingles (same gram unit
+    * as the exact q22, so LSH recall is measurable), est Jaccard ≥ 0.2.
+    * md5-hex hash family (see q19) puts the full LSH pipeline —
+    * signatures, banding, candidate join, estimate — under the oracle. */
+  val q20 = Q("q20_minhash_pairs",
+    s"""$minhashCteSql
+       |SELECT a, b, est_jaccard FROM scored WHERE est_jaccard >= 0.2""".stripMargin
+  ) { (s, d) =>
     val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
       shingleN = 3, k = 16, seededHash = Dedup.Md5SeededHash)
     Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8, estThreshold = 0.2,
@@ -230,20 +238,27 @@ object ExtensionQueries {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** q24 — IVF approximate top-10 (16 buckets, probe 4): the scale path.
+  /** q24 — IVF approximate top-10 over a TRAINED √n codebook (k-means
+    * on a bounded sample, probe ≈ c/4 buckets): the scale path.
     * Approximation ⇒ no SQL oracle; recall vs q23 is pinned in
     * SimilaritySpec. */
   val q24 = Q.noOracle("q24_ivf_ann") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
-    val cents = Similarity.centroids(vecs, 16)
+    val n = vecs.count()
+    val cents = Similarity.trainedCodebook(vecs, n)
     val assigned = Similarity.ivfAssign(vecs, cents)
-    Similarity.ivfTopK(assigned, cents, vecs.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+    val nprobe = math.max(2, Similarity.codebookSize(n) / 4)
+    Similarity.ivfTopK(assigned, cents, vecs.filter(col("vec_id") < 5),
+      k = 10, nprobe = nprobe)
   }
 
-  /** q25 — embedding-cosine near-dup pairs within IVF buckets. */
+  /** q25 — embedding-cosine near-dup pairs within IVF buckets. The √n
+    * codebook keeps expected bucket size ≈ √n, so the within-bucket
+    * pairing totals O(n) pairs corpus-wide (a fixed codebook would be
+    * O(n²/c)). */
   val q25 = Q.noOracle("q25_embedding_near_dups") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
-    val assigned = Similarity.ivfAssign(vecs, Similarity.centroids(vecs, 16))
+    val assigned = Similarity.ivfAssign(vecs, Similarity.trainedCodebook(vecs, vecs.count()))
     // the synthetic embeddings are near-orthogonal (top-10 cosines land
     // in 0.25-0.39) — 0.3 marks the "suspiciously similar" tail there;
     // a real corpus would use ~0.95
@@ -361,6 +376,31 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), graft.Cols.dsum(col("value")).as("total_value"))
   }
 
+  /** q51 — LSH-gated exact Jaccard (q20's candidates → q22's verify):
+    * the 100 TB near-dup composition, where the exact intersection is
+    * computed only for LSH candidate pairs. Fully oracled via the
+    * shared md5-minhash CTE chain. */
+  val q51 = Q("q51_lsh_verified",
+    s"""$minhashCteSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+       |candp AS (SELECT a, b FROM scored WHERE est_jaccard >= 0.2),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS inter
+       |  FROM candp c
+       |  JOIN grams ga ON ga.doc_id = c.a
+       |  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter) >= 0.2""".stripMargin
+  ) { (s, d) =>
+    Dedup.lshVerifiedJaccard(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 16, bands = 8, estThreshold = 0.2, threshold = 0.2,
+      seededHash = Dedup.Md5SeededHash, bandHash = Dedup.Md5BandHash)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51)
 }

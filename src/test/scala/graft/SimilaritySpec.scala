@@ -60,6 +60,23 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.4)
   }
 
+  test("trained √n codebook: c=⌈√n⌉ centroids, recall@10 ≥ 0.4 at c/4 probes") {
+    val vecs = Tables.embeddings(spark, sf)
+    val n = vecs.count()
+    val c = Similarity.codebookSize(n)
+    val cents = Similarity.trainedCodebook(vecs, n)
+    assert(cents.count() === c)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(Similarity.ivfAssign(vecs, cents), cents, queries,
+      10, math.max(2, c / 4))
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"n=$n c=$c recall=$recall%.2f")
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("media featurize: deterministic stub decode, byte_len = utf8 length") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val out = Multimodal.featurize(media).cache()
