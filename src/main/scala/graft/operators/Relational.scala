@@ -106,28 +106,39 @@ object Relational {
     * deduplicate first or the match is ambiguous; times must be the
     * same integer unit on both sides (epoch micros recommended).
     * Left rows with no prior right row keep null payload.
+    *
+    * The payload travels as ONE struct per right row (not per-column):
+    * `last(ignoreNulls)` over the struct then means exactly "no prior
+    * right row". A per-column carry would skip a genuinely-NULL payload
+    * value and resurrect an older row's value for that column —
+    * diverging from true as-of semantics (and from the native exec /
+    * DuckDB ASOF) on nullable payloads. One window expression instead
+    * of |payload| is also the cheaper plan.
     */
   def asOfJoin(left: DataFrame, leftTime: String,
                right: DataFrame, rightTime: String,
                key: String, rightPayload: Seq[String]): DataFrame = {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    val payloadNulls = rightPayload.map(c => lit(null).as(c))
     val lAligned = l.select(
-      Seq(col(key), col("__t"), col("__side")) ++ payloadNulls ++
+      Seq(col(key), col("__t"), col("__side"), lit(null).as("__p")) ++
         left.columns.filterNot(_ == key).map(c => col(c).as(s"__l_$c")): _*)
-    val r = right.select(
-      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightPayload.map(col) ++
-        left.columns.filterNot(_ == key).map(c => lit(null).as(s"__l_$c")): _*)
+    // null-key/time right rows can never be an as-of match (SQL equi
+    // semantics: null ≠ null); left nulls need no guard — a null key
+    // partitions only with (now-excluded) null-key right rows and a
+    // null time sorts before every right row, so both carry no payload
+    val r = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(rightPayload.map(col): _*).as("__p")) ++
+          left.columns.filterNot(_ == key).map(c => lit(null).as(s"__l_$c")): _*)
     val w = Window.partitionBy(key)
       .orderBy(col("__t").asc, col("__side").asc) // right sorts before left at equal t (<= semantics)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.foldLeft(lAligned.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = lAligned.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(Seq(col(key)) ++
         left.columns.filterNot(_ == key).map(c => col(s"__l_$c").as(c)) ++
-        rightPayload.map(col): _*)
+        rightPayload.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

@@ -78,27 +78,56 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRow = InternalRow.fromSeq(Seq.fill(payload.size)(null))
       val joined = new JoinedRow
 
-      // one-row lookahead over the sorted right side; rows are copied
-      // because sort output buffers are reused
+      // One-row lookahead over the sorted right side with its key/time
+      // evaluated ONCE per right row (the first cut re-evaluated them
+      // per left-row comparison — the dominant measured cost). Rows are
+      // copied BEFORE eval because sort output buffers are reused and a
+      // UTF8String key would otherwise point into recycled memory.
+      // Null-keyed/timed right rows are skipped outright: they can
+      // never be an as-of match, and the interpreted orderings are not
+      // null-safe.
       var rHead: InternalRow = null
-      def advance(): Unit = rHead = if (rIter.hasNext) rIter.next().copy() else null
+      var rHeadKey: AnyRef = null; var rHeadTime: AnyRef = null
+      def advance(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next().copy()
+          val k = rKeyB.eval(r); val t = rTimeB.eval(r)
+          if (k != null && t != null) {
+            rHead = r
+            rHeadKey = k.asInstanceOf[AnyRef]; rHeadTime = t.asInstanceOf[AnyRef]
+          }
+        }
+      }
       advance()
-      // last right row with (key, time) ≤ the current left cursor
+      // last consumed right row, its cached key, and its lazily
+      // projected payload. The projection is safe uncopied: payloadProj
+      // is called nowhere else, so the buffer stays valid exactly until
+      // the cache is replaced.
       var lastRight: InternalRow = null
+      var lastKey: AnyRef = null
+      var lastPayload: InternalRow = null
 
       lIter.map { l =>
-        val lk = lKeyB.eval(l); val lt = lTimeB.eval(l)
-        while (rHead != null && {
-          val c = keyOrd.compare(rKeyB.eval(rHead).asInstanceOf[AnyRef],
-            lk.asInstanceOf[AnyRef])
-          c < 0 || (c == 0 &&
-            timeOrd.compare(rTimeB.eval(rHead).asInstanceOf[AnyRef],
-              lt.asInstanceOf[AnyRef]) <= 0)
-        }) { lastRight = rHead; advance() }
-        val matched = lastRight != null && lk != null &&
-          keyOrd.compare(rKeyB.eval(lastRight).asInstanceOf[AnyRef],
-            lk.asInstanceOf[AnyRef]) == 0
-        toUnsafe(joined(l, if (matched) payloadProj(lastRight) else nullRow))
+        val lkAny = lKeyB.eval(l); val ltAny = lTimeB.eval(l)
+        if (lkAny == null || ltAny == null) {
+          // a null key/time never matches (same as the composed form
+          // and DuckDB ASOF: comparison with null is no-match)
+          toUnsafe(joined(l, nullRow))
+        } else {
+          val lk = lkAny.asInstanceOf[AnyRef]; val lt = ltAny.asInstanceOf[AnyRef]
+          while (rHead != null && {
+            val c = keyOrd.compare(rHeadKey, lk)
+            c < 0 || (c == 0 && timeOrd.compare(rHeadTime, lt) <= 0)
+          }) {
+            lastRight = rHead; lastKey = rHeadKey; lastPayload = null
+            advance()
+          }
+          if (lastRight != null && keyOrd.compare(lastKey, lk) == 0) {
+            if (lastPayload == null) lastPayload = payloadProj(lastRight)
+            toUnsafe(joined(l, lastPayload))
+          } else toUnsafe(joined(l, nullRow))
+        }
       }
     }
   }

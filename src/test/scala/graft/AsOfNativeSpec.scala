@@ -21,6 +21,29 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got === Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> 150L, 5L -> -1L))
   }
 
+  test("null keys/times/payloads: no crash, native ≡ composed, nulls never match") {
+    def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val quotes = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("A", L(10), L(100)), ("A", L(20), null), // genuinely-null payload row
+      (null, L(5), L(999)),                     // null key: never a match
+      ("B", null, L(888)),                      // null time: never a match
+      ("B", L(15), L(150)))
+      .toDF("k", "t", "px")
+    val trades = Seq[(String, java.lang.Long, Long)](
+      ("A", L(25), 1L),   // matches the t=20 quote whose px IS null
+      ("A", L(12), 2L),   // matches t=10 -> 100
+      (null, L(50), 3L),  // null key left: null payload
+      ("B", null, 4L),    // null time left: null payload
+      ("B", L(99), 5L))   // matches t=15 -> 150 (never the null-t 888)
+      .toDF("k", "t", "id")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "px").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = Map(1L -> -1L, 2L -> 100L, 3L -> -1L, 4L -> -1L, 5L -> 150L)
+    assert(collect(AsOfJoinNative(trades, "t", quotes, "t", "k", Seq("px"))) === want)
+    assert(collect(Relational.asOfJoin(trades, "t", quotes, "t", "k", Seq("px"))) === want)
+  }
+
   test("native exec ≡ composed form on the full events/orders tables") {
     val d = "/root/testdata/sf0.01"
     val l = Tables.events(spark, d)
