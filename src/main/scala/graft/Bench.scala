@@ -34,7 +34,10 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val nErrors = results.count(_._2 < 0)
+    // n_errors travels next to the total so a round-over-round total
+    // comparison can't silently absorb a newly failing (excluded) query
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all ++ FunctionQueries.all
+    CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all ++
+      FunctionQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

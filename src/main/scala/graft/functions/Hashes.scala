@@ -35,6 +35,9 @@ object Hashes {
   def hexToLongSql(x: String): String =
     s"list_reduce(list_transform(range(1,16), gi -> CAST(strpos('0123456789abcdef', ($x)[gi]) - 1 AS BIGINT)), (ga, gd) -> ga * 16 + gd)"
 
+  /** DuckDB twin of `h60` over SQL expression `e`. */
+  def h60Sql(e: String): String = hexToLongSql(hex15Sql(e))
+
   /** DuckDB list of h60 token hashes for the tokens-of-text idiom. */
   def tokenH60ListSql(textExpr: String): String =
     s"list_transform(list_transform(string_split(trim($textExpr), ' '), gt -> ${hex15Sql("gt")}), gx -> ${hexToLongSql("gx")})"

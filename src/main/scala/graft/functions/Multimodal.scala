@@ -42,6 +42,20 @@ object Multimodal {
     }
   }
 
+  /** Oracle-able stub: features derived from the md5 digest of the
+    * payload (the same 60-bit `Hashes.h60` construction the dedup
+    * family uses), so the whole mapPartitions featurize path — schema,
+    * encoders, batching AND values — sits under the DuckDB gate.
+    * h < 2^60 is always positive, so `%` needs no floorMod. */
+  object Md5Decoder extends Decoder {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((h % 640).toInt + 1, ((h >> 16) % 480).toInt + 1, h)
+    }
+  }
+
   /** Build a media table from the documents table: payload = utf-8 bytes
     * of the text standing in for an encoded blob. */
   def mediaTable(documents: DataFrame): DataFrame =

@@ -115,7 +115,15 @@ object Similarity {
     val cap = 256L * c
     val train =
       if (n <= cap) vectors
-      else vectors.filter(pmod(xxhash64(col("vec_id")), lit(n / cap)) === 0)
+      else {
+        // the hash filter hits `cap` rows only in expectation; on a small
+        // or skewed vec_id population it can undershoot c, which would
+        // silently shrink the codebook (codebookSize contract) — union
+        // the c smallest ids back in so |train| >= c always
+        val sampled = vectors.filter(pmod(xxhash64(col("vec_id")), lit(n / cap)) === 0)
+        sampled.unionByName(vectors.orderBy(col("vec_id")).limit(c))
+          .dropDuplicates("vec_id")
+      }
     kmeansCentroids(train, c, iters, dim)
   }
 

@@ -118,6 +118,9 @@ object Relational {
   def asOfJoin(left: DataFrame, leftTime: String,
                right: DataFrame, rightTime: String,
                key: String, rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty,
+      "asOfJoin needs at least one right payload column: an empty payload " +
+        "struct has no analyzable carry (and matches nothing useful)")
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val lAligned = l.select(
       Seq(col(key), col("__t"), col("__side"), lit(null).as("__p")) ++

@@ -74,9 +74,13 @@ object Medallion {
     */
   def bronzeIncrementalLoad(spark: SparkSession, source: DataFrame, sinkPath: String,
                             timeCol: String, processingDate: java.sql.Date): Long = {
+    // sink absent ⇒ full-load branch. Probed through the FileSystem API
+    // (not by catching the reader's exception — Spark 4's lazy analysis
+    // wraps the PATH_NOT_FOUND error unpredictably).
+    val sink = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wm: Option[Any] =
-      try highWatermark(spark.read.parquet(sinkPath), timeCol)
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // sink absent ⇒ full load
+      if (fs.exists(sink)) highWatermark(spark.read.parquet(sinkPath), timeCol) else None
     val slice = withPartitionColumns(
       incrementalSlice(source, timeCol, wm), Some(timeCol), processingDate)
     val n = slice.count()

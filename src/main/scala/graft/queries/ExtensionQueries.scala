@@ -182,9 +182,11 @@ object ExtensionQueries {
   /** q22 — exact word-3-gram Jaccard pairs (≥ 0.2) — the verify stage of
     * near-dup detection, and fully SQL-expressible. Grams with document
     * frequency over 1000 are dropped from the intersection join (hot-
-    * gram k² pair cap — see Dedup.ngramJaccardPairs); the oracle mirrors
-    * the cap, and at gate scale (≤5000 docs, df ≤ corpus size anyway)
-    * both sides are unaffected by it. */
+    * gram k² pair cap — see Dedup.ngramJaccardPairs). Parity with the
+    * oracle holds because the oracle mirrors the cap exactly — not
+    * because the cap can't bite at gate scale (a stopword gram can reach
+    * df 5000 there, in which case both sides underestimate true exact
+    * Jaccard for the affected pairs, identically). */
   val q22 = Q("q22_ngram_jaccard",
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -266,10 +268,21 @@ object ExtensionQueries {
   }
 
   /** q26 — multimodal featurize through the mapPartitions batch path
-    * (decode stubbed, plumbing real). FNV checksum has no DuckDB twin →
-    * rows-only; the decode contract is pinned in MultimodalSpec. */
-  val q26 = Q.noOracle("q26_media_features") { (s, d) =>
-    Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+    * (decode stubbed, plumbing real). The registered form uses the
+    * md5-derived stub decoder so every value — including the JVM-side
+    * MessageDigest work inside mapPartitions — is reproduced by the
+    * DuckDB oracle; the FNV decoder variant stays spec-pinned. */
+  val q26 = Q("q26_media_features", {
+    val h = graft.functions.Hashes.h60Sql("text")
+    s"""SELECT doc_id, 'image/fake' AS media_type,
+       |       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       |       CAST(h % 640 + 1 AS INT) AS width,
+       |       CAST((h // 65536) % 480 + 1 AS INT) AS height,
+       |       h AS checksum
+       |FROM (SELECT doc_id, text, $h AS h FROM documents)""".stripMargin
+  }) { (s, d) =>
+    Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d)),
+      Multimodal.Md5Decoder).toDF()
   }
 
   /** q27 — multimodal metadata projection (SQL-expressible slice of the
@@ -321,14 +334,9 @@ object ExtensionQueries {
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       min(event_id) AS first_event_id, max(event_id) AS last_event_id
       |FROM sess GROUP BY 1, 2""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    val flagged = Tables.events(s, d).select(
-      col("user_id"), col("event_id"), col("ts"),
-      when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1)
-        .otherwise(0).as("is_new"))
-    flagged
-      .withColumn("session_id",
-        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    graft.operators.Sessionize.assignSessions(
+        Tables.events(s, d).select("user_id", "event_id", "ts"),
+        "user_id", "event_id", "ts", gap = 1800000000000L)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min("event_id").as("first_event_id"),
@@ -401,6 +409,71 @@ object ExtensionQueries {
       seededHash = Dedup.Md5SeededHash, bandHash = Dedup.Md5BandHash)
   }
 
+  /** Shared oracle CTE chain for the sampled-codebook IVF family: exact
+    * left-to-right double dot products (the q23 convention, so cosines
+    * are bit-identical to the native DotProductF32 expression), √n
+    * codebook = the c smallest-id vectors (`Similarity.centroids`),
+    * nearest-centroid assignment with (cos desc, centroid_id) tiebreak.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val ivfAssignCteSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS c FROM v),
+       |cents AS (
+       |  SELECT centroid_id, ce FROM (
+       |    SELECT vec_id AS centroid_id, e AS ce,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk FROM v), n
+       |  WHERE rnk <= n.c),
+       |scored AS (
+       |  SELECT v.vec_id, cents.centroid_id,
+       |         ${dotSql("v.e", "cents.ce")}
+       |         / (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("cents.ce", "cents.ce")})) AS c_sim
+       |  FROM v CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** q52 — the IVF build pass (nearest-centroid assignment) over the
+    * deterministic sampled codebook, fully oracled: this is the one
+    * full-data pass of the IVF index at 100 TB, so its correctness gate
+    * matters more than the probe's. (q24/q25 run the same machinery
+    * with the TRAINED k-means codebook — approximation ⇒ rows-only.) */
+  val q52 = Q("q52_ivf_assign",
+    s"""$ivfAssignCteSql
+       |SELECT vec_id, centroid_id FROM assigned""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val c = Similarity.codebookSize(vecs.count())
+    Similarity.ivfAssign(vecs, Similarity.centroids(vecs, c))
+      .select("vec_id", "centroid_id")
+  }
+
+  /** q53 — embedding-cosine near-dup pairs within the sampled-codebook
+    * IVF buckets: q25's plan shape (equi-join on centroid_id, never
+    * O(n²)) with every cosine bit-verified by the oracle. */
+  val q53 = Q("q53_bucketed_near_dups",
+    s"""$ivfAssignCteSql,
+       |av AS (
+       |  SELECT a.vec_id, a.centroid_id, v.e, sqrt(${dotSql("v.e", "v.e")}) AS nrm
+       |  FROM assigned a JOIN v ON v.vec_id = a.vec_id)
+       |SELECT a, b, cos_sim FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cos_sim
+       |  FROM av x JOIN av y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= 0.3""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val c = Similarity.codebookSize(vecs.count())
+    val assigned = Similarity.ivfAssign(vecs, Similarity.centroids(vecs, c))
+    Similarity.cosineNearDupPairs(assigned, threshold = 0.3)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53)
 }

@@ -104,17 +104,43 @@ object FunctionQueries {
         count(lit(1)).as("n_suppliers"))
   }
 
-  /** q45 — sampling surface for training-data pipelines: seeded uniform
-    * sample plus per-stratum (mktsegment) stratified sample. Sampling
-    * PRNGs differ across engines → rows-only; determinism under the
-    * fixed seed and stratum proportions are pinned in a spec. */
-  val q45 = Q.noOracle("q45_sampling") { (s, d) =>
+  /** q45 — sampling surface for training-data pipelines: uniform 10%
+    * plus per-stratum (mktsegment) stratified rates, both by KEYED HASH
+    * (md5-derived `Hashes.h60` of a salted key) rather than a PRNG.
+    * Hash sampling is the 100 TB form: the decision is a pure function
+    * of the row key, so samples are reproducible across engines, runs,
+    * retries and re-partitioning (a seeded PRNG sample changes under
+    * any repartition), and membership is auditable per row — which also
+    * makes the whole query oracle-able bit-for-bit. The engine-seeded
+    * `.sample`/`.sampleBy` API surface stays pinned in SamplingSpec. */
+  val q45 = Q("q45_sampling", {
+    import graft.functions.Hashes.h60Sql
+    val rateCase =
+      """CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 50 WHEN 'BUILDING' THEN 20
+        |            WHEN 'FURNITURE' THEN 10 WHEN 'HOUSEHOLD' THEN 10
+        |            WHEN 'MACHINERY' THEN 5 ELSE 0 END""".stripMargin
+    s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+       |                  CAST(c_custkey AS VARCHAR) AS ck FROM customer)
+       |SELECT c_custkey, 'uniform' AS method FROM c
+       |WHERE ${h60Sql("'u|' || ck")} % 10 = 0
+       |UNION ALL
+       |SELECT c_custkey, 'stratified' AS method FROM c
+       |WHERE ${h60Sql("'s|' || ck")} % 100 < $rateCase""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.Hashes
     val c = Tables.customer(s, d)
-    val uniform = c.sample(withReplacement = false, fraction = 0.1, seed = 42)
+    val ck = col("c_custkey").cast(StringType)
+    val uniform = c
+      .filter(pmod(Hashes.h60(concat(lit("u|"), ck)), lit(10L)) === 0L)
       .select(col("c_custkey"), lit("uniform").as("method"))
-    val fractions = Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.2, "FURNITURE" -> 0.1,
-      "HOUSEHOLD" -> 0.1, "MACHINERY" -> 0.05)
-    val stratified = c.stat.sampleBy("c_mktsegment", fractions, seed = 42)
+    val rate = when(col("c_mktsegment") === "AUTOMOBILE", 50L)
+      .when(col("c_mktsegment") === "BUILDING", 20L)
+      .when(col("c_mktsegment") === "FURNITURE", 10L)
+      .when(col("c_mktsegment") === "HOUSEHOLD", 10L)
+      .when(col("c_mktsegment") === "MACHINERY", 5L)
+      .otherwise(0L)
+    val stratified = c
+      .filter(pmod(Hashes.h60(concat(lit("s|"), ck)), lit(100L)) < rate)
       .select(col("c_custkey"), lit("stratified").as("method"))
     uniform.unionAll(stratified)
   }

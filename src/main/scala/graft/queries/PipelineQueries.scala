@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.Medallion
+
+/** The medallion pipeline itself under the correctness gate: q50 runs
+  * bronze → silver → gold through the REAL `Medallion` write paths
+  * (partitioned parquet append, full replace, partitioned replace) on a
+  * scratch directory and returns the gold table as read back from disk
+  * — so the oracle verifies the materialized pipeline end-to-end
+  * (write-path schema drift, partition-column round-trips and the
+  * transform semantics all sit inside the hash compare), not just the
+  * in-memory plan fragments PipelineSpec covers.
+  *
+  * Reference shape: bronze_batch_load.py (incremental partitioned
+  * append) → silver_clean_transform.py:102-106 (fact join + positivity
+  * guards) → gold_transfrom.py:59-75 (product-grain sales summary,
+  * createOrReplace partitioned by year).
+  */
+object PipelineQueries {
+
+  val q50 = Q("q50_medallion_pipeline",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year,
+      |       CAST(month(o_orderdate) AS INT) AS month,
+      |       l_partkey, p_brand,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |       COUNT(*) AS num_purchases
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |LEFT JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity > 0 AND l_extendedprice > 0
+      |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_medallion_").toString
+    // bronze: incremental load into an empty sink = the full-load branch,
+    // hive-partitioned by year/month/day of the event time
+    val bronzePath = s"$tmp/bronze_orders"
+    Medallion.bronzeIncrementalLoad(s, Tables.orders(s, d), bronzePath,
+      "o_orderdate", java.sql.Date.valueOf("1998-12-01"))
+    // silver: conform the purchase fact (join + positivity guards), full replace
+    val items = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey")
+    val silver = Medallion.silverPurchaseFact(
+      s.read.parquet(bronzePath), items, "o_orderkey", "l_quantity", "l_extendedprice")
+    val silverPath = s"$tmp/silver_purchases"
+    Medallion.createOrReplace(silver, silverPath)
+    // gold: product-grain sales summary enriched with the part dim,
+    // partitioned replace by year
+    val dim = Tables.part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val gold = Medallion.goldSalesSummary(
+      s.read.parquet(silverPath), dim, "l_partkey",
+      "o_orderdate", "l_quantity", "l_extendedprice", Seq("p_brand"))
+    val goldPath = s"$tmp/gold_sales"
+    Medallion.createOrReplace(gold, goldPath, Seq("year"))
+    s.read.parquet(goldPath)
+  }
+
+  val all: Seq[Q] = Seq(q50)
+}

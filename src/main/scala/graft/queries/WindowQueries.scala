@@ -72,10 +72,16 @@ object WindowQueries {
   }
 
   /** q39 — the typed TopKByWeight Aggregator (O(k) buffer per group)
-    * exploded to rows; approx_percentile alongside as the sketch-based
-    * scale variant of q38. Rows-only: Aggregator + sketch have no
-    * DuckDB twins. */
-  val q39 = Q.noOracle("q39_topk_aggregator") { (s, d) =>
+    * exploded to rows. The aggregator's total order is (weight desc,
+    * id asc) with duplicates retained, which is exactly row_number over
+    * (ORDER BY weight DESC, id) — so the typed custom aggregate sits
+    * under the DuckDB oracle despite having no SQL twin of its own. */
+  val q39 = Q("q39_topk_aggregator",
+    """SELECT l_returnflag, rank, l_partkey FROM (
+      |  SELECT l_returnflag, l_partkey,
+      |         CAST(row_number() OVER (PARTITION BY l_returnflag
+      |              ORDER BY l_extendedprice DESC, l_partkey) AS INT) AS rank
+      |  FROM lineitem) WHERE rank <= 10""".stripMargin) { (s, d) =>
     import s.implicits._
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))

@@ -1,0 +1,50 @@
+package graft
+
+import graft.pipeline.AtomicTable
+
+/** Atomic createOrReplace + merge-schema semantics (the Iceberg
+  * behaviors of the reference's gold writes, over plain parquet). */
+class AtomicTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replace is versioned and atomic; merge-schema unions on evolve; vacuum prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_").toString
+
+    val v1 = AtomicTable.replace(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    assert(v1 === "v_00001")
+    assert(AtomicTable.read(spark, dir).columns.toSeq === Seq("id", "name"))
+    assert(AtomicTable.read(spark, dir).count() === 2)
+
+    // evolve: the new snapshot drops `name` and adds `score`; merge-schema
+    // keeps `name` in the table schema as a typed null
+    val v2 = AtomicTable.replace(Seq((3L, 1.5)).toDF("id", "score"), dir, mergeSchema = true)
+    assert(v2 === "v_00002")
+    val t2 = AtomicTable.read(spark, dir)
+    assert(t2.columns.toSeq === Seq("id", "name", "score"))
+    val row = t2.collect().head
+    assert(row.getLong(0) === 3L && row.isNullAt(1) && row.getDouble(2) === 1.5)
+
+    // no reader window: the pointer is committed (no tmp left behind) and
+    // the PREVIOUS version directory still exists for in-flight readers
+    assert(AtomicTable.currentVersion(spark, dir) === Some("v_00002"))
+    assert(!new java.io.File(s"$dir/_current.tmp").exists)
+    assert(new java.io.File(s"$dir/v_00001").exists)
+
+    AtomicTable.vacuum(spark, dir, keep = 1)
+    assert(!new java.io.File(s"$dir/v_00001").exists)
+    assert(new java.io.File(s"$dir/v_00002").exists)
+
+    // partitioned replace composes with merge-schema
+    AtomicTable.replace(Seq((4L, "x", 2024), (5L, "y", 2025)).toDF("id", "name", "year"),
+      dir, mergeSchema = true, partitionCols = Seq("year"))
+    val t3 = AtomicTable.read(spark, dir)
+    assert(t3.count() === 2)
+    assert(t3.columns.toSet === Set("id", "name", "score", "year"))
+    assert(t3.filter(t3("score").isNotNull).count() === 0)
+  }
+
+  test("read of an uncommitted table fails loudly, not with a phantom empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_none_").toString
+    intercept[IllegalStateException] { AtomicTable.read(spark, dir) }
+  }
+}
