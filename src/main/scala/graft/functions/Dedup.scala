@@ -81,6 +81,23 @@ object Dedup {
            (1 until k).map(i => min(seededHash(i, col("gram"))).as(s"mh_$i")): _*)
   }
 
+  /** MinHash signatures from the AFFINE md5 family (`Hashes.affineA/B`):
+    * each gram is md5-hashed ONCE into x = h60 % P31, and the k seeded
+    * values are derived arithmetically inside the min aggregates —
+    * k× less hashing than a per-seed hash at identical plan shape
+    * (explode → groupBy(doc) with k partial-agg mins), and still fully
+    * oracle-able because the one md5 and the affine constants are
+    * shared with DuckDB. Signature components are 31-bit longs. */
+  def minhashSignaturesAffine(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, k: Int): DataFrame = {
+    val p = Hashes.P31
+    val withX = shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), (Hashes.h60(col("gram")) % p).as("x"))
+    def mh(i: Int) =
+      min((lit(Hashes.affineA(i)) * col("x") + lit(Hashes.affineB(i))) % p).as(s"mh_$i")
+    withX.groupBy(col(idCol)).agg(mh(0), (1 until k).map(mh): _*)
+  }
+
   /** Default band hash over r signature components (production path). */
   val XxBandHash: Seq[Column] => Column = cols => xxhash64(cols: _*)
 
@@ -99,6 +116,10 @@ object Dedup {
                         bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
+    // the banded index feeds BOTH sides of the candidate self-join;
+    // persisting it materializes the LSH index once (the standard
+    // "build the index, then probe it" shape) instead of recomputing
+    // the whole signature aggregation per side
     val banded = sigs.select(
       col(idCol),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
@@ -107,6 +128,7 @@ object Dedup {
           bandHash((b * r until (b + 1) * r).map(i => col(s"mh_$i"))).as("bh"))
       }: _*)).as("bucket"))
       .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("a"), col("sig").as("sig_a"), col("band"), col("bh"))
     val b = banded.select(col(idCol).as("b"), col("sig").as("sig_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"), "inner")
@@ -160,12 +182,17 @@ object Dedup {
                          n: Int, k: Int, bands: Int,
                          estThreshold: Double, threshold: Double,
                          seededHash: (Int, Column) => Column = XxSeededHash,
-                         bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
-    val cand = minhashCandidates(
-      minhashSignatures(df, idCol, textCol, n, k, seededHash),
-      idCol, k, bands, estThreshold, bandHash)
+                         bandHash: Seq[Column] => Column = XxBandHash,
+                         affine: Boolean = false): DataFrame = {
+    val sigs =
+      if (affine) minhashSignaturesAffine(df, idCol, textCol, n, k)
+      else minhashSignatures(df, idCol, textCol, n, k, seededHash)
+    val cand = minhashCandidates(sigs, idCol, k, bands, estThreshold, bandHash)
       .select(col("a"), col("b"))
+    // the gram table feeds sizes AND both intersection joins — persist
+    // the one explode instead of shingling the corpus three times
     val g = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val inter = cand
       .join(g.select(col(idCol).as("a"), col("gram")), Seq("a"))

@@ -38,6 +38,25 @@ object Hashes {
   /** DuckDB twin of `h60` over SQL expression `e`. */
   def h60Sql(e: String): String = hexToLongSql(hex15Sql(e))
 
+  /** 31-bit affine seeded family over ONE md5-derived gram hash:
+    * x = h60(gram) % P31, then seed i's value is (a_i·x + b_i) % P31
+    * with P31 = 2³¹−1 (Mersenne prime). One md5 per gram instead of one
+    * per (seed, gram) — k× less hashing in the MinHash scan — and every
+    * product stays under 2⁶² so the arithmetic is exact int64 on both
+    * engines (no ANSI overflow). The constants are themselves
+    * md5-derived (a_i nonzero), precomputed here so the SQL twin can
+    * inline them as plain literals. */
+  val P31: Long = 2147483647L
+
+  private def jvmH60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  def affineA(i: Int): Long = 1L + jvmH60(s"a|$i") % (P31 - 1)
+  def affineB(i: Int): Long = jvmH60(s"b|$i") % P31
+
   /** DuckDB list of h60 token hashes for the tokens-of-text idiom. */
   def tokenH60ListSql(textExpr: String): String =
     s"list_transform(list_transform(string_split(trim($textExpr), ' '), gt -> ${hex15Sql("gt")}), gx -> ${hexToLongSql("gx")})"

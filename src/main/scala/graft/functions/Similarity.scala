@@ -79,15 +79,21 @@ object Similarity {
     * the shuffle carries c·d doubles regardless of input size. Empty
     * clusters keep their previous centroid. */
   def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
     var cents = centroids(vectors, c)
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(vectors, cents)
       val means = assigned.groupBy(col("centroid_id"))
         .agg(array((0 until dim).map(i =>
           avg(col("embedding").getItem(i)).cast("float")): _*).as("m_emb"))
-      cents = cents.join(means, Seq("centroid_id"), "left")
+      val next = cents.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+      // materialize each iteration's codebook (c·d floats — driver-tiny):
+      // left lazy, iteration i+1's plan would EMBED and re-execute
+      // iteration i's full assign pass, making Lloyd quadratic in iters
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }
@@ -106,7 +112,7 @@ object Similarity {
     * `ivfAssign` pass. The two driver-side actions here (count +
     * dimension probe) are the codebook "training job" any IVF system
     * runs before indexing. */
-  def trainedCodebook(vectors: DataFrame, n: Long, iters: Int = 2): DataFrame = {
+  def trainedCodebook(vectors: DataFrame, n: Long, iters: Int = 1): DataFrame = {
     if (n == 0L)
       return vectors.select(col("vec_id").as("centroid_id"),
         col("embedding").as("c_emb")).limit(0)

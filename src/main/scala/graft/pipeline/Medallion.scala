@@ -63,17 +63,28 @@ object Medallion {
   /** K1 — partitioned append (bronze_batch_load.py:91-92). Empty-input
     * short-circuit mirrors `df.rdd.isEmpty()` at :73,118 — in Scala,
     * `df.isEmpty` (a limit-1 scan, not a full count).
+    *
+    * The input is repartitioned ON the partition columns first so each
+    * hive directory receives ONE file per batch instead of one per
+    * task — without it a 32-task write into a date-partitioned table
+    * emits up to 32 tiny files per date, and a multi-year backfill
+    * degenerates into a small-files storm (the classic lakehouse
+    * failure; at 1000 executors it's 1000× worse). AQE still splits a
+    * genuinely huge partition into several tasks.
     */
-  def appendPartitioned(df: DataFrame, path: String): Unit =
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCols: Seq[String] = Seq("year", "month", "day")): Unit =
     if (!df.isEmpty)
-      df.write.partitionBy("year", "month", "day").mode(SaveMode.Append).parquet(path)
+      df.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
 
   /** Full bronze incremental-load step: probe sink, slice source, derive
     * partitions, append. Returns rows written (for the driver log, as the
     * reference logs counts at bronze_batch_load.py:68,135).
     */
   def bronzeIncrementalLoad(spark: SparkSession, source: DataFrame, sinkPath: String,
-                            timeCol: String, processingDate: java.sql.Date): Long = {
+                            timeCol: String, processingDate: java.sql.Date,
+                            partitionCols: Seq[String] = Seq("year", "month", "day")): Long = {
     // sink absent ⇒ full-load branch. Probed through the FileSystem API
     // (not by catching the reader's exception — Spark 4's lazy analysis
     // wraps the PATH_NOT_FOUND error unpredictably).
@@ -84,7 +95,7 @@ object Medallion {
     val slice = withPartitionColumns(
       incrementalSlice(source, timeCol, wm), Some(timeCol), processingDate)
     val n = slice.count()
-    if (n > 0) appendPartitioned(slice, sinkPath)
+    if (n > 0) appendPartitioned(slice, sinkPath, partitionCols)
     n
   }
 
@@ -137,7 +148,10 @@ object Medallion {
     * replace, optionally partitioned (silver_clean_transform.py:77-79,
     * gold_transfrom.py:71-75). */
   def createOrReplace(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // partitioned replace: co-locate each hive partition into one task
+    // (see appendPartitioned — avoids tasks×partitions file counts)
+    val out = if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    val w = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 }

@@ -76,27 +76,32 @@ object ExtensionQueries {
   }
 
   /** q19 — MinHash/LSH banded buckets (the dedup index itself: one row
-    * per doc per band), md5-hex minhash so the whole index sits under
-    * the DuckDB oracle gate (fixed-width lowercase hex ⇒ lexicographic
-    * min ≡ numeric min on both engines). Production swaps
-    * `Dedup.XxSeededHash` back in — the machinery is hash-agnostic. */
+    * per doc per band) on the AFFINE md5 family: one md5 per gram, k
+    * arithmetic derivations (`Hashes.affineA/B` — k× less hashing than
+    * a per-seed hash), every value still reproduced by the DuckDB
+    * oracle. Production swaps `Dedup.XxSeededHash` in — the machinery
+    * is hash-agnostic. */
   val q19 = Q("q19_minhash_buckets", {
+    import graft.functions.Hashes
+    val p = Hashes.P31
     val mins = (0 until 16)
-      .map(i => s"min(substr(md5('$i|' || gram), 1, 15)) AS mh_$i")
+      .map(i => s"min((${Hashes.affineA(i)} * x + ${Hashes.affineB(i)}) % $p) AS mh_$i")
       .mkString(",\n       ")
     val bandRows = (0 until 4).map { b =>
-      val cat = (b * 4 until (b + 1) * 4).map(i => s"mh_$i").mkString(" || ',' || ")
+      val cat = (b * 4 until (b + 1) * 4)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, substr(md5($cat), 1, 15) AS band_hash FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
        |grams AS (SELECT DISTINCT doc_id, unnest(t) AS gram FROM toks),
+       |gx AS (SELECT doc_id, ${Hashes.h60Sql("gram")} % $p AS x FROM grams),
        |sig AS (SELECT doc_id,
        |       $mins
-       |FROM grams GROUP BY 1)
+       |FROM gx GROUP BY 1)
        |$bandRows""".stripMargin
   }) { (s, d) =>
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 1, k = 16, seededHash = Dedup.Md5SeededHash)
+    val sigs = Dedup.minhashSignaturesAffine(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 1, k = 16)
     sigs.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -106,16 +111,20 @@ object ExtensionQueries {
       .select(col("doc_id"), col("bk.band"), col("bk.band_hash"))
   }
 
-  /** Shared md5-minhash oracle CTE chain (word-3-shingles, k=16, 8
-    * bands of 2): toks → grams → sig → banded → cand → scored, where
-    * `scored` carries every banded candidate pair with its estimated
-    * Jaccard. q20 selects from it; q51 gates the exact verify on it. */
+  /** Shared affine-md5 minhash oracle CTE chain (word-3-shingles, k=16,
+    * 8 bands of 2): toks → grams → gx → sig → banded → cand → scored,
+    * where `scored` carries every banded candidate pair with its
+    * estimated Jaccard. q20 selects from it; q51 gates the exact verify
+    * on it. One md5 per gram (`gx`), affine derivations per seed. */
   private val minhashCteSql: String = {
+    import graft.functions.Hashes
+    val p = Hashes.P31
     val mins = (0 until 16)
-      .map(i => s"min(substr(md5('$i|' || gram), 1, 15)) AS mh_$i")
+      .map(i => s"min((${Hashes.affineA(i)} * x + ${Hashes.affineB(i)}) % $p) AS mh_$i")
       .mkString(",\n       ")
     val bandRows = (0 until 8).map { b =>
-      val cat = (b * 2 until (b + 1) * 2).map(i => s"mh_$i").mkString(" || ',' || ")
+      val cat = (b * 2 until (b + 1) * 2)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, substr(md5($cat), 1, 15) AS bh FROM sig"
     }.mkString("\nUNION ALL\n")
     val eq = (0 until 16)
@@ -127,9 +136,10 @@ object ExtensionQueries {
        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
        |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
        |  FROM toks),
+       |gx AS (SELECT doc_id, ${Hashes.h60Sql("gram")} % $p AS x FROM grams),
        |sig AS (SELECT doc_id,
        |       $mins
-       |FROM grams GROUP BY 1),
+       |FROM gx GROUP BY 1),
        |banded AS (
        |$bandRows),
        |cand AS (
@@ -151,8 +161,8 @@ object ExtensionQueries {
     s"""$minhashCteSql
        |SELECT a, b, est_jaccard FROM scored WHERE est_jaccard >= 0.2""".stripMargin
   ) { (s, d) =>
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, k = 16, seededHash = Dedup.Md5SeededHash)
+    val sigs = Dedup.minhashSignaturesAffine(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, k = 16)
     Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8, estThreshold = 0.2,
       bandHash = Dedup.Md5BandHash)
   }
@@ -406,7 +416,7 @@ object ExtensionQueries {
   ) { (s, d) =>
     Dedup.lshVerifiedJaccard(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 16, bands = 8, estThreshold = 0.2, threshold = 0.2,
-      seededHash = Dedup.Md5SeededHash, bandHash = Dedup.Md5BandHash)
+      bandHash = Dedup.Md5BandHash, affine = true)
   }
 
   /** Shared oracle CTE chain for the sampled-codebook IVF family: exact
