@@ -35,6 +35,26 @@ object Text {
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast(DoubleType) / tokenCount(text)
 
+  /** Non-distinct word n-grams (ordered, with repeats — unlike
+    * `Dedup.shingles`, which set-dedups for Jaccard): the unit of
+    * repetition-ratio quality scoring. Short docs yield an empty array,
+    * never an ANSI error (same guard as shingles). The token array is
+    * lambda-bound once — see Dedup.shingles for the re-evaluation trap. */
+  def ngrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
+
+  /** Distinct-token ratio: 1.0 = no repeated token, → 0 as the doc
+    * degenerates into repetition (the cheap Gopher-style signal). */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast(DoubleType) /
+      tokenCount(text).cast(DoubleType)
+
   /** Per-language stopword sets for the n-gram-free language-ID
     * heuristic. Real pipelines use char-n-gram models; the heuristic
     * keeps the same plan shape (pure scalar scoring + argmax). */

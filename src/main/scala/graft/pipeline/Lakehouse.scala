@@ -19,6 +19,16 @@ object Lakehouse {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets managed tables across sessions but
+    // their warehouse directories remain; an unregistered leftover dir
+    // fails saveAsTable with LOCATION_ALREADY_EXISTS — drop both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(w.sortBy(_)).saveAsTable(table)

@@ -484,6 +484,55 @@ object ExtensionQueries {
     Similarity.cosineNearDupPairs(assigned, threshold = 0.3)
   }
 
+  /** q56 — repetition-ratio quality signals (the Gopher-style filters a
+    * pretraining pipeline runs after q31's cheap score): distinct-token
+    * ratio (scalar, scan speed) and top-bigram fraction (one explode +
+    * per-doc aggregate — the n-gram unit is NON-distinct, unlike the
+    * Jaccard shingles). Docs with fewer than 2 tokens carry a null
+    * bigram fraction. */
+  val q56 = Q("q56_repetition_ratio",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+      |  FROM toks WHERE len(t) >= 2),
+      |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |gs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+      |              AS top_bigram_frac
+      |       FROM gc GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(len(list_distinct(string_split(trim(d.text), ' '))) AS DOUBLE)
+      |         / CAST(len(string_split(trim(d.text), ' ')) AS DOUBLE) AS distinct_token_ratio,
+      |       gs.top_bigram_frac
+      |FROM documents d LEFT JOIN gs ON gs.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"), explode(Text.ngrams(col("text"), 2)).as("gram"))
+    val gs = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast(DoubleType) / sum(col("c")).cast(DoubleType))
+        .as("top_bigram_frac"))
+    docs.select(col("doc_id"),
+        Text.distinctTokenRatio(col("text")).as("distinct_token_ratio"))
+      .join(gs, Seq("doc_id"), "left")
+  }
+
+  /** q57 — deterministic train/val/test split assignment by keyed hash
+    * (80/10/10): the canonical training-data split. A hash of the doc
+    * id (not a PRNG) makes membership stable across runs, engines and
+    * repartitioning, and lets holdout membership be audited per row. */
+  val q57 = Q("q57_split_assign", {
+    val h = graft.functions.Hashes.h60Sql("'split|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("split|"), col("doc_id").cast(StringType))) % 100
+    Tables.documents(s, d).select(col("doc_id"),
+      when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57)
 }
