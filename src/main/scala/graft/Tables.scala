@@ -56,6 +56,14 @@ object Cols {
     * Spark 4 reads ns parquet timestamps as long under
     * `legacy.parquet.nanosAsLong`). This converts to a microsecond
     * TimestampType column when calendar arithmetic is needed; keep the
-    * raw long for ordering/diff arithmetic (exact, oracle-friendly). */
-  def nanosToTimestamp(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+    * raw long for ordering/diff arithmetic (exact, oracle-friendly).
+    *
+    * The ns→µs division goes through DECIMAL: Spark's `/` on longs is
+    * DOUBLE division, and epoch-nanos (~1.7e18) exceed double's 2⁵³
+    * exact-integer range, so `(c / 1000).cast(long)` lands ±1 µs off
+    * the true value (observed — it broke q58's session bounds; q40
+    * only survived because whole-hour buckets absorb it). Decimal
+    * division is exact and the long cast truncates. */
+  def nanosToTimestamp(c: Column): Column =
+    timestamp_micros((c.cast(DecimalType(38, 0)) / 1000L).cast(LongType))
 }

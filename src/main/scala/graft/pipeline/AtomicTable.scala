@@ -78,7 +78,10 @@ object AtomicTable {
       if (mergeSchema && cur.isDefined) alignToUnion(df, read(spark, dir).schema)
       else df
     val next = f"v_${cur.map(_.stripPrefix("v_").toInt).getOrElse(0) + 1}%05d"
-    val w = out.write.mode(SaveMode.Overwrite)
+    // partitioned versions co-locate each hive partition into one task
+    // (see Medallion.appendPartitioned: avoids tasks×partitions files)
+    val laid = if (partitionCols.nonEmpty) out.repartition(partitionCols.map(col): _*) else out
+    val w = laid.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/$next")
     // one-file commit: temp pointer fully written + flushed, then the

@@ -353,6 +353,40 @@ object ExtensionQueries {
         max("event_id").as("last_event_id"))
   }
 
+  /** q58 — sessionization via the BUILT-IN session_window (the
+    * streaming-capable form of q29: dynamic-gap windows that merge
+    * events closer than the gap, state-store-backed on a stream). A
+    * session's window is [first, last+gap); an event at exactly
+    * gap distance starts a NEW session — hence the `>=` break in the
+    * oracle's lag/cumsum twin (q29's custom operator uses strict `>`,
+    * the other edge convention; both are pinned). Times are µs here
+    * (session_window needs a timestamp column). */
+  val q58 = Q("q58_session_window",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |flagged AS (
+      |  SELECT user_id, tus,
+      |         CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+      |                   >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, tus,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, make_timestamp(min(tus)) AS session_start,
+      |       make_timestamp(max(tus) + 1800000000) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts_t", graft.Cols.nanosToTimestamp(col("ts")))
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** q30 — HLL-sketch distinct (approx_count_distinct): the 100 TB
     * alternative to exact COUNT(DISTINCT); estimator differs from
     * DuckDB's → rows-only, exactness pinned against q10 in a spec. */
@@ -534,5 +568,5 @@ object ExtensionQueries {
   }
 
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58)
 }

@@ -2,12 +2,14 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.Medallion
+import graft.pipeline.{AtomicTable, Medallion}
 
 /** The medallion pipeline itself under the correctness gate: q50 runs
-  * bronze → silver → gold through the REAL `Medallion` write paths
-  * (partitioned parquet append, full replace, partitioned replace) on a
-  * scratch directory and returns the gold table as read back from disk
+  * bronze → silver → gold through the REAL write paths — partitioned
+  * parquet append for bronze, `AtomicTable` versioned-pointer replace
+  * for silver and gold (merge-schema on for gold, as the reference
+  * configures it) — on a scratch directory and returns the gold table
+  * as read back from disk
   * — so the oracle verifies the materialized pipeline end-to-end
   * (write-path schema drift, partition-column round-trips and the
   * transform semantics all sit inside the hash compare), not just the
@@ -40,22 +42,24 @@ object PipelineQueries {
     val bronzePath = s"$tmp/bronze_orders"
     Medallion.bronzeIncrementalLoad(s, Tables.orders(s, d), bronzePath,
       "o_orderdate", java.sql.Date.valueOf("1998-12-01"), Seq("year", "month"))
-    // silver: conform the purchase fact (join + positivity guards), full replace
+    // silver: conform the purchase fact (join + positivity guards),
+    // atomic full replace (versioned dir + pointer commit)
     val items = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey")
     val silver = Medallion.silverPurchaseFact(
       s.read.parquet(bronzePath), items, "o_orderkey", "l_quantity", "l_extendedprice")
     val silverPath = s"$tmp/silver_purchases"
-    Medallion.createOrReplace(silver, silverPath)
+    AtomicTable.replace(silver, silverPath)
     // gold: product-grain sales summary enriched with the part dim,
-    // partitioned replace by year
+    // atomic partitioned replace by year (merge-schema on, as the
+    // reference's gold writes configure it)
     val dim = Tables.part(s, d)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
     val gold = Medallion.goldSalesSummary(
-      s.read.parquet(silverPath), dim, "l_partkey",
+      AtomicTable.read(s, silverPath), dim, "l_partkey",
       "o_orderdate", "l_quantity", "l_extendedprice", Seq("p_brand"))
     val goldPath = s"$tmp/gold_sales"
-    Medallion.createOrReplace(gold, goldPath, Seq("year"))
-    s.read.parquet(goldPath)
+    AtomicTable.replace(gold, goldPath, mergeSchema = true, partitionCols = Seq("year"))
+    AtomicTable.read(s, goldPath)
   }
 
   val all: Seq[Q] = Seq(q50)

@@ -101,6 +101,17 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps each key only until the
+    * watermark passes it, so dedup state is O(events within the
+    * watermark horizon). A plain streaming `dropDuplicates` would
+    * accrete every key ever seen — unbounded state, the q15-at-stream
+    * scale trap. Duplicates farther apart than the horizon are NOT
+    * caught (the explicit trade; batch q15 is the exact form). */
+  def dedupWithinWatermark(events: DataFrame, idCol: String, tsCol: String,
+                           horizon: String): DataFrame =
+    events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(idCol)
+
   /** K5 — streaming parquet sink with checkpoint + processing-time
     * partitions (streaming_flow.py:200-208); exactly-once via the file
     * sink log. */

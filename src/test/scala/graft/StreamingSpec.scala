@@ -171,6 +171,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains("2026-01-01 01:00:00.0"))
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon dupes collapse, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = graft.streaming.Events.dedupWithinWatermark(
+        ms.toDF().toDF("ts", "event_id"), "event_id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // duplicate within the horizon: second copy dropped
+    ms.addData((t("2026-01-01 00:01:00"), "a"), (t("2026-01-01 00:02:00"), "a"),
+      (t("2026-01-01 00:02:00"), "b"))
+    q.processAllAvailable()
+    // advance event time far past the horizon, then REPLAY key "a":
+    // its dedup state has been evicted, so the replay passes through —
+    // bounded state, at the price of not catching far-apart duplicates
+    ms.addData((t("2026-01-01 05:00:00"), "c"))
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 05:01:00"), "a"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[String]("event_id")).toSeq
+    assert(ids.count(_ == "a") === 2, s"got $ids") // once per horizon, not thrice
+    assert(ids.count(_ == "b") === 1 && ids.count(_ == "c") === 1)
+  }
+
   test("to_json payload round-trips through the from_json parse chain") {
     import spark.implicits._
     val recs = Seq(("u1", "2020-01-01T00:00:00", "p9"))
