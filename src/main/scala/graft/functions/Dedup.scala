@@ -223,7 +223,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxGramDf: Long = 1000L): DataFrame = {
+    // the gram table feeds sizes, the df histogram AND both self-join
+    // sides — one explode, materialized, instead of four
     val g = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val kept = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("gram_df"))

@@ -133,16 +133,28 @@ object Similarity {
     kmeansCentroids(train, c, iters, dim)
   }
 
-  /** Assign every vector to its nearest centroid (rank-1 over a
-    * broadcast cross score) — the IVF build pass. Output carries the
-    * vector norm for all downstream cosine work. */
+  /** Assign every vector to its nearest centroid — the IVF build pass.
+    * Output carries the vector norm for all downstream cosine work.
+    *
+    * The arg-max is a `max_by` HASH AGGREGATE over the broadcast cross
+    * score, not a window: partial aggregation collapses the n·c scored
+    * rows to one row per vector BEFORE the shuffle, so the exchange
+    * carries n rows — a window (row_number) form would shuffle and
+    * sort all n·c. Tiebreak matches the window convention: highest
+    * cosine, then lowest centroid id (via the negated id in the
+    * ordering struct). */
   def ivfAssign(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val v = withNorm(vectors, "vec_id", "embedding", "v_norm")
     val c = cents.select(col("centroid_id"), col("c_emb"), norm(col("c_emb")).as("c_norm"))
-    val scored = v.crossJoin(broadcast(c))
+    v.crossJoin(broadcast(c))
       .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"),
         (dot(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm"))).as("c_sim"))
-    Relational.topNPerGroup(scored, 1, Seq(col("vec_id")), col("c_sim"), col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("v_norm")).as("v_norm"),
+        max_by(col("centroid_id"),
+          struct(col("c_sim"), (-col("centroid_id")).as("neg_id"))).as("centroid_id"))
       .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"))
   }
 
@@ -170,9 +182,12 @@ object Similarity {
     * vectors sharing a centroid are compared (equi-join on centroid_id,
     * not an O(n²) cross join), then thresholded. */
   def cosineNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+    // the assignment feeds both sides of the self-join — materialize the
+    // IVF index once instead of re-running the whole assign pass per side
+    val ix = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ix.select(col("centroid_id"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("v_norm").as("na"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+    val b = ix.select(col("centroid_id"), col("vec_id").as("b"),
       col("embedding").as("eb"), col("v_norm").as("nb"))
     a.join(b, Seq("centroid_id"), "inner")
       .filter(col("a") < col("b"))
