@@ -97,6 +97,25 @@ object AtomicTable {
     next
   }
 
+  /** MERGE-style upsert: the next version = delta rows + current rows
+    * whose key is absent from the delta (matched keys are replaced,
+    * new keys insert, untouched rows carry over), committed atomically
+    * like any other version — the `MERGE INTO` the reference's stack
+    * gets from Iceberg, as a read-join-replace over the snapshot.
+    * Rewriting the table per merge is the simple-and-correct form; a
+    * 100 TB deployment partitions the table and merges only the
+    * partitions the delta touches (the join is partition-prunable).
+    * With `mergeSchema` the delta may add or drop columns (missing
+    * sides null-fill via unionByName). */
+  def upsert(delta: DataFrame, dir: String, keyCol: String,
+             mergeSchema: Boolean = false): String = {
+    val spark = delta.sparkSession
+    val cur = read(spark, dir)
+    val kept = cur.join(delta.select(keyCol), Seq(keyCol), "left_anti")
+    val next = kept.unionByName(delta, allowMissingColumns = mergeSchema)
+    replace(next, dir)
+  }
+
   /** Drop all version directories except the newest `keep` (never the
     * live one). */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {

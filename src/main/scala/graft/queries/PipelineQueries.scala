@@ -62,5 +62,26 @@ object PipelineQueries {
     AtomicTable.read(s, goldPath)
   }
 
-  val all: Seq[Q] = Seq(q50)
+  /** q59 — atomic MERGE-style upsert under the gate: seed the table
+    * with every customer, upsert a delta that bumps every 10th
+    * customer's balance, read the committed snapshot back. The oracle
+    * is the closed-form CASE over the raw table — matched keys must
+    * show the delta, unmatched keys the original, nothing lost. */
+  val q59 = Q("q59_atomic_upsert",
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+      |            ELSE c_acctbal END AS balance
+      |FROM customer""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val base = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col("c_acctbal").as("balance"))
+    AtomicTable.replace(base, tmp)
+    val delta = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("balance", col("balance") + 1000.0)
+    AtomicTable.upsert(delta, tmp, "c_custkey")
+    AtomicTable.read(s, tmp)
+  }
+
+  val all: Seq[Q] = Seq(q50, q59)
 }

@@ -43,6 +43,18 @@ class AtomicTableSpec extends SparkSpec {
     assert(t3.filter(t3("score").isNotNull).count() === 0)
   }
 
+  test("upsert: matched keys replaced, new keys inserted, others survive; atomic version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_up_").toString
+    AtomicTable.replace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val ver = AtomicTable.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir, "id")
+    assert(ver === "v_00002")
+    val got = AtomicTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the pre-upsert snapshot is still readable (time travel until vacuum)
+    assert(spark.read.parquet(s"$dir/v_00001").count() === 2)
+  }
+
   test("read of an uncommitted table fails loudly, not with a phantom empty table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_none_").toString
     intercept[IllegalStateException] { AtomicTable.read(spark, dir) }

@@ -5,10 +5,25 @@ import graft.functions.Similarity
 import graft.plans.NativeExpressions
 
 /** The native DotProductF32 expression: bit-parity with the HOF form,
-  * SQL registration via GraftExtensions, and a sanity perf comparison. */
+  * SQL registration via GraftExtensions, the optimizer rewrite, and a
+  * sanity perf comparison. */
 class NativeSpec extends SparkSpec {
 
-  test("native dot == HOF dot, bit-exact, on the real embeddings") {
+  /** Run `f` with the HOF→native rewrite rule disabled, so parity tests
+    * genuinely compare the interpreted HOF path against the native one
+    * (with the rule active both sides would BE the native expression). */
+  private def withoutRewrite[T](f: => T): T = {
+    val k = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "graft.plans.RewriteHofDotProduct")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("native dot == HOF dot, bit-exact, on the real embeddings") { withoutRewrite {
     val e = Tables.embeddings(spark, sf)
     val a = e.select(col("vec_id"), col("embedding").as("ea"))
     val b = e.select(col("vec_id"), col("embedding").as("eb"))
@@ -18,6 +33,21 @@ class NativeSpec extends SparkSpec {
     // exact bit equality, not tolerance: both are left-to-right double sums
     assert(both.filter(col("hof") =!= col("native")).isEmpty)
     assert(both.count() === 200)
+  } }
+
+  test("optimizer rule: the HOF dot-product pattern rewrites to graft_dot_f32") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.select(Similarity.dotHof(col("embedding"), col("embedding")).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot_f32"),
+      "expected RewriteHofDotProduct to fire on the aggregate(zip_with(...)) pattern")
+    // rewritten values == the genuinely-interpreted HOF values
+    val rewritten = q.collect().map(_.getDouble(0))
+    val plain = withoutRewrite {
+      val p = e.select(Similarity.dotHof(col("embedding"), col("embedding")).as("d"))
+      assert(!p.queryExecution.optimizedPlan.toString.contains("graft_dot_f32"))
+      p.collect().map(_.getDouble(0))
+    }
+    assert(rewritten.toSeq === plain.toSeq)
   }
 
   test("graft_dot_f32 resolves in SQL through GraftExtensions") {
@@ -58,7 +88,7 @@ class NativeSpec extends SparkSpec {
       pairs.select(sum(c)).head
       (System.nanoTime() - t0) / 1e9
     }
-    val hof = time(Similarity.dotHof(col("ea"), col("eb")))
+    val hof = withoutRewrite(time(Similarity.dotHof(col("ea"), col("eb"))))
     val native = time(NativeExpressions.dotF32(col("ea"), col("eb")))
     pairs.unpersist()
     info(f"hof=$hof%.2fs native=$native%.2fs speedup=${hof / native}%.1fx")
