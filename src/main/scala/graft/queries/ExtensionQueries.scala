@@ -567,6 +567,49 @@ object ExtensionQueries {
       when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
   }
 
+  /** q60 — the training-data prep pipeline composed end-to-end: keep
+    * quality-passing docs (q31's score), collapse exact duplicates to
+    * their canonical id (q15's dedup — canonical = min doc_id per
+    * text), assign the train/val/test split (q57's keyed hash). One
+    * declarative plan: Catalyst pipelines the scalar score and split
+    * into the scan and the dedup is the single shuffle. This is the
+    * query a pretraining ingest actually runs. */
+  val q60 = Q("q60_prep_pipeline", {
+    val allStops = Text.Stopwords.values.flatten.toSeq
+    val hits = hitsSql(allStops)
+    val split = graft.functions.Hashes.h60Sql("'split|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, lang,
+       |    (least(length(text) / 200.0, 1.0)
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+       |                      / length(text) * 4.0, 1.0))
+       |     + least(CAST($hits AS DOUBLE) / len(string_split(trim(text), ' ')) * 5.0, 1.0))
+       |    / 3.0 AS score
+       |  FROM documents),
+       |kept AS (SELECT * FROM scored WHERE score >= 0.5),
+       |canon AS (
+       |  SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
+       |         COUNT(*) AS dup_count
+       |  FROM kept GROUP BY md5(text))
+       |SELECT c.doc_id, c.text_hash, c.dup_count, k.lang, k.score,
+       |  CASE WHEN ${split.replace("doc_id", "c.doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${split.replace("doc_id", "c.doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM canon c JOIN kept k ON k.doc_id = c.doc_id""".stripMargin
+  }) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("text"), col("lang"),
+      Text.qualityScore(col("text")).as("score"))
+    val kept = scored.filter(col("score") >= 0.5)
+    val canon = Dedup.exact(kept, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"), col("text_hash"), col("dup_count"))
+    val h = graft.functions.Hashes
+      .h60(concat(lit("split|"), col("doc_id").cast(StringType))) % 100
+    canon.join(kept.select(col("doc_id"), col("lang"), col("score")), Seq("doc_id"))
+      .select(col("doc_id"), col("text_hash"), col("dup_count"), col("lang"), col("score"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58, q60)
 }

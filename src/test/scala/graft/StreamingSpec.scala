@@ -171,6 +171,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains("2026-01-01 01:00:00.0"))
   }
 
+  test("session_window on a stream: a session emits once the watermark passes its gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = ms.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("session_window.start").as("start"), col("n"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    ms.addData((t("2026-01-01 00:01:00"), "u1"), (t("2026-01-01 00:10:00"), "u1"))
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 02:00:00"), "u1")) // watermark passes session 1 → it emits
+    q.processAllAvailable()
+    ms.addData((t("2026-01-01 05:00:00"), "u1")) // and closes session 2
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out").collect()
+      .map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+    assert(rows("2026-01-01 00:01:00.0") === 2L) // merged: 00:01 + 00:10 in one session
+    assert(rows("2026-01-01 02:00:00.0") === 1L)
+  }
+
   test("dropDuplicatesWithinWatermark: in-horizon dupes collapse, state stays bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
