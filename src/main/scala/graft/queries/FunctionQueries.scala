@@ -234,5 +234,44 @@ object FunctionQueries {
       .select("event_id", "user_id", "matched_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  /** q61 — exact COUNT(DISTINCT) per group: the exact twin of q30's
+    * HLL estimate, under the hash gate (the estimator itself can't be —
+    * engines' sketches differ). At 100 TB exact distinct doubles the
+    * shuffle (expand + two-phase agg); q30 is the default, this is the
+    * audit query. */
+  val q61 = Q("q61_exact_distinct",
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** q62 — fuzzy/string battery: edit distance (the similarity-join
+    * scalar), reverse/translate/repeat/ascii/split_part — all
+    * cross-engine-identical classic definitions, all scan-speed. */
+  val q62 = Q("q62_fuzzy_battery",
+    """SELECT p_partkey,
+      |       levenshtein(p_name, p_type) AS lev_name_type,
+      |       levenshtein(p_brand, p_type) AS lev_brand_type,
+      |       reverse(p_brand) AS brand_rev,
+      |       translate(p_brand, '#', '-') AS brand_norm,
+      |       repeat(substring(p_brand, 1, 2), 2) AS brand_rep,
+      |       ascii(p_name) AS first_char,
+      |       split_part(p_type, ' ', 1) AS type_head
+      |FROM part""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      levenshtein(col("p_name"), col("p_type")).as("lev_name_type"),
+      levenshtein(col("p_brand"), col("p_type")).as("lev_brand_type"),
+      reverse(col("p_brand")).as("brand_rev"),
+      translate(col("p_brand"), "#", "-").as("brand_norm"),
+      repeat(substring(col("p_brand"), 1, 2), 2).as("brand_rep"),
+      ascii(col("p_name")).as("first_char"),
+      split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49, q61, q62)
 }

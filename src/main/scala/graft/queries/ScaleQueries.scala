@@ -51,5 +51,39 @@ object ScaleQueries {
         Cols.dsum(col("l_extendedprice")).as("total_price"))
   }
 
-  val all: Seq[Q] = Seq(q54, q55)
+  /** q63 — binned range join under the oracle: 100 overlapping time
+    * windows (derived in-plan from the event-time span — no collect)
+    * joined to every event by containment, then a per-window rollup.
+    * The oracle is the plain inequality join; the Spark side runs the
+    * binned equi-join form (`RangeJoin.binned`), so the oracle also
+    * proves binned ≡ naive on real data. Times are µs on both sides:
+    * DuckDB's parquet reader truncates ns timestamps to µs, so the
+    * shared domain is `ts div 1000` ↔ `epoch_us(ts)`. */
+  val q63 = Q("q63_range_join",
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+      |mm AS (SELECT min(tus) AS tmin, max(tus) AS tmax FROM e),
+      |r AS (SELECT CAST(r_id AS INT) AS r_id,
+      |             tmin + r_id * ((tmax - tmin) // 100) AS lo,
+      |             tmin + (r_id + 2) * ((tmax - tmin) // 100) AS hi
+      |      FROM mm, (SELECT unnest(range(0, 100)) AS r_id))
+      |SELECT r.r_id, COUNT(*) AS n_events,
+      |       min(e.tus) AS first_ts, max(e.tus) AS last_ts
+      |FROM e JOIN r ON e.tus >= r.lo AND e.tus <= r.hi
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), expr("ts div 1000").as("tus"))
+    val ranges = ev.agg(min("tus").as("tmin"), max("tus").as("tmax"))
+      .select(explode(sequence(lit(0), lit(99))).as("r_id"),
+        col("tmin"), col("tmax"))
+      .select(col("r_id"),
+        (col("tmin") + col("r_id") * expr("(tmax - tmin) div 100")).as("lo"),
+        (col("tmin") + (col("r_id") + 2) * expr("(tmax - tmin) div 100")).as("hi"))
+    graft.operators.RangeJoin
+      .binned(ev, "tus", ranges, "lo", "hi", binShift = 34)
+      .groupBy("r_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("first_ts"), max("tus").as("last_ts"))
+  }
+
+  val all: Seq[Q] = Seq(q54, q55, q63)
 }
