@@ -101,6 +101,22 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-stream inner join with event-time interval bounds: each
+    * left row matched to right rows of the same key whose time falls in
+    * [leftTime, leftTime + window]. BOTH sides are watermarked and the
+    * join condition bounds both times, so each side's buffered state is
+    * limited to watermark + window — the shape that keeps a
+    * stream-stream join runnable forever (an unbounded-condition join
+    * would buffer both streams in full). */
+  def intervalJoin(left: DataFrame, leftTime: String, leftKey: String,
+                   right: DataFrame, rightTime: String, rightKey: String,
+                   window: String, horizon: String): DataFrame =
+    left.withWatermark(leftTime, horizon)
+      .join(right.withWatermark(rightTime, horizon),
+        expr(s"$leftKey = $rightKey AND $rightTime >= $leftTime AND " +
+          s"$rightTime <= $leftTime + interval $window"),
+        "inner")
+
   /** Streaming exact dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps each key only until the
     * watermark passes it, so dedup state is O(events within the

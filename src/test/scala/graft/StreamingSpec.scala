@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains("2026-01-01 01:00:00.0"))
   }
 
+  test("stream-stream interval join: purchases within 1h of a view match, outside don't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = graft.streaming.Events.intervalJoin(
+      views.toDF().toDF("vts", "v_user"), "vts", "v_user",
+      buys.toDF().toDF("pts", "p_user"), "pts", "p_user",
+      window = "1 hour", horizon = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    views.addData((t("2026-01-01 00:00:00"), "u1"), (t("2026-01-01 00:00:00"), "u2"))
+    buys.addData(
+      (t("2026-01-01 00:30:00"), "u1"),  // in window → match
+      (t("2026-01-01 02:00:00"), "u1"),  // outside 1h → no match
+      (t("2026-01-01 00:30:00"), "u3"))  // no matching view key
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getAs[String]("v_user"), r.getTimestamp(2).toString)).toSet
+    assert(got === Set(("u1", "2026-01-01 00:30:00.0")))
+  }
+
   test("session_window on a stream: a session emits once the watermark passes its gap") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
