@@ -273,5 +273,42 @@ object FunctionQueries {
       split_part(col("p_type"), lit(" "), lit(1)).as("type_head"))
   }
 
-  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49, q61, q62)
+  /** q64 — GROUPING SETS + GROUPING() (the BI slice beyond q34's
+    * ROLLUP / q35's CUBE: arbitrary grouping combinations in one
+    * pass). One dialect-neutral SQL string executed verbatim by both
+    * engines, like q47. */
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  val q64 = Q("q64_grouping_sets", groupingSetsSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(groupingSetsSql)
+  }
+
+  /** q65 — EXISTS / NOT EXISTS correlated subqueries (Catalyst
+    * decorrelates both into semi/anti joins; q43 covers the scalar
+    * form). Shared SQL string, both engines verbatim. */
+  private val existsSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_totalprice < 1000)""".stripMargin
+
+  val q65 = Q("q65_exists_subqueries", existsSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(existsSql)
+  }
+
+  val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q61, q62, q64, q65)
 }
