@@ -610,6 +610,66 @@ object ExtensionQueries {
         when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
   }
 
+  /** q66 — int8 scalar quantization of embeddings (the storage form at
+    * 100 TB: 4× smaller than float32): per-vector scale = max |x|,
+    * q = floor(x/scale·127). Floor (not round — engines disagree on
+    * half-way ties) over IEEE-deterministic double ops keeps it under
+    * the gate; first 8 dims exploded to scalar rows (list cells don't
+    * hash portably in the compare harness). */
+  val q66 = Q("q66_quantize_embeddings",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(greatest(list_max(list_transform(embedding, x -> abs(x))),
+      |                       CAST(1e-12 AS FLOAT)) AS DOUBLE) AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale, CAST(gi - 1 AS INT) AS dim,
+      |       CAST(floor(CAST(embedding[gi] AS DOUBLE) / scale * 127) AS BIGINT) AS q_val
+      |FROM v, (SELECT unnest(range(1, 9)) AS gi)""".stripMargin) { (s, d) =>
+    val e = col("embedding")
+    val withScale = Tables.embeddings(s, d).select(
+      col("vec_id"), e,
+      greatest(array_max(transform(e, x => abs(x))), lit(1e-12f))
+        .cast(DoubleType).as("scale"))
+    withScale.select(col("vec_id"), col("scale"),
+        posexplode(transform(slice(e, 1, 8),
+          x => floor(x.cast(DoubleType) / col("scale") * 127))))
+      .select(col("vec_id"), col("scale"), col("pos").as("dim"), col("col").as("q_val"))
+  }
+
+  /** q67 — sequence packing for pretraining: documents are concatenated
+    * per shard (lang here) in doc_id order and cut into fixed 2048-token
+    * sequences; each doc gets its global start offset, its sequence
+    * index, and whether it straddles a boundary. Pure keyed window
+    * cumsum — parallel per shard, no shuffle beyond the window key (a
+    * GLOBAL pack would be a single-partition window: always shard
+    * first at scale). */
+  val q67 = Q("q67_sequence_packing",
+    """WITH t AS (
+      |  SELECT lang, doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      |  FROM t)
+      |SELECT lang, doc_id, n_tokens, start_offset,
+      |       start_offset // 2048 AS seq_idx,
+      |       CASE WHEN (start_offset + n_tokens - 1) // 2048 > start_offset // 2048
+      |            THEN 1 ELSE 0 END AS crosses_boundary
+      |FROM c""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr("start_offset div 2048").as("seq_idx"),
+        when(expr("(start_offset + n_tokens - 1) div 2048") > expr("start_offset div 2048"), 1)
+          .otherwise(0).as("crosses_boundary"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58, q60)
+    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58,
+    q60, q66, q67)
 }
