@@ -244,4 +244,32 @@ object Dedup {
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Candidate-duplicate EDGES from rare shared grams: (a, b) pairs of
+    * docs sharing at least `minShared` distinct grams whose corpus
+    * document frequency is in [2, maxDf]. Rare grams are the
+    * high-signal ones (a gram appearing in half the corpus says
+    * nothing; one appearing in exactly two docs is near-proof of
+    * shared provenance), and the df cap bounds the self-join fan-out:
+    * each kept gram emits at most maxDf·(maxDf−1)/2 pairs, so the edge
+    * count is linear in the gram count — never O(n²) in docs. Feed the
+    * result to [[graft.operators.Components.connectedComponents]] to
+    * turn pairwise evidence into dedup clusters. */
+  def rareGramEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    maxDf: Long, minShared: Long): DataFrame = {
+    // one explode feeds the df histogram and both self-join sides
+    val g = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = g.join(
+      g.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df").between(2, maxDf))
+        .select("gram"),
+      Seq("gram"), "left_semi")
+    rare.select(col(idCol).as("a"), col("gram"))
+      .join(rare.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("a", "b")
+  }
 }
