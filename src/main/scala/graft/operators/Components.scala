@@ -41,6 +41,18 @@ object Components {
     *                 vertices label themselves)
     * @return (v, component) — component = min vertex id reachable
     */
+  /** Free the storage blocks of a `localCheckpoint`'ed DataFrame.
+    * `Dataset.unpersist` only drops CacheManager entries; localCheckpoint
+    * persists the underlying RDD directly, so without this each
+    * iteration's MEMORY_AND_DISK blocks would accumulate until the
+    * ContextCleaner got around to them — a leak proportional to
+    * iteration count on large graphs. The checkpointed plan is a single
+    * `LogicalRDD` holding exactly that RDD. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIters: Int = 100): DataFrame = {
     val Seq(ea, eb) = edges.columns.toSeq.map(col)
@@ -69,7 +81,7 @@ object Components {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
+      dropCheckpoint(labels)
       labels = next
       it += 1
     }

@@ -31,6 +31,25 @@ import org.apache.spark.sql.types.StructType
   * At 100 TB the commit cost is unchanged — one pointer rename — and
   * version directories are written with whatever partitioning the
   * caller asks for; the protocol never rewrites or moves data files.
+  *
+  * Concurrency contract (asserted by `AtomicTableSpec`):
+  *  - version NUMBERS are allocated exclusively: each writer claims its
+  *    number by an atomic create-exclusive of a `_claim_v_NNNNN` marker,
+  *    so racing writers never share a version directory (a shared
+  *    directory would let one writer's Overwrite delete the other's
+  *    in-flight files — the round-3 lost-update hazard);
+  *  - the COMMIT point is the pointer rename, and the policy is
+  *    last-rename-wins: racing `replace` calls both produce complete,
+  *    durable version directories, and `_current` names whichever
+  *    renamed last — readers always see one complete version, and the
+  *    superseded version stays reachable by time travel;
+  *  - `upsert` is read-modify-write: last-rename-wins means a racing
+  *    upsert's delta can be absent from the winner's base. True OCC
+  *    (failing the losing committer) needs a compare-and-swap primitive
+  *    plain filesystems lack — it's exactly why Iceberg requires a
+  *    catalog service. Serialize upserts per table externally (the
+  *    reference does this implicitly: Airflow runs one job instance per
+  *    table at a time).
   */
 object AtomicTable {
 
@@ -69,6 +88,30 @@ object AtomicTable {
     withMissing.select(ordered.map(col): _*)
   }
 
+  /** Atomic create-exclusive of an empty marker file: true iff THIS
+    * caller created it. On HDFS/object stores `create(overwrite=false)`
+    * is atomic server-side; the local Hadoop shim (RawLocalFileSystem)
+    * is check-then-act — a TOCTOU race — so `file:` paths route through
+    * NIO's O_EXCL create, which is atomic at the POSIX layer. */
+  private def claimExclusive(ctx: FileContext, p: Path): Boolean = {
+    val scheme = Option(p.toUri.getScheme)
+      .getOrElse(ctx.getDefaultFileSystem.getUri.getScheme)
+    if (scheme == "file" || scheme == null) {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.createFile(nio)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        ctx.create(p, java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          Options.CreateOpts.createParent()).close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
   /** Atomic full replace. Returns the committed version name. */
   def replace(df: DataFrame, dir: String, mergeSchema: Boolean = false,
               partitionCols: Seq[String] = Nil): String = {
@@ -77,7 +120,16 @@ object AtomicTable {
     val out =
       if (mergeSchema && cur.isDefined) alignToUnion(df, read(spark, dir).schema)
       else df
-    val next = f"v_${cur.map(_.stripPrefix("v_").toInt).getOrElse(0) + 1}%05d"
+    // exclusive version allocation: atomic create-exclusive of a claim
+    // marker — exactly one writer wins each number, so racing writers
+    // get distinct version directories (see the concurrency contract)
+    val actx = fc(spark, dir)
+    var n = cur.map(_.stripPrefix("v_").toInt).getOrElse(0) + 1
+    var next: String = null
+    while (next == null) {
+      if (claimExclusive(actx, new Path(dir, f"_claim_v_$n%05d"))) next = f"v_$n%05d"
+      else n += 1
+    }
     // partitioned versions co-locate each hive partition into one task
     // (see Medallion.appendPartitioned: avoids tasks×partitions files)
     val laid = if (partitionCols.nonEmpty) out.repartition(partitionCols.map(col): _*) else out
@@ -124,6 +176,10 @@ object AtomicTable {
     val versions = ctx.util.listStatus(new Path(dir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("v_")).sorted
     versions.dropRight(keep).filterNot(live.contains)
-      .foreach(v => ctx.delete(new Path(dir, v), true))
+      .foreach { v =>
+        ctx.delete(new Path(dir, v), true)
+        val claim = new Path(dir, s"_claim_$v")
+        if (ctx.util.exists(claim)) ctx.delete(claim, false)
+      }
   }
 }

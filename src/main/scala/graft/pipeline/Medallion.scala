@@ -64,18 +64,22 @@ object Medallion {
     * short-circuit mirrors `df.rdd.isEmpty()` at :73,118 — in Scala,
     * `df.isEmpty` (a limit-1 scan, not a full count).
     *
-    * The input is repartitioned ON the partition columns first so each
-    * hive directory receives ONE file per batch instead of one per
+    * The input is REBALANCE-hinted ON the partition columns first so
+    * each hive directory receives ONE file per batch instead of one per
     * task — without it a 32-task write into a date-partitioned table
     * emits up to 32 tiny files per date, and a multi-year backfill
     * degenerates into a small-files storm (the classic lakehouse
-    * failure; at 1000 executors it's 1000× worse). AQE still splits a
-    * genuinely huge partition into several tasks.
+    * failure; at 1000 executors it's 1000× worse). The rebalance hint
+    * (not plain `repartition`) matters for the skew side: AQE's
+    * OptimizeSkewInRebalancePartitions only splits oversized shuffle
+    * partitions for REBALANCE shuffles, so a hot date becomes several
+    * tasks writing several files instead of one straggler writing one
+    * giant file.
     */
   def appendPartitioned(df: DataFrame, path: String,
                         partitionCols: Seq[String] = Seq("year", "month", "day")): Unit =
     if (!df.isEmpty)
-      df.repartition(partitionCols.map(col): _*)
+      df.hint("rebalance", partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*).mode(SaveMode.Append).parquet(path)
 
   /** Full bronze incremental-load step: probe sink, slice source, derive
@@ -148,9 +152,10 @@ object Medallion {
     * replace, optionally partitioned (silver_clean_transform.py:77-79,
     * gold_transfrom.py:71-75). */
   def createOrReplace(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
-    // partitioned replace: co-locate each hive partition into one task
-    // (see appendPartitioned — avoids tasks×partitions file counts)
-    val out = if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    // partitioned replace: co-locate each hive partition into one task,
+    // with AQE free to split a hot partition (see appendPartitioned)
+    val out =
+      if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols.map(col): _*) else df
     val w = out.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * `Similarity.dot`'s `aggregate(zip_with(...))` — bit-identical
   * results (NativeSpec pins this on the real embeddings) — as one tight
   * primitive loop with no intermediate array.
+  *
+  * Null semantics match the HOF form exactly, so the optimizer rewrite
+  * is semantics-preserving on ANY input: ragged pair (zip_with would
+  * null-pad and poison the sum) ⇒ NULL; any null element ⇒ NULL; the
+  * per-element null scan is only emitted when the array types say
+  * `containsNull` — fixed-dimension non-null embeddings keep the tight
+  * two-load loop.
   */
 case class DotProductF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,25 +41,45 @@ case class DotProductF32(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot_f32"
+  // NULL on ragged/null-element inputs even when both arrays are non-null
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0; var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val nullScan = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullScan
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

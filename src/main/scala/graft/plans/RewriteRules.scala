@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * the kernel — the same contract as Catalyst's own expression rewrites.
   *
   * Scope guard: fires only for (array<float>, array<float>) inputs.
-  * Assumes fixed-dimension embedding columns (this engine's data
-  * model): on RAGGED pairs the HOF form yields NULL (null-padded
-  * zip_with poisons the sum) where the native form dots the common
-  * prefix — don't enable this rule over genuinely ragged data.
+  * Semantics-preserving on ANY such input: `DotProductF32` mirrors the
+  * HOF form's null behavior — ragged pair ⇒ NULL (zip_with would
+  * null-pad and poison the sum), any null element ⇒ NULL — and the
+  * per-element null scan is only emitted when the array type says
+  * `containsNull`, so fixed-dimension non-null embeddings keep the
+  * tight two-load loop.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 

@@ -649,8 +649,9 @@ object ExtensionQueries {
       |  FROM documents),
       |c AS (
       |  SELECT lang, doc_id, n_tokens,
-      |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      |         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           - n_tokens AS start_offset
       |  FROM t)
       |SELECT lang, doc_id, n_tokens, start_offset,
       |       start_offset // 2048 AS seq_idx,

@@ -55,6 +55,44 @@ class AtomicTableSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/v_00001").count() === 2)
   }
 
+  test("racing replaces: distinct versions, complete winner, no torn read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_race_").toString
+    AtomicTable.replace(Seq((0L, "seed")).toDF("id", "tag"), dir)
+
+    // two writers race from the same base version; exclusive claim
+    // allocation must give them DISTINCT version directories, and the
+    // last pointer rename wins — readers see exactly one writer's full
+    // content, never a mix and never a partial directory
+    val payloads = Map("A" -> (1L to 40L), "B" -> (100L to 160L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val threads = payloads.map { case (tag, ids) =>
+      new Thread(() => {
+        val df = ids.map(i => (i, tag)).toDF("id", "tag")
+        barrier.await()
+        results.put(tag, AtomicTable.replace(df, dir))
+      })
+    }.toSeq
+    threads.foreach(_.start()); threads.foreach(_.join())
+
+    val vA = results.get("A"); val vB = results.get("B")
+    assert(vA !== vB, "racing writers must never share a version directory")
+    assert(Set(vA, vB) === Set("v_00002", "v_00003"))
+    // both versions are complete and durable (loser reachable by time travel)
+    payloads.foreach { case (tag, ids) =>
+      val v = results.get(tag)
+      val got = spark.read.parquet(s"$dir/$v").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === ids.toSeq, s"version $v of writer $tag must be complete")
+    }
+    // the live table is exactly ONE writer's content (last rename wins —
+    // which writer that is depends on timing, but it's never a mix)
+    val cur = AtomicTable.currentVersion(spark, dir)
+    assert(cur === Some(vA) || cur === Some(vB))
+    val winner = if (cur.contains(vA)) "A" else "B"
+    val live = AtomicTable.read(spark, dir).collect().map(_.getString(1)).toSet
+    assert(live === Set(winner), s"live table must be exactly the winner's content: $live")
+  }
+
   test("read of an uncommitted table fails loudly, not with a phantom empty table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_none_").toString
     intercept[IllegalStateException] { AtomicTable.read(spark, dir) }
