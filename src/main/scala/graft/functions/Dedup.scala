@@ -222,11 +222,18 @@ object Dedup {
     * pair shuffle — that trade is the 100 TB design. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxGramDf: Long = 1000L): DataFrame = {
+                        maxGramDf: Long = 1000L,
+                        persistGrams: Boolean = true): DataFrame = {
     // the gram table feeds sizes, the df histogram AND both self-join
-    // sides — one explode, materialized, instead of four
-    val g = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides — one explode, materialized, instead of four. Measured at
+    // sf0.1/local[32] (3 reps): persist 2.29 s vs recompute 2.34 s —
+    // a wash at gate scale (the round-3 13 s reading was single-rep
+    // machine noise); kept because at 100 TB recomputing the explode
+    // four times dwarfs one serialization pass
+    val g0 = shingles(df, idCol, textCol, n)
+    val g = if (persistGrams)
+      g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else g0
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val kept = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("gram_df"))

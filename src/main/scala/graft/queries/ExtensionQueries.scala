@@ -257,7 +257,7 @@ object ExtensionQueries {
   val q24 = Q.noOracle("q24_ivf_ann") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
     val n = vecs.count()
-    val cents = Similarity.trainedCodebook(vecs, n)
+    val cents = Similarity.sharedCodebook(vecs, n, tag = d)
     val assigned = Similarity.ivfAssign(vecs, cents)
     val nprobe = math.max(2, Similarity.codebookSize(n) / 4)
     Similarity.ivfTopK(assigned, cents, vecs.filter(col("vec_id") < 5),
@@ -270,7 +270,7 @@ object ExtensionQueries {
     * O(n²/c)). */
   val q25 = Q.noOracle("q25_embedding_near_dups") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
-    val assigned = Similarity.ivfAssign(vecs, Similarity.trainedCodebook(vecs, vecs.count()))
+    val assigned = Similarity.ivfAssign(vecs, Similarity.sharedCodebook(vecs, vecs.count(), tag = d))
     // the synthetic embeddings are near-orthogonal (top-10 cosines land
     // in 0.25-0.39) — 0.3 marks the "suspiciously similar" tail there;
     // a real corpus would use ~0.95
@@ -293,6 +293,17 @@ object ExtensionQueries {
   }) { (s, d) =>
     Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d)),
       Multimodal.Md5Decoder).toDF()
+  }
+
+  /** q26_prod — the PRODUCTION form of q26: same mapPartitions batch
+    * plumbing, FNV-based `StubDecoder` instead of the md5 stub. The md5
+    * form exists so the oracle can reproduce every value; this is the
+    * plan you'd ship (no MessageDigest per row), registered no-oracle so
+    * the bench measures production cost while q26 stays hash-gated.
+    * Spec-pinned in `ScaleOpsSpec` (decoder determinism). */
+  val q26p = Q.noOracle("q26_media_features_prod") { (s, d) =>
+    Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d)),
+      Multimodal.StubDecoder).toDF()
   }
 
   /** q27 — multimodal metadata projection (SQL-expressible slice of the
@@ -323,6 +334,16 @@ object ExtensionQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       Text.fingerprint(col("text"), graft.functions.Hashes.h60).as("fingerprint"))
+  }
+
+  /** q28_prod — the PRODUCTION form of q28: identical rolling fold over
+    * crc32 token hashes (one codegen'd pass, no MessageDigest). No-oracle
+    * by design — crc32 isn't portably reproducible in the oracle SQL —
+    * so the bench times the shipped plan while q28 stays hash-gated;
+    * the fold itself is proven by q28 and the `TextDedupSpec` pin. */
+  val q28p = Q.noOracle("q28_fingerprint_prod") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
   }
 
   /** q29 — sessionization over the event stream (gap > 30 min ⇒ new
@@ -670,7 +691,46 @@ object ExtensionQueries {
           .otherwise(0).as("crosses_boundary"))
   }
 
+  /** q68 — dedup CLUSTERING: rare-gram candidate edges → distributed
+    * connected components (iterative min-label propagation), the stage
+    * that turns pairwise near-dup evidence into canonical groups. Every
+    * doc gets the minimum doc_id reachable through shared-rare-gram
+    * edges as its component (isolated docs label themselves). The
+    * oracle computes the same fixpoint as a DuckDB recursive
+    * transitive-closure CTE + MIN — exact, so the whole dedup story
+    * (candidates → verify → clusters) is now end-to-end under the gate. */
+  val q68 = Q("q68_dedup_components",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks),
+      |rare AS (
+      |  SELECT g.doc_id, g.gram FROM grams g
+      |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY 1) f
+      |    ON g.gram = f.gram
+      |  WHERE f.gram_df BETWEEN 2 AND 50),
+      |e0 AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b
+      |  FROM rare ga JOIN rare gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |reach(v, u) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+      |SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    graft.operators.Components
+      .connectedComponents(edges, docs.select(col("doc_id")))
+      .select(col("v").as("doc_id"), col("component"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q51, q52, q53, q56, q57, q58,
-    q60, q66, q67)
+    q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
+    q56, q57, q58, q60, q66, q67, q68)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Dedup
+import graft.operators.Components
+
+/** Distributed connected components (min-label propagation) — the
+  * clustering stage of dedup. Registered under the oracle as q68; these
+  * cases pin the graph semantics the oracle can't isolate. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("a", "b"), vertices.toDF("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain longer than one hop converges to the global min label") {
+    // diameter 4: the min must propagate hop by hop across iterations
+    val got = comps(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), 1L to 5L)
+    assert(got === (1L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep distinct labels; isolated vertices self-label") {
+    val got = comps(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 99L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("edge direction is irrelevant (graph is symmetrized)") {
+    assert(comps(Seq((1L, 9L), (9L, 2L)), Seq(1L, 2L, 9L)) ===
+      Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
+  test("star + cycle topologies: one component each, min label wins") {
+    val star = (2L to 6L).map(x => (1L, x))
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val got = comps(star ++ cycle, (1L to 6L) ++ (20L to 22L))
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert((20L to 22L).forall(got(_) == 20L))
+  }
+
+  test("rareGramEdges -> components on the corpus: labels form a valid partition") {
+    val docs = Tables.documents(spark, sf)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    val got = Components.connectedComponents(edges, docs.select($"doc_id"))
+    val rows = got.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // every doc labeled exactly once, label <= id (min-reachable), and
+    // every edge's endpoints agree on the component
+    assert(rows.length === docs.count())
+    assert(rows.forall { case (v, c) => c <= v })
+    val label = rows.toMap
+    val bad = edges.collect().filter(r => label(r.getLong(0)) != label(r.getLong(1)))
+    assert(bad.isEmpty, s"edges crossing components: ${bad.take(5).mkString(",")}")
+  }
+}
