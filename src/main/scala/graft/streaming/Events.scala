@@ -139,6 +139,59 @@ object Events {
       .partitionBy("year", "month", "day")
       .outputMode(OutputMode.Append)
 
+  // ------------------------------------------- the 4-topic topology (§2.9)
+
+  /** The reference's event-type fan-out (streaming_flow.py:174). */
+  val EventTypes: Seq[String] = Seq("page_view", "add_to_cart", "purchase", "review")
+
+  /** Types that additionally feed the realtime sinks
+    * (streaming_flow.py:211). */
+  val RealtimeTypes: Set[String] = Set("page_view", "add_to_cart")
+
+  /** The reference's FULL streaming topology (streaming_flow.py:170-238):
+    * per event type one bronze parquet sink, and for the realtime types
+    * two more — the serving-state foreachBatch sink and the rerank
+    * payload sink — every query with its OWN checkpoint directory, all
+    * running concurrently under `spark.streams.awaitAnyTermination()`.
+    *
+    * Queries are fully independent: stopping (or crashing) one leaves
+    * the others progressing, and the stopped query resumes from its own
+    * checkpoint — `StreamingSpec` pins exactly that. `sources` maps
+    * event type → Kafka-shaped frame (`value` column): MemoryStream in
+    * tests, `kafkaSource(spark, brokers, s"events.$etype")` in
+    * production. The rerank sink writes the Kafka payload shape
+    * (key/value via `toKafkaPayload`) to parquet here; swap the format
+    * for `kafkaSink` when a broker exists — the payload is identical.
+    */
+  def multiTopicFlow(sources: Map[String, DataFrame], baseDir: String,
+                     store: KVStore, clock: Column = current_timestamp(),
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    sources.toSeq.sortBy(_._1).flatMap { case (etype, src) =>
+      val parsed = parse(src, etype, clock)
+      val bronze = parquetSink(parsed, s"$baseDir/bronze/brz_${etype}_event",
+          s"$baseDir/chk/$etype")
+        .queryName(s"bronze_$etype").trigger(trigger).start()
+      val realtime = if (RealtimeTypes(etype)) {
+        val kv = parsed.writeStream
+          .foreachBatch(servingStateBatch(store) _)
+          .option("checkpointLocation", s"$baseDir/chk/kv_$etype")
+          .outputMode(OutputMode.Append)
+          .queryName(s"kv_$etype").trigger(trigger).start()
+        val rr = toKafkaPayload(
+            guarded(parsed).select(col("user_id"), col("product_id"), col("event_type")),
+            "user_id")
+          .writeStream.format("parquet")
+          .option("path", s"$baseDir/rerank/$etype")
+          .option("checkpointLocation", s"$baseDir/chk/rerank_$etype")
+          .outputMode(OutputMode.Append)
+          .queryName(s"rerank_$etype").trigger(trigger).start()
+        Seq(kv, rr)
+      } else Nil
+      bronze +: realtime
+    }
+
   // ---------------------------------------------------- Kafka wiring (S4/K7)
 
   /** S4 — the production source (streaming_flow.py:180-185). Offline

@@ -48,6 +48,36 @@ object PipelineDemo {
       new java.io.File(s"$dir/bronze").listFiles().map(_.getName).filter(_.startsWith("year=")).mkString(","))
     println(s"[demo] u1 views: ${Events.InMemoryKV.get("user:u1:views")}")
 
+    // ---- the FULL 4-topic topology (streaming_flow.py:170-238) ------
+    // 4 event types × (bronze sink + realtime sinks for page_view and
+    // add_to_cart) = 8 concurrent queries, each with its own checkpoint,
+    // driven to completion under the reference's awaitAnyTermination.
+    Events.InMemoryKV.clear()
+    val topicStreams = Events.EventTypes.map(_ -> MemoryStream[String]).toMap
+    topicStreams("page_view").addData(
+      """{"user_id":"u7","timestamp":"t","product_id":"p1"}""")
+    topicStreams("add_to_cart").addData(
+      """{"user_id":"u7","timestamp":"t","product_id":"p2","quantity":2}""")
+    topicStreams("purchase").addData(
+      """{"user_id":"u8","timestamp":"t","order_id":"o1","product_id":"p2","quantity":1,"price":9.5}""")
+    topicStreams("review").addData(
+      """{"user_id":"u9","timestamp":"t","product_id":"p1","rating":4}""")
+    spark.streams.resetTerminated() // q1/q2 above already finished
+    val flow = Events.multiTopicFlow(
+      topicStreams.map { case (t, ms) => t -> ms.toDF() }, s"$dir/topo",
+      Events.InMemoryKV, clock)
+    spark.streams.awaitAnyTermination() // the reference's driver call
+    flow.foreach(_.awaitTermination())  // AvailableNow: all drain
+    Events.EventTypes.foreach { t =>
+      val n = spark.read.parquet(s"$dir/topo/bronze/brz_${t}_event").count()
+      println(s"[demo] topo bronze[$t]: $n rows")
+    }
+    println(s"[demo] topo rerank payloads: " +
+      spark.read.parquet(s"$dir/topo/rerank/page_view").count() + " + " +
+      spark.read.parquet(s"$dir/topo/rerank/add_to_cart").count())
+    println(s"[demo] topo u7 views/cart: ${Events.InMemoryKV.get("user:u7:views")} / " +
+      s"${Events.InMemoryKV.get("user:u7:cart")}")
+
     // ---- W2 stateful bounded lists + U1 rerank ----------------------
     val items = MemoryStream[Events.ItemEvent]
     items.addData(Events.ItemEvent("u1", "a", "view"), Events.ItemEvent("u1", "b", "view"))

@@ -267,4 +267,56 @@ class StreamingSpec extends SparkSpec {
       .head.getSeq[String](1)
     assert(out === Seq("c1", "v1", "v2", "off1"))
   }
+
+  test("4-topic topology: per-topic checkpoints are independent — kill one, others progress, it resumes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_topo_").toString
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    def pv(i: Int) = s"""{"user_id":"u$i","timestamp":"t","product_id":"p$i"}"""
+    def cart(i: Int) = s"""{"user_id":"u$i","timestamp":"t","product_id":"p$i","quantity":1}"""
+
+    val streams = EventTypes.map(_ -> MemoryStream[String]).toMap
+    streams("page_view").addData(pv(1)); streams("add_to_cart").addData(cart(1))
+    streams("purchase").addData(
+      """{"user_id":"u1","timestamp":"t","order_id":"o1","product_id":"p1","quantity":1,"price":1.0}""")
+    streams("review").addData(
+      """{"user_id":"u1","timestamp":"t","product_id":"p1","rating":5}""")
+    val queries = Events.multiTopicFlow(
+      streams.map { case (t, ms) => t -> ms.toDF() }, dir, InMemoryKV, clock,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // the reference's topology: 4 bronze + 2 kv + 2 rerank queries
+      assert(queries.length === 8)
+      queries.foreach(_.processAllAvailable())
+      def bronzeCount(t: String): Long =
+        spark.read.parquet(s"$dir/bronze/brz_${t}_event").count()
+      assert(EventTypes.forall(bronzeCount(_) === 1L))
+
+      // kill ONLY the page_view bronze query; every other query keeps
+      // consuming — independent checkpoints, independent progress
+      val pvBronze = queries.find(_.name == "bronze_page_view").get
+      pvBronze.stop(); pvBronze.awaitTermination()
+      streams("page_view").addData(pv(2), pv(3))
+      streams("add_to_cart").addData(cart(2))
+      queries.filter(_.isActive).foreach(_.processAllAvailable())
+      assert(bronzeCount("add_to_cart") === 2L, "live topic must progress")
+      assert(bronzeCount("page_view") === 1L, "stopped query must not")
+      // the realtime sinks of page_view are separate queries — still live
+      assert(spark.read.parquet(s"$dir/rerank/page_view").count() === 3L)
+
+      // restart the killed query from ITS checkpoint: it catches up on
+      // exactly the rows it missed, nothing reprocessed (file-sink log)
+      val restarted = Events.parse(streams("page_view").toDF(), "page_view", clock)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/bronze/brz_page_view_event")
+        .option("checkpointLocation", s"$dir/chk/page_view")
+        .partitionBy("year", "month", "day")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      restarted.processAllAvailable()
+      assert(bronzeCount("page_view") === 3L, "resumed query must catch up exactly")
+      restarted.stop()
+    } finally queries.filter(_.isActive).foreach(_.stop())
+  }
 }
