@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Cols, Tables}
+import graft.functions.{Dedup, Text}
+
+/** Round-4 training-data-pipeline batch: corpus vocabulary building,
+  * stratified sampling, benchmark-contamination detection, boilerplate
+  * removal, and incremental gold maintenance — the operations a
+  * pretraining ingest runs beyond dedup/scoring/splitting (which q15-q31
+  * and q56-q60 already cover). All oracle-gated.
+  */
+object TrainingQueries {
+
+  /** q69 — corpus vocabulary: token frequencies, top 1000 by (count
+    * desc, token) — the tokenizer-training / coverage-audit pass. The
+    * explode+groupBy is the canonical map-side-combine shape (partial
+    * counts collapse per partition before the one shuffle); the global
+    * row_number window runs over the AGGREGATED vocabulary, never the
+    * token stream — at 100 TB the window input is |vocab|, not |tokens|
+    * (same agg-first rule as W3 top-N). */
+  val q69 = Q("q69_vocab_topk",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1)
+      |SELECT token, n, rank FROM (
+      |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      |  FROM freq)
+      |WHERE rank <= 1000""".stripMargin) { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= 1000)
+  }
+
+  /** q70 — stratified per-language quota sample (50 docs per lang):
+    * deterministic keyed-hash order instead of a PRNG, so membership is
+    * stable across runs, engines and repartitioning — the audited-
+    * holdout property q57's split shares. The window partitions by
+    * lang: per-stratum state, shuffles only (doc_id, lang), and a skewed
+    * language costs one fat partition of ids, not of documents. */
+  val q70 = Q("q70_stratified_sample", {
+    val h = graft.functions.Hashes.h60Sql("'strat|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 50""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("strat|"), col("doc_id").cast(StringType)))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)))
+      .filter(col("rk") <= 50)
+  }
+
+  /** q71 — benchmark-contamination check: count, per candidate doc, the
+    * distinct word-5-grams it shares with a benchmark set (stand-in:
+    * doc_id < 25 — in production this is the eval suite). The benchmark
+    * gram set is tiny relative to the corpus, so it broadcasts: the
+    * corpus-side gram stream is filtered at scan speed with NO shuffle
+    * of corpus grams — the only shuffle is the per-doc count of the
+    * (rare) hits. This is how decontamination actually runs at 100 TB. */
+  val q71 = Q("q71_contamination",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |                t[i+3] || ' ' || t[i+4])) AS gram
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25)
+      |SELECT g.doc_id, COUNT(*) AS n_shared
+      |FROM grams g JOIN bench b USING (gram)
+      |WHERE g.doc_id >= 25
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val grams = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
+    val bench = grams.filter(col("doc_id") < 25).select("gram").distinct()
+    grams.filter(col("doc_id") >= 25)
+      .join(broadcast(bench), Seq("gram"), "inner")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** q72 — boilerplate removal (the CCNet/RefinedWeb line-dedup shape,
+    * over disjoint 3-token segments since this corpus is single-line):
+    * segments appearing in more than 5 distinct docs are boilerplate
+    * and are cut; each doc is reassembled from its surviving segments
+    * in order. Plan: one explode, one distinct-count per segment (the
+    * df histogram — bounded by |distinct segments|), an anti-join, and
+    * one per-doc ordered re-agg — every stage keyed, nothing O(n²).
+    * Reassembly sorts the collected (pos, seg) structs INSIDE the
+    * aggregate (array_sort), not the shuffle, so task order is
+    * irrelevant. */
+  val q72 = Q("q72_boilerplate_removal",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |segs0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+      |           j -> {'pos': j, 'seg': array_to_string(t[(j*3+1):(j*3+3)], ' ')})) AS u
+      |  FROM toks),
+      |segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM segs0),
+      |hot AS (
+      |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 5)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val t = Text.tokens(col("text"))
+    val segList = transform(
+      sequence(lit(0), ceil(size(t) / lit(3.0)).cast(IntegerType) - 1),
+      j => struct(j.as("pos"), concat_ws(" ", slice(t, j * 3 + 1, lit(3))).as("seg")))
+    val seg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(segList).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.seg").as("seg"))
+    val hot = seg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("df")).filter(col("df") > 5)
+      .select("seg")
+    seg.join(hot, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg"))).as("clean_text"))
+  }
+
+  /** q73 — incremental gold maintenance: the monthly-orders aggregate is
+    * kept as PARTIAL aggregates (decimal sums + counts) so a new day's
+    * delta merges by re-aggregation instead of a full-table recompute —
+    * sum-of-sums and sum-of-counts over (pre-cutoff ‖ delta) partials.
+    * The oracle is the FULL aggregate: the query proves merge ≡
+    * recompute exactly (decimal addition is associative; the double
+    * cast happens once, at the end). At 100 TB this is the difference
+    * between touching one day and touching the table. */
+  val q73 = Q("q73_incremental_gold",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(month(o_orderdate) AS INT) AS mo,
+      |       o_orderpriority, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val cutoff = lit("1997-01-01").cast(TimestampNTZType)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("pt"))
+    val orders = Tables.orders(s, d)
+    val pre = partial(orders.filter(col("o_orderdate") < cutoff))
+    val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+    pre.unionByName(delta)
+      .groupBy("yr", "mo", "o_orderpriority")
+      .agg(sum(col("pn")).as("n_orders"),
+        sum(col("pt")).cast(DoubleType).as("total"))
+  }
+
+  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73)
+}
