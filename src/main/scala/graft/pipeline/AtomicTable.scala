@@ -77,6 +77,17 @@ object AtomicTable {
     spark.read.parquet(s"$dir/$v")
   }
 
+  /** Time-travel read of a specific committed version (any directory
+    * `versions` lists; superseded versions stay readable until
+    * `vacuum`). */
+  def readVersion(spark: SparkSession, dir: String, version: String): DataFrame =
+    spark.read.parquet(s"$dir/$version")
+
+  /** All committed-or-claimed version directories, oldest first. */
+  def versions(spark: SparkSession, dir: String): Seq[String] =
+    fc(spark, dir).util.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v_")).sorted
+
   /** Align `df` to the union of `old` and its own schema: old columns
     * first (original order, typed nulls where the new snapshot dropped
     * them), genuinely new columns appended. */

@@ -158,5 +158,96 @@ object TrainingQueries {
         sum(col("pt")).cast(DoubleType).as("total"))
   }
 
-  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73)
+  /** q74 — PII redaction: email and phone patterns replaced with typed
+    * placeholder tags — pure scalar regexp work, scan speed, zero
+    * shuffle. The corpus is synthetic word-soup with no PII, so the
+    * query INJECTS a deterministic fake contact line per doc first and
+    * proves the redaction under the oracle (both engines run RE2/Java-
+    * compatible patterns; DuckDB needs the explicit 'g' flag to match
+    * Spark's replace-all default — a dialect trap worth pinning). */
+  val q74 = Q("q74_pii_redaction",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |        '@example.com or +1-555-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+      |FROM documents""".stripMargin) { (s, d) =>
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast(StringType), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(dirty,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+        lit("\\+?[0-9][0-9()\\-. ]{6,}[0-9]"), lit("<PHONE>")).as("clean"))
+  }
+
+  /** q75 — unigram-LM document scoring (the cheap perplexity proxy):
+    * pass 1 builds the corpus unigram table, pass 2 scores each doc as
+    * its mean token frequency. All-integer aggregation with ONE double
+    * division at the end keeps it oracle-exact (a per-token -log p
+    * would drag libm transcendentals into the gate). The vocab side
+    * broadcasts (⌈vocab⌉ ≪ corpus; if a corpus outgrows the broadcast
+    * threshold Spark demotes to a shuffle join on token — the same key
+    * the count already shuffled on). */
+  val q75 = Q("q75_unigram_doc_score",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |  FROM documents),
+      |vocab AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+      |total AS (SELECT COUNT(*) AS n_total FROM toks)
+      |SELECT doc_id,
+      |       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) / (n_total * COUNT(*))
+      |         AS avg_freq
+      |FROM toks JOIN vocab USING (token), total
+      |GROUP BY doc_id, n_total""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(vocab), Seq("token"), "inner")
+      .groupBy("doc_id").agg(sum("tf").as("tf_sum"), count(lit(1)).as("n_toks"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (col("tf_sum").cast(DoubleType) / (col("n_total") * col("n_toks")))
+          .as("avg_freq"))
+  }
+
+  /** q76 — BPE merge candidates (the first tokenizer-training
+    * iteration): count adjacent pre-token pairs corpus-wide, rank the
+    * top merges. Same agg-first discipline as q69 — the rank window
+    * sees |distinct pairs|, never the pair stream. Also pins
+    * regexp_extract_all parity between the engines (q74 pins replace;
+    * this pins extraction). */
+  val q76 = Q("q76_bpe_merge_pairs", {
+    val pat = Text.BpePattern
+    s"""WITH bt AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$pat') AS b FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, greatest(len(b), 1)),
+       |                i -> b[i] || ' ' || b[i+1])) AS pair
+       |  FROM bt),
+       |freq AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1)
+       |SELECT pair, n, rank FROM (
+       |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+       |  FROM freq)
+       |WHERE rank <= 500""".stripMargin
+  }) { (s, d) =>
+    val b = Text.bpeTokens(col("text"))
+    val pairList = when(size(b) >= 2,
+      transform(sequence(lit(1), size(b) - 1),
+        i => concat(element_at(b, i), lit(" "), element_at(b, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val freq = Tables.documents(s, d)
+      .select(explode(pairList).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .filter(col("rank") <= 500)
+  }
+
+  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76)
 }

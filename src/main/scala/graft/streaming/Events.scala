@@ -139,6 +139,15 @@ object Events {
       .partitionBy("year", "month", "day")
       .outputMode(OutputMode.Append)
 
+  /** Stream-static enrich: join each micro-batch against a (small)
+    * static dimension, broadcast so the stream side never shuffles. The
+    * static side is re-read per micro-batch by Structured Streaming's
+    * contract — a dim updated between batches is picked up without
+    * restarting the query (the standard slowly-changing-dim serving
+    * pattern; the reference does this lookup through Redis instead). */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   // ------------------------------------------- the 4-topic topology (§2.9)
 
   /** The reference's event-type fan-out (streaming_flow.py:174). */

@@ -52,7 +52,10 @@ class AtomicTableSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
     // the pre-upsert snapshot is still readable (time travel until vacuum)
-    assert(spark.read.parquet(s"$dir/v_00001").count() === 2)
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00001", "v_00002"))
+    val v1 = AtomicTable.readVersion(spark, dir, "v_00001").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(1L -> "a", 2L -> "b"))
   }
 
   test("racing replaces: distinct versions, complete winner, no torn read") {

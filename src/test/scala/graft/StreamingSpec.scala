@@ -268,6 +268,24 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq("c1", "v1", "v2", "off1"))
   }
 
+  test("stream-static enrich: micro-batches broadcast-join the static dim; unmatched keys survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(
+      """{"user_id":"u1","timestamp":"t","product_id":"p1"}""",
+      """{"user_id":"u2","timestamp":"t","product_id":"p_unknown"}""")
+    val dim = Seq(("p1", "Widget", 9.99)).toDF("product_id", "name", "price")
+    val clock = lit(java.sql.Date.valueOf("2026-08-12")).cast("timestamp")
+    runToMemory(
+      Events.enrichStream(parse(ms.toDF(), "page_view", clock), dim, "product_id")
+        .select("user_id", "product_id", "name", "price"),
+      "enriched")
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(rows === Map("u1" -> Some("Widget"), "u2" -> None))
+  }
+
   test("4-topic topology: per-topic checkpoints are independent — kill one, others progress, it resumes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
