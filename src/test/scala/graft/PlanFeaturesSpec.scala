@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Catalyst runtime-pruning features that matter at 100 TB, pinned so a
+  * conf regression can't silently disable them:
+  *
+  *  - dynamic partition pruning (DPP): a selective dim filter becomes a
+  *    runtime partition filter on the fact scan — the fact side reads
+  *    only the partitions the dim survivors name. On a date/category-
+  *    partitioned 100 TB table this is the difference between scanning
+  *    a slice and scanning the table.
+  *  - runtime bloom-filter join pruning: for a shuffle join with a
+  *    selective build side, Spark injects a bloom filter of build-side
+  *    keys into the probe scan, dropping non-joining rows BEFORE the
+  *    shuffle (row-level analogue of DPP for non-partition keys).
+  */
+class PlanFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition pruning: dim filter becomes a runtime partition filter on the fact scan") {
+    val dir = Files.createTempDirectory("graft_dpp_").toString
+    (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "cat")
+      .write.partitionBy("cat").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a REAL source, not a LocalRelation: Catalyst
+    // constant-folds filters over local data at optimize time, leaving
+    // no selective predicate for the DPP rule to find
+    (0 until 10).map(c => (c, s"name_$c")).toDF("cat", "name")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(broadcast(dim).filter($"name" === "name_3"), Seq("cat"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    assert(joined.count() === 100)
+  }
+
+  test("runtime bloom-filter join pruning: selective build side injects might_contain into the probe") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // local fixtures are far below the 10 GB production threshold —
+      // drop the size gates so the injection logic itself is exercised
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // must be a SHUFFLE join: a broadcast join already prunes via the
+      // broadcast relation, so the rule skips it
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select("o_orderkey")
+      val items = Tables.lineitem(spark, sf)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+      val joined = items.join(orders, Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+      // and it is purely a pruning aid: results identical with it off
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(Tables.lineitem(spark, sf)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+        .join(Tables.orders(spark, sf)
+          .filter($"o_orderpriority" === "1-URGENT").select("o_orderkey"),
+          Seq("o_orderkey")).count() === n)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
