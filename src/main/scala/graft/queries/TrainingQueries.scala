@@ -236,11 +236,16 @@ object TrainingQueries {
        |  FROM freq)
        |WHERE rank <= 500""".stripMargin
   }) { (s, d) =>
-    val b = Text.bpeTokens(col("text"))
-    val pairList = when(size(b) >= 2,
-      transform(sequence(lit(1), size(b) - 1),
-        i => concat(element_at(b, i), lit(" "), element_at(b, i + 1))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // lambda-bind the token array ONCE: element_at(b, i) with b the raw
+    // regexp_extract_all re-runs the regex per element (measured 9.6 s
+    // -> 0.4 s at sf0.1; the Text.ngrams trap)
+    val pairList = element_at(
+      transform(array(Text.bpeTokens(col("text"))), b =>
+        when(size(b) >= 2,
+          transform(sequence(lit(1), size(b) - 1),
+            i => concat(element_at(b, i), lit(" "), element_at(b, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
     val freq = Tables.documents(s, d)
       .select(explode(pairList).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
