@@ -254,5 +254,16 @@ object TrainingQueries {
       .filter(col("rank") <= 500)
   }
 
-  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76)
+  /** q77 — count-min-sketch heavy hitters: the approximate-frequency
+    * answer to q69's exact vocabulary. No oracle by design (cell
+    * collisions depend on the sketch geometry, not on SQL semantics);
+    * `CountMinSpec` pins the CMS guarantees against exact counts —
+    * est ≥ true always, bounded overestimate, exact top-1. */
+  val q77 = Q.noOracle("q77_cms_heavy_hitters") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    graft.operators.CountMin.heavyHitters(toks, "token", toks, k = 20)
+  }
+
+  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

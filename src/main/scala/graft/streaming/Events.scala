@@ -365,4 +365,24 @@ object Events {
           store.push(s"user:${r.getString(0)}:$suffix", r.getString(1), keep)
         }
       }
+
+  /** Replay-guarded serving-state sink: foreachBatch re-delivers the
+    * LAST micro-batch after a restart (the sink side of Structured
+    * Streaming is at-least-once), and a blind re-run would double-push
+    * every row. This variant records the highest applied batch id under
+    * a reserved key and skips batches it has already seen — the
+    * standard foreachBatch idempotence pattern. Honest caveat: the
+    * marker write is not atomic with the data pushes, so a crash
+    * BETWEEN them still replays (a Redis MULTI/EXEC or a transactional
+    * sink closes that window); this reduces duplicate application to
+    * exactly that crash window instead of every restart. */
+  def idempotentServingStateBatch(store: KVStore, tag: String, keep: Int = 50)(
+      batch: DataFrame, id: Long): Unit = {
+    val marker = s"__applied:$tag"
+    val applied = store.get(marker).headOption.map(_.toLong)
+    if (!applied.exists(_ >= id)) {
+      servingStateBatch(store, keep)(batch, id)
+      store.push(marker, id.toString, 1)
+    }
+  }
 }
