@@ -88,4 +88,82 @@ object Components {
     sym.unpersist()
     labels.select(col("v"), col("label").as("component"))
   }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the documented upgrade over label
+    * propagation for ADVERSARIAL graphs: label propagation needs
+    * diameter-many rounds (a 10⁶-node chain = 10⁶ rounds), star
+    * contraction converges in O(log n) because each round rewires
+    * every node toward its neighborhood minimum:
+    *
+    *   large-star(u): emit (v, m(u)) for v ∈ Γ(u), v > u
+    *   small-star(u): emit (v, m(u)) for v ∈ Γ(u), v ≤ u
+    *   with m(u) = min(Γ(u) ∪ {u})
+    *
+    * Each round is two groupBy-min + join passes over the edge list
+    * (edges kept canonical (a < b), deduplicated), lineage truncated
+    * per round like the propagation loop. The fixpoint is a forest of
+    * stars centered at component minima; labels read off as the
+    * neighbor min. Returns (labels, rounds) so callers — and the spec —
+    * can assert the logarithmic convergence.
+    */
+  def connectedComponentsStar(edges: DataFrame, vertices: DataFrame,
+                              maxIters: Int = 50): (DataFrame, Int) = {
+    val Seq(ea, eb) = edges.columns.toSeq.map(col)
+    val v = col(vertices.columns.head)
+
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("nb"))
+        .union(e.select(col("b").as("u"), col("a").as("nb")))
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val a = adj(e)
+      val m = a.groupBy("u").agg(min("nb").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val moved = a.join(m, Seq("u"))
+        .filter(if (large) col("nb") > col("u") else col("nb") <= col("u"))
+        .select(col("nb").as("x"), col("m"))
+      // small-star also re-attaches u ITSELF to m — without it, a node
+      // whose only neighbor is smaller loses its edge entirely (the
+      // (v ≤ u) emission collapses to a self-loop at m)
+      val withSelf = if (large) moved
+        else moved.unionByName(m.select(col("u").as("x"), col("m")))
+      withSelf
+        .select(least(col("x"), col("m")).as("a"),
+          greatest(col("x"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // (count, order-independent checksum) — one action per round; the
+    // hash sum goes through decimal (full-range longs overflow an ANSI
+    // long sum — same guard as the propagation loop's labelSum)
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0)))).head
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+
+    var e = edges.filter(ea =!= eb)
+      .select(least(ea, eb).as("a"), greatest(ea, eb).as("b")).distinct()
+      .localCheckpoint()
+    var fp = fingerprint(e)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIters) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
+      dropCheckpoint(e)
+      e = next
+      rounds += 1
+    }
+    val labels = vertices.select(v.as("v"))
+      .join(adj(e).groupBy(col("u").as("v")).agg(min("nb").as("nmin")), Seq("v"), "left")
+      .select(col("v"),
+        least(col("v").cast("long"), coalesce(col("nmin"), col("v")).cast("long"))
+          .as("component"))
+    (labels, rounds)
+  }
 }

@@ -9,9 +9,10 @@ import graft.operators.Components
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def comps(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] =
+  private def comps(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                    maxIters: Int = 100): Map[Long, Long] =
     Components.connectedComponents(
-      edges.toDF("a", "b"), vertices.toDF("v"))
+      edges.toDF("a", "b"), vertices.toDF("v"), maxIters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain longer than one hop converges to the global min label") {
@@ -36,6 +37,25 @@ class ComponentsSpec extends SparkSpec {
     val got = comps(star ++ cycle, (1L to 6L) ++ (20L to 22L))
     assert((1L to 6L).forall(got(_) == 1L))
     assert((20L to 22L).forall(got(_) == 20L))
+  }
+
+  test("star contraction == label propagation on every topology; long chain converges in O(log n) rounds") {
+    val cases = Seq(
+      // (edges, vertices)
+      (Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), (1L to 5L).toSeq),
+      (Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 99L)),
+      ((2L to 6L).map(x => (1L, x)) ++ Seq((20L, 21L), (21L, 22L), (22L, 20L)),
+        ((1L to 6L) ++ (20L to 22L)).toSeq),
+      // adversarial 200-node chain: label propagation needs ~200 rounds
+      ((1L until 200L).map(i => (i, i + 1L)), (1L to 200L).toSeq))
+    cases.foreach { case (es, vs) =>
+      val (starLabels, rounds) = Components.connectedComponentsStar(
+        es.toDF("a", "b"), vs.toDF("v"))
+      val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // propagation needs diameter-many rounds on the chain — give it 250
+      assert(star === comps(es, vs, maxIters = 250), s"star != propagation on $es")
+      assert(rounds <= 12, s"star contraction took $rounds rounds (expected O(log n))")
+    }
   }
 
   test("rareGramEdges -> components on the corpus: labels form a valid partition") {
