@@ -480,10 +480,10 @@ object ExtensionQueries {
     * codebook = the c smallest-id vectors (`Similarity.centroids`),
     * nearest-centroid assignment with (cos desc, centroid_id) tiebreak.
     */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  private val ivfAssignCteSql: String =
+  private[queries] val ivfAssignCteSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),

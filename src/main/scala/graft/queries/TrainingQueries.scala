@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Cols, Tables}
-import graft.functions.{Dedup, Text}
+import graft.functions.{Dedup, Similarity, Text}
 
 /** Round-4 training-data-pipeline batch: corpus vocabulary building,
   * stratified sampling, benchmark-contamination detection, boilerplate
@@ -265,5 +265,67 @@ object TrainingQueries {
     graft.operators.CountMin.heavyHitters(toks, "token", toks, k = 20)
   }
 
-  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77)
+  /** q78 — SEMANTIC DEDUP end-to-end, fully oracled: IVF-bucketed
+    * cosine near-dup pairs (q53's machinery on the deterministic
+    * sampled codebook) → connected components → canonical id per
+    * vector (+ keep flag). This is the SemDeDup pipeline shape: at
+    * 100 TB the pair generation is an equi-join on centroid (never
+    * O(n²)) and the clustering is the same min-label loop q68 gates.
+    * The oracle replays pairs via the shared IVF CTE and the cluster
+    * fixpoint via a recursive transitive-closure CTE. */
+  val q78 = Q("q78_semantic_dedup", {
+    val ivf = ExtensionQueries.ivfAssignCteSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    val dot = ExtensionQueries.dotSql _
+    s"""$ivf,
+       |av AS (
+       |  SELECT a.vec_id, a.centroid_id, v.e, sqrt(${dot("v.e", "v.e")}) AS nrm
+       |  FROM assigned a JOIN v ON v.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.vec_id AS a, y.vec_id AS b,
+       |           ${dot("x.e", "y.e")} / (x.nrm * y.nrm) AS cos_sim
+       |    FROM av x JOIN av y
+       |      ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+       |  WHERE cos_sim >= 0.3),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(vv, u) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.vv, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT vv AS vec_id, MIN(u) AS canonical_id,
+       |       CASE WHEN vv = MIN(u) THEN 1 ELSE 0 END AS is_canonical
+       |FROM reach GROUP BY 1""".stripMargin
+  }) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val c = Similarity.codebookSize(vecs.count())
+    val assigned = Similarity.ivfAssign(vecs, Similarity.centroids(vecs, c))
+    val pairs = Similarity.cosineNearDupPairs(assigned, threshold = 0.3)
+      .select(col("a"), col("b"))
+    graft.operators.Components
+      .connectedComponents(pairs, vecs.select(col("vec_id")))
+      .select(col("v").as("vec_id"), col("component").as("canonical_id"),
+        when(col("v") === col("component"), 1).otherwise(0).as("is_canonical"))
+  }
+
+  /** q79 — weighted source mixing: each source gets a deterministic
+    * keep-rate (here derived from the source id; in production a
+    * curated weights table) and membership is a keyed hash — the same
+    * reproducibility contract as q57/q70, applied to the domain-mixing
+    * step every pretraining corpus runs. Scan-speed filter, zero
+    * shuffle, prunable to (doc_id, source). */
+  val q79 = Q("q79_source_mixing", {
+    val h = graft.functions.Hashes.h60Sql("'mix|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE $h % 1000 <
+       |      ((CAST(substr(source, 4) AS INT) % 10) + 1) * 100""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("mix|"), col("doc_id").cast(StringType)))
+    val keepRate = (substring(col("source"), 4, 10).cast(IntegerType) % 10 + 1) * 100
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .filter(h % 1000 < keepRate)
+  }
+
+  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

@@ -366,6 +366,21 @@ object Events {
         }
       }
 
+  /** Streaming MERGE into an `AtomicTable`: each micro-batch upserts by
+    * key — matched keys update, new keys insert, untouched rows carry
+    * over — and every batch commits atomically (readers see whole
+    * versions, never a half-applied batch). This is the streaming →
+    * lakehouse bridge the reference gets from Iceberg's MERGE INTO;
+    * replays are naturally idempotent because upserting the same delta
+    * twice yields the same table. First batch bootstraps the table. */
+  def atomicUpsertBatch(dir: String, keyCol: String)(batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty) {
+      if (graft.pipeline.AtomicTable.currentVersion(batch.sparkSession, dir).isEmpty)
+        graft.pipeline.AtomicTable.replace(batch, dir)
+      else
+        graft.pipeline.AtomicTable.upsert(batch, dir, keyCol)
+    }
+
   /** Replay-guarded serving-state sink: foreachBatch re-delivers the
     * LAST micro-batch after a restart (the sink side of Structured
     * Streaming is at-least-once), and a blind re-run would double-push

@@ -268,6 +268,32 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq("c1", "v1", "v2", "off1"))
   }
 
+  test("streaming MERGE into AtomicTable: per-batch atomic upserts, last write per key wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.AtomicTable
+    val dir = Files.createTempDirectory("graft_stream_merge_").toString
+    val ms = MemoryStream[ItemEvent]
+    val latest = ms.toDS().groupByKey(_.user_id)
+      .mapGroups((u, evs) => { val e = evs.toSeq.last; (u, e.product_id) })
+      .toDF("user_id", "latest_product")
+    val q = latest.writeStream
+      .foreachBatch(Events.atomicUpsertBatch(dir, "user_id") _)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      ms.addData(ItemEvent("u1", "a", "view"), ItemEvent("u2", "b", "view"))
+      q.processAllAvailable()
+      ms.addData(ItemEvent("u1", "c", "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = AtomicTable.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("u1" -> "c", "u2" -> "b"))
+    // each batch was one atomic version; the pre-merge snapshot survives
+    assert(AtomicTable.versions(spark, dir).size >= 2)
+  }
+
   test("stream-static enrich: micro-batches broadcast-join the static dim; unmatched keys survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
