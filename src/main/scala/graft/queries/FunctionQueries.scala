@@ -309,6 +309,55 @@ object FunctionQueries {
     s.sql(existsSql)
   }
 
+  /** q80 — error-safe function battery: the `try_` family that keeps a
+    * 100 TB job from dying on one malformed row under ANSI mode (this
+    * engine runs ANSI on). Spark's try_divide/try_cast/try_element_at
+    * produce NULL where the strict forms raise; the oracle expresses
+    * the same semantics portably (NULLIF-guarded division, TRY_CAST,
+    * DuckDB's out-of-range subscript ⇒ NULL). */
+  val q80 = Q("q80_try_battery",
+    """SELECT e.event_id,
+      |       CAST(e.event_id AS DOUBLE) / NULLIF(e.event_id % 2, 0) AS safe_div,
+      |       TRY_CAST(e.event_type AS INT) AS bad_int,
+      |       string_split(trim(e.event_type), '_')[9] AS no_elem,
+      |       COALESCE(TRY_CAST(e.event_type AS INT), -1) AS defaulted
+      |FROM events e""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("try_divide(event_id, event_id % 2)").as("safe_div"),
+      expr("try_cast(event_type AS INT)").as("bad_int"),
+      expr("try_element_at(split(trim(event_type), '_'), 9)").as("no_elem"),
+      coalesce(expr("try_cast(event_type AS INT)"), lit(-1)).as("defaulted"))
+  }
+
+  /** q81 — higher-order-function battery over the token arrays:
+    * filter / exists / forall / aggregate / sort+slice+join, each
+    * mirrored by its DuckDB list_* twin. These are the codegen'd
+    * array primitives every per-document transformation in this engine
+    * composes from (and the lambda-bind discipline from Text.ngrams
+    * applies: the token array is bound once). */
+  val q81 = Q("q81_hof_battery",
+    """WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(t, x -> len(x) > 4)) AS INT) AS n_long,
+      |       CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+      |       CAST(len(list_filter(t, x -> len(x) > 20)) = 0 AS INT) AS all_short,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                   list_transform(t, x -> len(x))), (a, b) -> a + b) AS char_sum,
+      |       array_to_string(list_sort(t)[1:3], ',') AS first3
+      |FROM t0""".stripMargin) { (s, d) =>
+    import graft.functions.Text
+    val out = Tables.documents(s, d).select(col("doc_id"),
+      element_at(transform(array(Text.tokens(col("text"))), t => struct(
+        size(filter(t, x => length(x) > 4)).as("n_long"),
+        exists(t, x => x === "spark").cast(IntegerType).as("has_spark"),
+        forall(t, x => length(x) <= 20).cast(IntegerType).as("all_short"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("char_sum"),
+        array_join(slice(sort_array(t), 1, 3), ",").as("first3"))), 1).as("u"))
+    out.select(col("doc_id"), col("u.n_long"), col("u.has_spark"),
+      col("u.all_short"), col("u.char_sum"), col("u.first3"))
+  }
+
   val all: Seq[Q] = Seq(q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q61, q62, q64, q65)
+    q61, q62, q64, q65, q80, q81)
 }
