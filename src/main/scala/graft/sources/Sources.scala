@@ -40,4 +40,14 @@ object Sources {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
+
+  /** ORC interchange tier: same columnar pushdown/pruning contract as
+    * parquet (predicate pushdown, column pruning, vectorized read) for
+    * pipelines whose upstream emits ORC. Write + read round-trip is
+    * spec-pinned including pushed filters. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
