@@ -112,5 +112,20 @@ object WindowQueries {
         col("n"), col("total_value"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40)
+  /** q82 — approximate percentiles: the sketch tier of q38
+    * (t-digest-style `approx_percentile`, mergeable partial state — at
+    * 100 TB the exact `percentile` materializes every value per group
+    * while the sketch is O(1/accuracy) per partition). Estimator
+    * internals are engine-specific ⇒ rows-only, like HLL (q30) and CMS
+    * (q77); `WindowQueries`' exact q38 is the oracle-gated twin and the
+    * spec pins the estimates against it. */
+  val q82 = Q.noOracle("q82_approx_percentiles") { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("median_est"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_est"),
+        count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82)
 }

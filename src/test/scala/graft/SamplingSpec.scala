@@ -30,4 +30,24 @@ class SamplingSpec extends SparkSpec {
     assert(autoRate > 0.35 && autoRate < 0.65, s"auto=$autoRate")
     assert(buildRate > 0.02 && buildRate < 0.2, s"build=$buildRate")
   }
+
+  test("approx_percentile (q82) tracks the exact percentiles (q38) within rank tolerance") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.01")
+    val exact = o.groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("m"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = o.groupBy("o_orderstatus")
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("m"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(10000)).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 ⇒ rank error ≤ n/10000; on these group sizes the
+    // estimate should land within 2% of the exact VALUE
+    approx.foreach { case (k, (m, p)) =>
+      val (em, ep) = exact(k)
+      assert(math.abs(m - em) / em < 0.02, s"$k median: $m vs $em")
+      assert(math.abs(p - ep) / ep < 0.02, s"$k p90: $p vs $ep")
+    }
+  }
 }
