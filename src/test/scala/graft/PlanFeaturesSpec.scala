@@ -37,6 +37,34 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(joined.count() === 100)
   }
 
+  test("AQE skew join: an oversized shuffle partition is split at runtime") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one celebrity key holding ~90% of rows
+      val skewed = spark.range(100000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+          "repeat('x', 64) AS pad")
+      val dim = spark.range(100000).selectExpr("id AS k", "id * 2 AS v")
+      val joined = skewed.join(dim, "k").selectExpr("k", "v")
+      // materialize THIS dataset's own plan (count() would execute a
+      // separate aggregate query and leave this AQE plan non-final)
+      assert(joined.collect().length === 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+        s"expected AQE to mark and split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom-filter join pruning: selective build side injects might_contain into the probe") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
