@@ -252,6 +252,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Boilerplate-segment removal (the CCNet/RefinedWeb line-dedup shape
+    * over disjoint `segLen`-token segments, for single-line corpora):
+    * segments appearing in more than `maxDf` distinct docs are cut and
+    * each doc is reassembled from its surviving segments in order.
+    * Plan: one explode, one distinct-count histogram (bounded by
+    * |distinct segments|), an anti-join, one per-doc ordered re-agg —
+    * every stage keyed, nothing O(n²); reassembly sorts the collected
+    * (pos, seg) structs INSIDE the aggregate so task order never
+    * matters. With `maxDf = Long.MaxValue` this is the identity on
+    * trimmed text (property-pinned). Registered under the oracle as
+    * q72. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        segLen: Int, maxDf: Long): DataFrame = {
+    val t = Text.tokens(col(textCol))
+    val segList = transform(
+      sequence(lit(0), ceil(size(t) / lit(segLen.toDouble)).cast(IntegerType) - 1),
+      j => struct(j.as("pos"),
+        concat_ws(" ", slice(t, j * segLen + 1, lit(segLen))).as("seg")))
+    val seg = df.select(col(idCol), explode(segList).as("u"))
+      .select(col(idCol), col("u.pos").as("pos"), col("u.seg").as("seg"))
+    val hot = seg.groupBy("seg")
+      .agg(countDistinct(idCol).as("df")).filter(col("df") > maxDf)
+      .select("seg")
+    seg.join(hot, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg"))).as("clean_text"))
+  }
+
   /** Candidate-duplicate EDGES from rare shared grams: (a, b) pairs of
     * docs sharing at least `minShared` distinct grams whose corpus
     * document frequency is in [2, maxDf]. Rare grams are the

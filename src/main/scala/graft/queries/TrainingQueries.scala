@@ -112,21 +112,8 @@ object TrainingQueries {
       |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
       |FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
       |GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val t = Text.tokens(col("text"))
-    val segList = transform(
-      sequence(lit(0), ceil(size(t) / lit(3.0)).cast(IntegerType) - 1),
-      j => struct(j.as("pos"), concat_ws(" ", slice(t, j * 3 + 1, lit(3))).as("seg")))
-    val seg = Tables.documents(s, d)
-      .select(col("doc_id"), explode(segList).as("u"))
-      .select(col("doc_id"), col("u.pos").as("pos"), col("u.seg").as("seg"))
-    val hot = seg.groupBy("seg")
-      .agg(countDistinct("doc_id").as("df")).filter(col("df") > 5)
-      .select("seg")
-    seg.join(hot, Seq("seg"), "left_anti")
-      .groupBy("doc_id")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-          x => x.getField("seg"))).as("clean_text"))
+    Dedup.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+      segLen = 3, maxDf = 5L)
   }
 
   /** q73 — incremental gold maintenance: the monthly-orders aggregate is

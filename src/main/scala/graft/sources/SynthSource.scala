@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,6 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the pruned columns (verified in SourcesSpec by inspecting the
   *    BatchScan's output attributes) — the column-pruning handshake
   *    every serious connector implements;
+  *  - `SupportsPushDownFilters`: range/equality predicates on `id`
+  *    narrow the GENERATED id range, so partition planning and the
+  *    readers never touch filtered-out rows (the WHERE-into-JDBC /
+  *    offset-range-into-Kafka behavior); unsupported filters are
+  *    returned to Spark for post-scan evaluation, accepted ones are
+  *    NOT re-evaluated — exactly the V2 contract;
   *  - rows are a pure function of the row id, so any slice is
   *    reproducible on retry (idempotent re-read, the property Spark
   *    assumes of batch sources).
@@ -68,24 +75,54 @@ private class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead
 }
 
 private class SynthScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SynthSource.Schema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, parts, required)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Accept id-range predicates by narrowing [lo, hi); everything else
+    * goes back to Spark. `IsNotNull(id)` is trivially satisfied (the
+    * column is non-nullable) so it is accepted as a no-op. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val rejected = filters.filterNot {
+      case GreaterThan("id", v) => asLong(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("id", v) => asLong(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("id", v) => asLong(v).exists { x => hi = math.min(hi, x); true }
+      case LessThanOrEqual("id", v) => asLong(v).exists { x => hi = math.min(hi, x + 1); true }
+      case EqualTo("id", v) => asLong(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case IsNotNull("id") => true
+      case _ => false
+    }
+    accepted = filters.diff(rejected)
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new SynthScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
 }
 
 private case class SynthSlice(start: Long, end: Long) extends InputPartition
 
-private class SynthScan(rows: Long, parts: Int, required: StructType)
+private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SynthScan rows=$rows parts=$parts ReadSchema=${required.simpleString}"
+    s"SynthScan range=[$lo,$hi) parts=$parts ReadSchema=${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per).map(s => SynthSlice(s, math.min(s + per, rows))).toArray
+    val span = math.max(0L, hi - lo)
+    val per = math.max(1L, (span + parts - 1) / parts)
+    (lo until hi by per).map(s => SynthSlice(s, math.min(s + per, hi))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

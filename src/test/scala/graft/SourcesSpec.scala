@@ -80,6 +80,20 @@ class SourcesSpec extends SparkSpec {
     assert(df.distinct().count() === 100)
   }
 
+  test("DSv2 connector: id-range filters push into partition planning (JDBC-WHERE shape)") {
+    val df = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "10000").option("parts", "8").load()
+    val sliced = df.filter(col("id") >= 9990 && col("id") < 10000)
+    // the readers generate ONLY the filtered range: 10 rows at <=1250
+    // rows/partition means far fewer than the unfiltered 8 partitions
+    assert(sliced.rdd.getNumPartitions < 8,
+      "pushed range must narrow partition planning, not just post-filter")
+    assert(sliced.collect().map(_.getLong(0)).sorted.toSeq === (9990L until 10000L))
+    // a non-id predicate is rejected back to Spark and still correct
+    val mixed = df.filter(col("id") < 10 && col("event_type") === "view")
+    assert(mixed.collect().map(_.getLong(0)).toSet === Set(0L, 5L))
+  }
+
   test("ORC tier: round-trip preserves values; filters push into the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val src = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")

@@ -13,6 +13,26 @@ class TextDedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("boilerplate removal: identity at maxDf=∞; hot segments cut; reassembly order-exact") {
+    import org.apache.spark.sql.functions._
+    // identity: with no segment hot, every doc reassembles to its
+    // trimmed text — pins the split/reassemble round-trip exactly
+    val corpus = Tables.documents(spark, sf)
+    val idCheck = Dedup.removeBoilerplate(corpus, "doc_id", "text", 3, Long.MaxValue)
+      .join(corpus.select(col("doc_id"), trim(col("text")).as("expect")), Seq("doc_id"))
+      .filter(col("clean_text") =!= col("expect"))
+    assert(idCheck.isEmpty, "maxDf=∞ must be the identity on trimmed text")
+    // a segment shared by 3 docs is cut at maxDf=2; unique tails survive
+    val d3 = docs(
+      (1L, "the same boiler plate here one"),
+      (2L, "the same boiler plate here two"),
+      (3L, "the same boiler plate here three"))
+    val cleaned = Dedup.removeBoilerplate(d3, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned === Map(1L -> "plate here one", 2L -> "plate here two",
+      3L -> "plate here three"))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y"), "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
