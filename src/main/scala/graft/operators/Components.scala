@@ -74,10 +74,13 @@ object Components {
       val neighborMin = sym
         .join(labels.select(col("v").as("s"), col("label")), Seq("s"))
         .groupBy(col("d").as("v")).agg(min("label").as("nlabel"))
+      // LAZY checkpoint: the labelSum probe right below is the
+      // materializing action, so each round runs ONE job instead of
+      // two (eager localCheckpoint counts, then the probe scans again)
       val next = labels.join(neighborMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -151,7 +154,9 @@ object Components {
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxIters) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      // lazy checkpoint; the fingerprint probe materializes it (one job
+      // per round — see the propagation loop)
+      val next = star(star(e, large = true), large = false).localCheckpoint(false)
       val nfp = fingerprint(next)
       stable = nfp == fp
       fp = nfp

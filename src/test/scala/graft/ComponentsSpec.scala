@@ -58,6 +58,20 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("randomized graphs: star contraction == propagation on 5 seeded Erdős–Rényi graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val es = for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextDouble() < 2.0 / n
+      } yield (i.toLong, j.toLong)
+      val vs = (1L to n.toLong).toSeq
+      val (starLabels, _) = Components.connectedComponentsStar(es.toDF("a", "b"), vs.toDF("v"))
+      val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === comps(es, vs, maxIters = 250), s"mismatch on n=$n, |E|=${es.size}")
+    }
+  }
+
   test("rareGramEdges -> components on the corpus: labels form a valid partition") {
     val docs = Tables.documents(spark, sf)
     val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
