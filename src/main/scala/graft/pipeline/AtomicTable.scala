@@ -171,10 +171,16 @@ object AtomicTable {
     * With `mergeSchema` the delta may add or drop columns (missing
     * sides null-fill via unionByName). */
   def upsert(delta: DataFrame, dir: String, keyCol: String,
-             mergeSchema: Boolean = false): String = {
+             mergeSchema: Boolean = false): String =
+    upsertKeys(delta, dir, Seq(keyCol), mergeSchema)
+
+  /** Composite-key MERGE (the general form — real gold tables merge on
+    * (year, month, product), not one column). */
+  def upsertKeys(delta: DataFrame, dir: String, keyCols: Seq[String],
+                 mergeSchema: Boolean = false): String = {
     val spark = delta.sparkSession
     val cur = read(spark, dir)
-    val kept = cur.join(delta.select(keyCol), Seq(keyCol), "left_anti")
+    val kept = cur.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
     val next = kept.unionByName(delta, allowMissingColumns = mergeSchema)
     replace(next, dir)
   }

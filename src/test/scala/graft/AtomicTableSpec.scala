@@ -58,6 +58,18 @@ class AtomicTableSpec extends SparkSpec {
     assert(v1 === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("composite-key upsert: (year, month) MERGE replaces matched cells only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_ck_").toString
+    AtomicTable.replace(Seq((2025, 1, 10.0), (2025, 2, 20.0), (2026, 1, 30.0))
+      .toDF("year", "month", "total"), dir)
+    AtomicTable.upsertKeys(Seq((2025, 2, 99.0), (2026, 2, 40.0))
+      .toDF("year", "month", "total"), dir, Seq("year", "month"))
+    val got = AtomicTable.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got === Map((2025, 1) -> 10.0, (2025, 2) -> 99.0,
+      (2026, 1) -> 30.0, (2026, 2) -> 40.0))
+  }
+
   test("racing replaces: distinct versions, complete winner, no torn read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_race_").toString
     AtomicTable.replace(Seq((0L, "seed")).toDF("id", "tag"), dir)
