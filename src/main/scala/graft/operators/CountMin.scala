@@ -37,6 +37,13 @@ object CountMin {
       .groupBy(col("u.r").as("r"), col("u.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
 
+  /** Merge two sketch tables: element-wise cell sum. THE property that
+    * makes the sketch distributable — partitions (or micro-batches, or
+    * days) sketch independently and merge losslessly:
+    * merge(sketch(A), sketch(B)) == sketch(A ∪ B), spec-pinned. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "cell").agg(sum("n").as("n"))
+
   /** Estimate each candidate's frequency: min over its d cells (absent
     * cell ⇒ 0). `candidates` is one token per row, deduplicated here. */
   def estimate(sketchDf: DataFrame, candidates: DataFrame, tokenCol: String,

@@ -43,6 +43,18 @@ class CountMinSpec extends SparkSpec {
     assert(ests === ests.sorted.reverse, "estimates must be non-increasing in rank")
   }
 
+  test("sketches are mergeable: merge(sketch(A), sketch(B)) == sketch(A ∪ B)") {
+    val a = toks.filter(crc32($"token".cast("binary")) % 2 === 0)
+    val b = toks.filter(crc32($"token".cast("binary")) % 2 =!= 0)
+    val merged = CountMin.merge(
+        CountMin.sketch(a, "token"), CountMin.sketch(b, "token"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = CountMin.sketch(toks, "token")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole,
+      "independent sketches must merge to the whole-corpus sketch exactly")
+  }
+
   test("idempotent foreachBatch: a replayed batch id is not applied twice") {
     import graft.streaming.Events
     Events.InMemoryKV.clear()
