@@ -54,6 +54,7 @@ import org.apache.spark.sql.types.StructType
 object AtomicTable {
 
   private val Pointer = "_current"
+  private val CommitPrefix = "_commit_v_"
 
   private def fc(spark: SparkSession, dir: String): FileContext =
     FileContext.getFileContext(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
@@ -77,16 +78,30 @@ object AtomicTable {
     spark.read.parquet(s"$dir/$v")
   }
 
-  /** Time-travel read of a specific committed version (any directory
+  /** Time-travel read of a specific COMMITTED version (any directory
     * `versions` lists; superseded versions stay readable until
-    * `vacuum`). */
-  def readVersion(spark: SparkSession, dir: String, version: String): DataFrame =
+    * `vacuum`). Claimed-but-uncommitted directories — an in-flight
+    * racing writer's partial parquet — are rejected rather than read. */
+  def readVersion(spark: SparkSession, dir: String, version: String): DataFrame = {
+    if (!versions(spark, dir).contains(version))
+      throw new IllegalArgumentException(
+        s"$version at $dir is not a committed version (in-flight or vacuumed)")
     spark.read.parquet(s"$dir/$version")
+  }
 
-  /** All committed-or-claimed version directories, oldest first. */
-  def versions(spark: SparkSession, dir: String): Seq[String] =
-    fc(spark, dir).util.listStatus(new Path(dir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("v_")).sorted
+  /** All COMMITTED version directories, oldest first. A version is
+    * committed once its `_commit_v_NNNNN` marker lands (written after
+    * the parquet write completes, before the pointer rename) — claimed
+    * directories still being written never appear here, so time-travel
+    * readers cannot observe a partial write. The live pointer's version
+    * is always included (pre-marker tables stay readable). */
+  def versions(spark: SparkSession, dir: String): Seq[String] = {
+    val names = fc(spark, dir).util.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+    val committed = names.filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix("_commit_")).toSet ++ currentVersion(spark, dir)
+    names.filter(n => n.startsWith("v_") && committed.contains(n)).sorted
+  }
 
   /** Align `df` to the union of `old` and its own schema: old columns
     * first (original order, typed nulls where the new snapshot dropped
