@@ -162,6 +162,11 @@ object AtomicTable {
     val w = laid.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/$next")
+    // durability marker: the version directory is complete from here on —
+    // `versions`/`readVersion` admit it (time travel) and `vacuum` may
+    // manage it. Created BEFORE the pointer rename so a version is never
+    // live-but-unlisted; exclusive allocation means this create cannot race.
+    claimExclusive(actx, new Path(dir, s"_commit_$next"))
     // one-file commit: temp pointer fully written + flushed, then the
     // atomic overwrite-rename makes it the live pointer
     val ctx = fc(spark, dir)
@@ -200,18 +205,23 @@ object AtomicTable {
     replace(next, dir)
   }
 
-  /** Drop all version directories except the newest `keep` (never the
-    * live one). */
+  /** Drop COMMITTED version directories except the newest `keep` (never
+    * the live one). Only versions `versions()` lists are candidates: a
+    * claimed-but-uncommitted directory belongs to an in-flight racing
+    * writer and must survive — deleting it would tear that writer's
+    * about-to-commit version out from under the pointer it is about to
+    * rename. Vacuumed versions' `_claim_*`/`_commit_*` markers are
+    * removed with them so the marker set never grows without bound. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
     val ctx = fc(spark, dir)
     val live = currentVersion(spark, dir).toSet
-    val versions = ctx.util.listStatus(new Path(dir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("v_")).sorted
-    versions.dropRight(keep).filterNot(live.contains)
+    versions(spark, dir).dropRight(keep).filterNot(live.contains)
       .foreach { v =>
         ctx.delete(new Path(dir, v), true)
-        val claim = new Path(dir, s"_claim_$v")
-        if (ctx.util.exists(claim)) ctx.delete(claim, false)
+        Seq(s"_claim_$v", s"_commit_$v").foreach { m =>
+          val p = new Path(dir, m)
+          if (ctx.util.exists(p)) ctx.delete(p, false)
+        }
       }
   }
 }

@@ -108,6 +108,53 @@ class AtomicTableSpec extends SparkSpec {
     assert(live === Set(winner), s"live table must be exactly the winner's content: $live")
   }
 
+  test("vacuum deletes only committed versions, cleans their markers, spares in-flight claims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_vac_").toString
+    AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)
+    AtomicTable.replace(Seq((2L, "b")).toDF("id", "v"), dir)
+    AtomicTable.replace(Seq((3L, "c")).toDF("id", "v"), dir)
+
+    // simulate an in-flight racing writer: claim marker + partial version
+    // directory, NO commit marker yet — vacuum must not touch either
+    assert(new java.io.File(s"$dir/_claim_v_00004").createNewFile())
+    val partial = new java.io.File(s"$dir/v_00004")
+    assert(partial.mkdir())
+    assert(new java.io.File(partial, "part-00000-inflight.parquet").createNewFile())
+
+    AtomicTable.vacuum(spark, dir, keep = 1)
+
+    // committed superseded versions vacuumed, their markers cleaned with them
+    assert(!new java.io.File(s"$dir/v_00001").exists)
+    assert(!new java.io.File(s"$dir/v_00002").exists)
+    assert(!new java.io.File(s"$dir/_commit_v_00001").exists)
+    assert(!new java.io.File(s"$dir/_claim_v_00001").exists)
+    assert(!new java.io.File(s"$dir/_commit_v_00002").exists)
+    // the live version and its marker survive
+    assert(new java.io.File(s"$dir/v_00003").exists)
+    assert(new java.io.File(s"$dir/_commit_v_00003").exists)
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00003"))
+    // the in-flight writer's claim and partial directory are untouched —
+    // it can still complete its write and rename the pointer safely
+    assert(partial.exists)
+    assert(new java.io.File(s"$dir/_claim_v_00004").exists)
+    // and a new writer still allocates past the outstanding claim
+    val v5 = AtomicTable.replace(Seq((5L, "e")).toDF("id", "v"), dir)
+    assert(v5 === "v_00005")
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00003", "v_00005"))
+  }
+
+  test("time travel never reads a claimed-but-uncommitted directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_tt_").toString
+    AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)
+    // an in-flight claim with a half-written directory must be invisible
+    assert(new java.io.File(s"$dir/_claim_v_00002").createNewFile())
+    assert(new java.io.File(s"$dir/v_00002").mkdir())
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00001"))
+    intercept[IllegalArgumentException] {
+      AtomicTable.readVersion(spark, dir, "v_00002")
+    }
+  }
+
   test("read of an uncommitted table fails loudly, not with a phantom empty table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_none_").toString
     intercept[IllegalStateException] { AtomicTable.read(spark, dir) }
