@@ -14,7 +14,15 @@ package graft
   *    and the reported number is the MIN — single-rep wall-clock on a
   *    shared box drifted untouched scalar queries by up to 7× between
   *    rounds; the min is the least-noise estimator of plan cost. All
-  *    reps are emitted too (`reps` field) for variance audit.
+  *    reps are emitted too (`reps` field) for variance audit. Since
+  *    round 6 the cache is cleared between reps (see the loop), so each
+  *    rep is the COLD per-invocation cost — what one production run of
+  *    the operator pays — not a warm-cache replay of rep 1's persisted
+  *    index. Totals from rounds ≤5 (~44 s at sf0.1) measured the warm
+  *    path for the persist-carrying dedup/ANN queries and understate
+  *    cold cost; the round-6 total (~84 s) is the comparable honest
+  *    figure going forward, and the thing the old numbers hid (rep-on-
+  *    rep degradation from accreted blocks, q78 2.4→10.1 s) is fixed.
   *  - PROD TWINS: a query named `X` is skipped when `X_prod` is
   *    registered — the md5-hash forms exist so the DuckDB oracle can
   *    reproduce every value, but MessageDigest-per-row is not the plan
@@ -42,9 +50,16 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          val dt =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          // free operator-internal persisted indexes (Dedup/Similarity own
+          // a MEMORY_AND_DISK block per invocation — see their lifecycle
+          // note) AFTER the clock stops: each rep then measures the same
+          // cold-cache plan instead of degrading under accreted blocks
+          spark.catalog.clearCache()
+          dt
         }
         name -> times
       }
@@ -60,7 +75,13 @@ object Bench {
     val nErrors = results.count(r => best(r._2) < 0)
     // n_errors travels next to the total so a round-over-round total
     // comparison can't silently absorb a newly failing (excluded) query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture truncates on the driver side (it keeps a bounded
+    // tail); the file is the durable record of the full JSON line
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   *    at least one gram — an equi-join on gram, then a pair-count
   *    aggregate; used standalone at small scale or as the LSH verify
   *    stage at large scale.
+  *
+  * Persist lifecycle (caller-owned): `minhashCandidates`,
+  * `lshVerifiedJaccard`, `ngramJaccardPairs` and `rareGramEdges`
+  * persist their internal index (the banded LSH index / the gram
+  * table) at MEMORY_AND_DISK so one explode feeds every consumer of
+  * the returned lazy plan. The block lives in the session's cache
+  * manager until the CALLER releases it — after the terminal action,
+  * call `spark.catalog.clearCache()` (or unpersist the specific
+  * entries) in any long-lived session that invokes these repeatedly,
+  * or the per-invocation indexes accrete (graft.Bench does exactly
+  * this between reps).
   */
 object Dedup {
 

@@ -200,7 +200,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via the IVF buckets: only
     * vectors sharing a centroid are compared (equi-join on centroid_id,
-    * not an O(n²) cross join), then thresholded. */
+    * not an O(n²) cross join), then thresholded.
+    *
+    * Persist lifecycle (caller-owned): the assignment is persisted at
+    * MEMORY_AND_DISK to feed both self-join sides; release it after the
+    * terminal action via `spark.catalog.clearCache()` in long-lived
+    * sessions (see the lifecycle note on [[graft.functions.Dedup]]). */
   def cosineNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
     // the assignment feeds both sides of the self-join — materialize the
     // IVF index once instead of re-running the whole assign pass per side
