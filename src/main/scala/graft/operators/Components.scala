@@ -89,6 +89,15 @@ object Components {
       it += 1
     }
     sym.unpersist()
+    // labels read off a non-fixpoint state are not component minima —
+    // returning them silently would hand the caller wrong canonical ids.
+    // Fail loudly instead; the fix is a larger maxIters (diameter bound)
+    // or the O(log n) star-contraction variant for deep graphs.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters " +
+        "(graph diameter exceeds the iteration bound; raise maxIters or " +
+        "use connectedComponentsStar)")
     labels.select(col("v"), col("label").as("component"))
   }
 
@@ -164,6 +173,12 @@ object Components {
       e = next
       rounds += 1
     }
+    // same contract as the propagation loop: a non-fixpoint edge set
+    // does not guarantee neighbor-min labels are component minima
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within maxIters=$maxIters " +
+        "(expected O(log n) rounds — raise maxIters)")
     val labels = vertices.select(v.as("v"))
       .join(adj(e).groupBy(col("u").as("v")).agg(min("nb").as("nmin")), Seq("v"), "left")
       .select(col("v"),

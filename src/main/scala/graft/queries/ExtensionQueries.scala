@@ -730,7 +730,23 @@ object ExtensionQueries {
       .select(col("v").as("doc_id"), col("component"))
   }
 
+  /** q83 — q68's twin through the O(log n) STAR-CONTRACTION components
+    * (large-star/small-star, Kiveris et al. SoCC'14) instead of label
+    * propagation: same rare-gram edge set, same oracle fixpoint
+    * (recursive-CTE transitive closure, reused verbatim), different
+    * distributed algorithm. Hash-green here means the adversarial-graph
+    * upgrade path is itself under the exact gate, not just spec'd
+    * equivalent to the propagation loop. */
+  val q83 = Q("q83_dedup_components_star", q68.oracle.get) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    val (labels, _) = graft.operators.Components
+      .connectedComponentsStar(edges, docs.select(col("doc_id")))
+    labels.select(col("v").as("doc_id"), col("component"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68)
+    q56, q57, q58, q60, q66, q67, q68, q83)
 }

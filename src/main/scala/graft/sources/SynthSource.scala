@@ -89,16 +89,25 @@ private class SynthScanBuilder(rows: Long, parts: Int)
     case _ => None
   }
 
+  /** `x + 1` for the exclusive-bound conversions, or None on Long
+    * overflow — an accepted filter is NOT re-evaluated by Spark, so a
+    * wrapped bound would silently return wrong rows (`id <=
+    * Long.MaxValue` wrapping hi to MinValue = empty scan where "all"
+    * is correct). Overflowing filters are rejected back to Spark
+    * instead, which evaluates them post-scan — always correct. */
+  private def incExact(x: Long): Option[Long] =
+    try Some(Math.addExact(x, 1L)) catch { case _: ArithmeticException => None }
+
   /** Accept id-range predicates by narrowing [lo, hi); everything else
     * goes back to Spark. `IsNotNull(id)` is trivially satisfied (the
     * column is non-nullable) so it is accepted as a no-op. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rejected = filters.filterNot {
-      case GreaterThan("id", v) => asLong(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThan("id", v) => asLong(v).flatMap(incExact).exists { x1 => lo = math.max(lo, x1); true }
       case GreaterThanOrEqual("id", v) => asLong(v).exists { x => lo = math.max(lo, x); true }
       case LessThan("id", v) => asLong(v).exists { x => hi = math.min(hi, x); true }
-      case LessThanOrEqual("id", v) => asLong(v).exists { x => hi = math.min(hi, x + 1); true }
-      case EqualTo("id", v) => asLong(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case LessThanOrEqual("id", v) => asLong(v).flatMap(incExact).exists { x1 => hi = math.min(hi, x1); true }
+      case EqualTo("id", v) => asLong(v).flatMap(incExact).exists { x1 => lo = math.max(lo, x1 - 1); hi = math.min(hi, x1); true }
       case IsNotNull("id") => true
       case _ => false
     }

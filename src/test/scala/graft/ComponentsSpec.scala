@@ -72,6 +72,25 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("non-convergence at maxIters fails loudly instead of returning wrong labels") {
+    // diameter-4 chain, one iteration allowed: the min cannot reach the
+    // far end, so partial labels would be silently wrong — both variants
+    // must throw rather than return them
+    val es = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+    val ex = intercept[IllegalStateException] {
+      comps(es, 1L to 5L, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val ex2 = intercept[IllegalStateException] {
+      Components.connectedComponentsStar(
+        (1L until 200L).map(i => (i, i + 1L)).toDF("a", "b"),
+        (1L to 200L).toDF("v"), maxIters = 1)
+    }
+    assert(ex2.getMessage.contains("did not converge"))
+    // the same graphs converge fine under the default bound
+    assert(comps(es, 1L to 5L) === (1L to 5L).map(_ -> 1L).toMap)
+  }
+
   test("rareGramEdges -> components on the corpus: labels form a valid partition") {
     val docs = Tables.documents(spark, sf)
     val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,

@@ -94,6 +94,20 @@ class SourcesSpec extends SparkSpec {
     assert(mixed.collect().map(_.getLong(0)).toSet === Set(0L, 5L))
   }
 
+  test("DSv2 connector: Long.MaxValue boundary literals don't wrap the pushed range") {
+    val df = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "100").option("parts", "2").load()
+    // x + 1 on the exclusive-bound conversion would wrap MaxValue to
+    // MinValue: `<=` returned an empty scan, `>` returned all rows.
+    // Overflowing bounds must be rejected back to Spark, which then
+    // evaluates them correctly post-scan.
+    assert(df.filter(col("id") <= Long.MaxValue).count() === 100)
+    assert(df.filter(col("id") > Long.MaxValue).count() === 0)
+    assert(df.filter(col("id") === Long.MaxValue).count() === 0)
+    // non-boundary pushdown still narrows as before
+    assert(df.filter(col("id") <= 9).count() === 10)
+  }
+
   test("ORC tier: round-trip preserves values; filters push into the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val src = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
