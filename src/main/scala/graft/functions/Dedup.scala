@@ -181,6 +181,51 @@ object Dedup {
   /** Hamming distance between two simhash longs (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: the 64-bit simhash is split into
+    * `bands` contiguous bit-bands of width 64/bands; docs agreeing on
+    * ANY band become candidates (equi-join on (band, band-bits) — the
+    * same never-O(n²) blocking shape as MinHash LSH), then the exact
+    * Hamming distance gates `<= maxHamming`.
+    *
+    * Recall is EXACT (not probabilistic) for `maxHamming < bands`, by
+    * pigeonhole: fewer flipped bits than bands means at least one band
+    * is untouched, so every qualifying pair collides somewhere. That
+    * makes (bands = h+1) the natural setting for a Hamming-h dedup.
+    *
+    * Scale note: each band has 2^(64/bands) buckets, so FEWER bands =
+    * wider bands = more buckets = smaller buckets. bands=4 (16-bit
+    * bands, 65 536 buckets/band) is the 100 TB default; bands=8 shrinks
+    * buckets to 256/band and a near-dup-heavy corpus concentrates —
+    * the k² pair blowup inside one hot bucket is the same hazard as
+    * `ngramJaccardPairs`' hot gram, bounded here by band width. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int, bands: Int = 4,
+                          tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming=$maxHamming < bands=$bands (pigeonhole)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = df.select(col(idCol),
+      simhash(col(textCol), tokenHash).as("simhash"))
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("simhash"), bnd * width)
+            .bitwiseAND(lit(mask)).as("bh"))
+      }: _*)).as("u"))
+      .select(col(idCol), col("simhash"), col("u.band"), col("u.bh"))
+    val a = banded.select(col(idCol).as("a"), col("simhash").as("sh_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("b"), col("simhash").as("sh_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"), "inner")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** LSH-gated exact Jaccard — the 100 TB near-dup verify path.
     * MinHash/LSH proposes candidate pairs; exact n-gram Jaccard is then
     * computed ONLY for those pairs, by joining each candidate's gram

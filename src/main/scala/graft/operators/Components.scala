@@ -156,6 +156,14 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
 
+    // a matching fingerprint is NECESSARY but (theoretically) not
+    // sufficient — a hash-sum collision could declare a moving edge set
+    // stable and read labels off a non-fixpoint. Confirm exactly with a
+    // set difference, paid only on the (normally one) round whose
+    // fingerprint matches: equal counts + empty difference ⇔ equal sets
+    def sameEdges(x: DataFrame, y: DataFrame): Boolean =
+      x.exceptAll(y).isEmpty
+
     var e = edges.filter(ea =!= eb)
       .select(least(ea, eb).as("a"), greatest(ea, eb).as("b")).distinct()
       .localCheckpoint()
@@ -167,7 +175,7 @@ object Components {
       // per round — see the propagation loop)
       val next = star(star(e, large = true), large = false).localCheckpoint(false)
       val nfp = fingerprint(next)
-      stable = nfp == fp
+      stable = nfp == fp && sameEdges(next, e)
       fp = nfp
       dropCheckpoint(e)
       e = next

@@ -746,7 +746,35 @@ object ExtensionQueries {
     labels.select(col("v").as("doc_id"), col("component"))
   }
 
+  /** q84 — SimHash near-dup PAIRS (q21 emits the signature; this is the
+    * pair-generation stage, completing the SimHash dedup path like q20
+    * does for MinHash): 4 16-bit bands block candidates by equi-join,
+    * exact Hamming gates <= 3 — recall is exact by pigeonhole (see
+    * `Dedup.simhashNearDupPairs`). Registered with the md5-derived
+    * `Hashes.h60` token hash so the oracle reproduces every bit. */
+  val q84 = Q("q84_simhash_near_dups", {
+    val hs = graft.functions.Hashes.tokenH60ListSql("text")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(0, 60), i ->
+       |      CASE WHEN 2 * len(list_filter(hs, v -> (v >> i) & 1 = 1)) > len(hs)
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), (a, b) -> a + b) AS simhash
+       |  FROM (SELECT doc_id, $hs AS hs FROM documents)),
+       |banded AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS bh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT a, b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }) { (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3, bands = 4, tokenHash = graft.functions.Hashes.h60)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68, q83)
+    q56, q57, q58, q60, q66, q67, q68, q83, q84)
 }

@@ -89,6 +89,32 @@ class TextDedupSpec extends SparkSpec {
     assert((exact intersect cand).size.toDouble >= 0.5 * exact.size)
   }
 
+  test("simhash banded pairs: recall is EXACT for hamming < bands (pigeonhole), vs brute force") {
+    val corpus = Tables.documents(spark, sf)
+    val got = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force every pair's Hamming distance (fine at spec scale)
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === brute, "banded blocking must find EVERY hamming<=3 pair, no more")
+    assert(got.nonEmpty, "corpus has exact dups; hamming-0 pairs must exist")
+  }
+
+  test("simhash banded pairs: bands must exceed maxHamming and divide 64") {
+    val d = docs(1L -> "a b c", 2L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 2, bands = 3)
+    }
+  }
+
   test("langid picks the language whose stopwords dominate") {
     val out = docs(
       1L -> "the cat of the house and the dog",
