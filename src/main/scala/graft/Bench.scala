@@ -19,10 +19,10 @@ package graft
   *    rep is the COLD per-invocation cost — what one production run of
   *    the operator pays — not a warm-cache replay of rep 1's persisted
   *    index. Totals from rounds ≤5 (~44 s at sf0.1) measured the warm
-  *    path for the persist-carrying dedup/ANN queries and understate
-  *    cold cost; the round-6 total (~84 s) is the comparable honest
-  *    figure going forward, and the thing the old numbers hid (rep-on-
-  *    rep degradation from accreted blocks, q78 2.4→10.1 s) is fixed.
+  *    path for the persist-carrying dedup/ANN queries; the cold total
+  *    (~49 s on a quiet box) is the comparable figure going forward,
+  *    and the thing the old numbers hid (rep-on-rep degradation from
+  *    accreted blocks, q78 2.4→10.1 s) is fixed — reps are now flat.
   *  - PROD TWINS: a query named `X` is skipped when `X_prod` is
   *    registered — the md5-hash forms exist so the DuckDB oracle can
   *    reproduce every value, but MessageDigest-per-row is not the plan
@@ -39,7 +39,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = Sessions.local(cpus)
-    val registry = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=<regex>: time only matching queries (local
+    // iteration on one operator without paying the full sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val registry = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined) }
     val skipped = registry.keys.filter(n => registry.contains(n + "_prod")).toSeq.sorted
     // warm-up: trigger codegen + parquet footer reads once, unmeasured
     try registry.get("q02_monthly_sales")

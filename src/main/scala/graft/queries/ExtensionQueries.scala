@@ -774,7 +774,16 @@ object ExtensionQueries {
       maxHamming = 3, bands = 4, tokenHash = graft.functions.Hashes.h60)
   }
 
+  /** q84's production twin: same plan, xxhash64 token hash instead of
+    * the md5-derived oracle form (MessageDigest-per-token is parity
+    * machinery, not the shipped hash) — Bench times this one and skips
+    * the md5 form, like q26/q28. */
+  val q84p = Q.noOracle("q84_simhash_near_dups_prod") { (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68, q83, q84)
+    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p)
 }
