@@ -211,7 +211,11 @@ object AtomicTable {
     * writer and must survive — deleting it would tear that writer's
     * about-to-commit version out from under the pointer it is about to
     * rename. Vacuumed versions' `_claim_*`/`_commit_*` markers are
-    * removed with them so the marker set never grows without bound. */
+    * removed with them so the marker set never grows without bound.
+    * Superseded versions written BEFORE the commit-marker protocol
+    * (no `_commit_*` file) are indistinguishable from in-flight claims
+    * and are deliberately left in place — deleting maybe-in-flight data
+    * is the worse failure; remove them manually when upgrading. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
     val ctx = fc(spark, dir)
     val live = currentVersion(spark, dir).toSet

@@ -143,6 +143,23 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.versions(spark, dir) === Seq("v_00003", "v_00005"))
   }
 
+  test("pre-marker tables stay readable: the live pointer needs no commit marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_pre_").toString
+    AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)
+    AtomicTable.replace(Seq((2L, "b")).toDF("id", "v"), dir)
+    // simulate a table written before the commit-marker protocol
+    assert(new java.io.File(s"$dir/_commit_v_00001").delete())
+    assert(new java.io.File(s"$dir/_commit_v_00002").delete())
+    // the live version is always listed and readable (upgrade path)...
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00002"))
+    assert(AtomicTable.read(spark, dir).count() === 1)
+    // ...while the marker-less superseded version is indistinguishable
+    // from an in-flight claim: invisible to time travel AND left alone
+    // by vacuum (deleting maybe-in-flight data is the worse failure)
+    AtomicTable.vacuum(spark, dir, keep = 1)
+    assert(new java.io.File(s"$dir/v_00001").exists)
+  }
+
   test("time travel never reads a claimed-but-uncommitted directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_tt_").toString
     AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)
