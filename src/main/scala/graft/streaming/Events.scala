@@ -381,6 +381,20 @@ object Events {
         graft.pipeline.AtomicTable.upsert(batch, dir, keyCol)
     }
 
+  /** Gold → serving-DB export per micro-batch: the dashboard tier the
+    * reference reads through Dremio/Superset, as a foreachBatch that
+    * OVERWRITES the serving table with each batch's aggregate snapshot.
+    * Overwrite (not append) makes foreachBatch's at-least-once replay
+    * harmless — rewriting the same snapshot converges to the same
+    * table, no dedup marker needed. Pair with a complete-output-mode
+    * aggregate so every batch carries the full current state. Tested
+    * end-to-end against embedded Derby in `JdbcSpec`. */
+  def jdbcSnapshotBatch(url: String, table: String, user: String,
+                        password: String, driver: String)(
+      batch: DataFrame, id: Long): Unit =
+    if (!batch.isEmpty)
+      graft.sources.Sources.writeJdbc(batch, url, table, user, password, driver)
+
   /** Replay-guarded serving-state sink: foreachBatch re-delivers the
     * LAST micro-batch after a restart (the sink side of Structured
     * Streaming is at-least-once), and a blind re-run would double-push

@@ -73,4 +73,29 @@ class JdbcSpec extends SparkSpec {
     assert(back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
+
+  test("streaming gold -> JDBC dashboard snapshot: complete-mode aggregate lands per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    ms.addData(("p1", 2L), ("p2", 5L), ("p1", 3L))
+    val agg = ms.toDF().toDF("product_id", "qty")
+      .groupBy("product_id").agg(sum("qty").as("total_qty"))
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch(graft.streaming.Events.jdbcSnapshotBatch(
+        dbUrl, "dash1", "app", "", Driver) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // second wave: the snapshot overwrite must land the UPDATED totals,
+    // not append to the old ones
+    ms.addData(("p1", 10L))
+    val q2 = agg.writeStream.outputMode("complete")
+      .foreachBatch(graft.streaming.Events.jdbcSnapshotBatch(
+        dbUrl, "dash1", "app", "", Driver) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val dash = Sources.jdbc(spark, dbUrl, "dash1", "app", "", Driver)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dash === Map("p1" -> 15L, "p2" -> 5L))
+  }
 }
