@@ -108,6 +108,29 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("id") <= 9).count() === 10)
   }
 
+  test("DSv2 randomized pushdown equivalence: accepted ranges return exactly the model rows") {
+    val rows = 500L
+    val df = spark.read.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("parts", "4").load()
+    val rnd = new scala.util.Random(7)
+    // random bounds straddling the table edges, all five comparison ops —
+    // an accepted DSv2 filter is never re-checked by Spark, so the scan
+    // must agree with the reference model on every case
+    (1 to 40).foreach { _ =>
+      val b = rnd.nextLong(rows + 200) - 100
+      val (pred, model) = rnd.nextInt(5) match {
+        case 0 => (col("id") < b, (i: Long) => i < b)
+        case 1 => (col("id") <= b, (i: Long) => i <= b)
+        case 2 => (col("id") > b, (i: Long) => i > b)
+        case 3 => (col("id") >= b, (i: Long) => i >= b)
+        case 4 => (col("id") === b, (i: Long) => i == b)
+      }
+      val got = df.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = (0L until rows).filter(model)
+      assert(got === want, s"bound=$b pred=$pred")
+    }
+  }
+
   test("ORC tier: round-trip preserves values; filters push into the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val src = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
