@@ -783,7 +783,63 @@ object ExtensionQueries {
       maxHamming = 3, bands = 4)
   }
 
+  /** q85 — temporal densification (gap-filled daily spine): per order
+    * priority, every day of 1996-01 appears with its order count,
+    * zero-filled where no orders landed — the dashboard/time-series
+    * staple (no gaps in a chart, windows over regular steps). Spine =
+    * distinct keys × `sequence(start, end, 1 day)` EXPLODED on the key
+    * side — an explode, not a cross join, so the plan stays NLJ-free
+    * and the spine build parallelizes over keys at any key count. */
+  val q85 = Q("q85_daily_spine",
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-01-31',
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+      |prio AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      |counts AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |         COUNT(*) AS n_orders
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
+      |  GROUP BY 1, 2)
+      |SELECT p.priority, d.day, COALESCE(c.n_orders, 0) AS n_orders
+      |FROM prio p CROSS JOIN days d
+      |LEFT JOIN counts c ON c.priority = p.priority AND c.day = d.day""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val spine = orders.select(col("o_orderpriority").as("priority")).distinct()
+      .select(col("priority"),
+        explode(expr("sequence(date'1996-01-01', date'1996-01-31', interval 1 day)"))
+          .as("day"))
+    val counts = orders
+      .select(col("o_orderpriority").as("priority"), to_date(col("o_orderdate")).as("day"))
+      .filter(col("day").between(lit(java.sql.Date.valueOf("1996-01-01")),
+        lit(java.sql.Date.valueOf("1996-01-31"))))
+      .groupBy("priority", "day").agg(count(lit(1)).as("n_orders"))
+    spine.join(counts, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  /** q86 — curriculum buckets: length-ordered ntile quartiles per
+    * language, the assignment a length-based curriculum schedule reads
+    * (train on bucket 1 first, 4 last). The window partitions by lang
+    * — parallel across partitions, deterministic under the (n_tokens,
+    * doc_id) total order. The exact-equal-count ntile is the oracled
+    * semantics pin; at 100 TB you'd cut by approx_percentile
+    * boundaries instead (q82's machinery) to avoid any per-partition
+    * total sort of a giant language. */
+  val q86 = Q("q86_curriculum_buckets",
+    """SELECT doc_id, lang,
+      |       CAST(ntile(4) OVER (PARTITION BY lang
+      |                           ORDER BY len(string_split(trim(text), ' ')), doc_id)
+      |            AS INTEGER) AS bucket
+      |FROM documents""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.tokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), ntile(4).over(w).as("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p)
+    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86)
 }
