@@ -144,4 +144,28 @@ object Relational {
         left.columns.filterNot(_ == key).map(c => col(s"__l_$c").as(c)) ++
         rightPayload.map(c => col("__p").getField(c).as(c)): _*)
   }
+
+  /** Temporal densification: per key, every day in [start, end] with
+    * that day's row count, zero-filled where the fact has a gap — the
+    * regular series dashboards chart and window functions step over.
+    *
+    * The spine is built by EXPLODING the day sequence onto the distinct
+    * key set — an explode, never a cross join, so the plan carries no
+    * nested-loop node and spine construction parallelizes over keys.
+    * At 100 TB the spine is |keys|·days rows — tiny next to the fact —
+    * and the left join back is an equi-join on (key, day) that
+    * broadcasts whenever the spine is small. `dayCol` must already be
+    * a date (cast timestamps first). Oracled as q85. */
+  def gapFillDailyCounts(df: DataFrame, keyCol: String, dayCol: String,
+                         start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val spine = df.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(expr(s"sequence(date'$start', date'$end', interval 1 day)")).as(dayCol))
+    val counts = df
+      .filter(col(dayCol).between(lit(start), lit(end)))
+      .groupBy(keyCol, dayCol).agg(count(lit(1)).as("n_rows"))
+    spine.join(counts, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
 }

@@ -804,19 +804,11 @@ object ExtensionQueries {
       |SELECT p.priority, d.day, COALESCE(c.n_orders, 0) AS n_orders
       |FROM prio p CROSS JOIN days d
       |LEFT JOIN counts c ON c.priority = p.priority AND c.day = d.day""".stripMargin) { (s, d) =>
-    val orders = Tables.orders(s, d)
-    val spine = orders.select(col("o_orderpriority").as("priority")).distinct()
-      .select(col("priority"),
-        explode(expr("sequence(date'1996-01-01', date'1996-01-31', interval 1 day)"))
-          .as("day"))
-    val counts = orders
-      .select(col("o_orderpriority").as("priority"), to_date(col("o_orderdate")).as("day"))
-      .filter(col("day").between(lit(java.sql.Date.valueOf("1996-01-01")),
-        lit(java.sql.Date.valueOf("1996-01-31"))))
-      .groupBy("priority", "day").agg(count(lit(1)).as("n_orders"))
-    spine.join(counts, Seq("priority", "day"), "left")
-      .select(col("priority"), col("day"),
-        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val prepared = Tables.orders(s, d).select(
+      col("o_orderpriority").as("priority"), to_date(col("o_orderdate")).as("day"))
+    Relational.gapFillDailyCounts(prepared, "priority", "day",
+      java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-01-31"))
+      .withColumnRenamed("n_rows", "n_orders")
   }
 
   /** q86 — curriculum buckets: length-ordered ntile quartiles per

@@ -113,4 +113,26 @@ class RelationalSpec extends SparkSpec {
     assert(base.count() + delta.count() === orders.count())
     assert(base.unionAll(delta).exceptAll(orders).isEmpty)
   }
+
+  test("gapFillDailyCounts: complete spine, zero-filled gaps, counts preserved") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    val facts = Seq(
+      ("a", d("2024-03-01")), ("a", d("2024-03-01")), ("a", d("2024-03-04")),
+      ("b", d("2024-03-02")),
+      ("b", d("2024-02-28")), ("b", d("2024-03-09"))) // outside [01, 05] — excluded
+      .toDF("k", "day")
+    val got = Relational.gapFillDailyCounts(facts, "k", "day",
+      d("2024-03-01"), d("2024-03-05"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    // every key × every day in range, exactly once
+    assert(got.size === 2 * 5)
+    assert(got(("a", "2024-03-01")) === 2L) // duplicate rows counted
+    assert(got(("a", "2024-03-04")) === 1L)
+    assert(got(("b", "2024-03-02")) === 1L)
+    // gaps are zero-filled, not absent
+    assert(got(("a", "2024-03-02")) === 0L && got(("b", "2024-03-05")) === 0L)
+    // in-range total is preserved
+    assert(got.values.sum === 4L)
+  }
 }
