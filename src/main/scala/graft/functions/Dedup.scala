@@ -365,4 +365,64 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .select("a", "b")
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-CHAR gram of the text, slide a
+    * window of `w` consecutive gram hashes, keep each window's MINIMUM
+    * hash; the distinct kept hashes are the document's fingerprints.
+    * The guarantee (theorem 1 of the paper): any substring of length
+    * ≥ w + k − 1 shared VERBATIM by two documents yields at least one
+    * shared fingerprint — and selection is content-defined (the min
+    * decides, not the offset), so detection is ALIGNMENT-INDEPENDENT.
+    * That is what fixed-stride shingling fundamentally cannot give:
+    * a copied paragraph starting at char 3 in one doc and char 47 in
+    * the other still collides here. Word-shingle MinHash (q19/q20)
+    * estimates whole-document set overlap; winnowing finds exact
+    * duplicated SPANS — the Lee et al. 2022 "deduplicating training
+    * data" failure mode (boilerplate and quotes stitched into
+    * otherwise-distinct pages) that document-level similarity misses.
+    *
+    * Scale shape: expected fingerprint density is 2/(w+1) per char, so
+    * the exploded table is ~2·corpus_chars/(w+1) rows — linear, tunable
+    * by w, and NEVER all-pairs. One row per (doc, fingerprint).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 12,
+                            gramHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val text = col(textCol)
+    // every k-char gram, 1-based positions; shorter-than-k texts hash
+    // their whole text once (substr truncates identically in the oracle)
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => gramHash(text.substr(i, lit(k))))
+    // robust-winnowing window minima; trailing short windows truncate
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      p => array_min(slice(grams, p, lit(w)))))
+    df.select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Duplicate-SPAN candidate pairs via winnowing: docs sharing ≥
+    * `minShared` fingerprints whose corpus df is in [2, maxDf]. The df
+    * cap excludes corpus-wide boilerplate fingerprints AND bounds the
+    * self-join fan-out exactly like [[rareGramEdges]] — each kept
+    * fingerprint emits ≤ maxDf·(maxDf−1)/2 pairs, so edges stay linear
+    * in fingerprint count, never O(n²) in docs. Emits (a, b, shared). */
+  def duplicateSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 12,
+                         maxDf: Long = 50L, minShared: Long = 2L,
+                         gramHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val f = winnowingFingerprints(df, idCol, textCol, k, w, gramHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = f.join(
+      f.groupBy("fp").agg(count(lit(1)).as("fp_df"))
+        .filter(col("fp_df").between(2, maxDf))
+        .select("fp"),
+      Seq("fp"), "left_semi")
+    kept.select(col(idCol).as("a"), col("fp"))
+      .join(kept.select(col(idCol).as("b"), col("fp")), Seq("fp"), "inner")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -205,6 +205,77 @@ object AtomicTable {
     replace(next, dir)
   }
 
+  /** Small-file compaction as a COMMITTED VERSION (the OPTIMIZE /
+    * `rewrite_data_files` table service the reference would get from
+    * Iceberg): read the live snapshot, rewrite it as ⌈bytes/target⌉
+    * round-robin files, commit through the normal `replace` protocol.
+    * Because compaction is just another version, it is safe to run
+    * concurrently with readers (they hold the old pointer) and with
+    * the vacuum janitor (which only touches committed, superseded
+    * versions) — no stop-the-world window, which is the property that
+    * matters when a 100 TB table accretes thousands of small streaming
+    * files per hour. Hive-partitioned tables pass `partitionCols`:
+    * the rewrite then routes through `replace`'s repartition-by-key
+    * layout (one task per hive partition = one file per partition),
+    * the right grain when partitions, not the table, are the unit of
+    * fragmentation. Returns the new version name. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Nil): String = {
+    val v = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"AtomicTable at $dir has no committed version"))
+    if (partitionCols.nonEmpty) {
+      replace(read(spark, dir), dir, partitionCols = partitionCols)
+    } else {
+      val it = fc(spark, dir).util.listFiles(new Path(s"$dir/$v"), true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      replace(read(spark, dir).repartition(nFiles), dir)
+    }
+  }
+
+  /** Change-data-feed between two committed versions (Delta's
+    * `table_changes` / Iceberg's changelog scan): one full-outer join
+    * on the key, one struct compare. Emits only changed rows, tagged
+    * `insert` (key absent before), `delete` (key absent after), or
+    * `update` (present in both, any value column differs — null-safe
+    * compare), with every value column twice: `<col>_before` and
+    * `<col>_after` (null on the absent side). Schema evolution between
+    * the versions is handled like merge-schema: the value-column set is
+    * the union, a column one side lacks reads as typed null there — so
+    * adding a column surfaces as `update` rows only where real values
+    * landed. The join shuffles on the key (partition-prunable when the
+    * caller restricts both sides first); nothing is collected. */
+  def diff(spark: SparkSession, dir: String, fromVersion: String,
+           toVersion: String, keyCols: Seq[String]): DataFrame = {
+    val before = readVersion(spark, dir, fromVersion)
+    val after = readVersion(spark, dir, toVersion)
+    val valCols = (before.columns ++ after.columns).distinct.toSeq
+      .filterNot(keyCols.contains)
+    def side(df: DataFrame, tag: String, present: String): DataFrame = {
+      val have = df.columns.toSet
+      val types = (before.schema ++ after.schema).map(f => f.name -> f.dataType).toMap
+      df.select(keyCols.map(col) ++ valCols.map { c =>
+        (if (have.contains(c)) col(c) else lit(null).cast(types(c))).as(s"${c}_$tag")
+      }: _*).withColumn(present, lit(true))
+    }
+    val joined = side(before, "before", "_pb")
+      .join(side(after, "after", "_pa"), keyCols, "full_outer")
+    val bs = struct(valCols.map(c => col(s"${c}_before")): _*)
+    val as_ = struct(valCols.map(c => col(s"${c}_after")): _*)
+    joined
+      .withColumn("change_type",
+        when(col("_pb").isNull, "insert")
+          .when(col("_pa").isNull, "delete")
+          .when(!(bs <=> as_), "update"))
+      .filter(col("change_type").isNotNull)
+      .drop("_pb", "_pa")
+  }
+
   /** Drop COMMITTED version directories except the newest `keep` (never
     * the live one). Only versions `versions()` lists are candidates: a
     * claimed-but-uncommitted directory belongs to an in-flight racing

@@ -83,5 +83,57 @@ object PipelineQueries {
     AtomicTable.read(s, tmp)
   }
 
-  val all: Seq[Q] = Seq(q50, q59)
+  /** q87 — small-file COMPACTION under the gate: seed the table as 64
+    * deliberately tiny files (the state a streaming sink leaves behind),
+    * run `AtomicTable.compact`, read the committed result back. The
+    * oracle is the plain source projection — hash-green proves the
+    * rewrite moved bytes without changing a single value, which is the
+    * entire contract of a table-maintenance service. CompactionSpec
+    * (AtomicTableSpec) separately pins the file-count mechanics. */
+  val q87 = Q("q87_compacted_table",
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal AS balance
+      |FROM customer""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val base = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col("c_acctbal").as("balance"))
+    AtomicTable.replace(base.repartition(64), tmp)
+    AtomicTable.compact(s, tmp, targetBytes = 1L << 30)
+    AtomicTable.read(s, tmp)
+  }
+
+  /** q88 — CHANGE DATA FEED between two committed versions: v1 = every
+    * customer, v2 = deletes (key % 7 = 0), updates (+1000 on key % 10 =
+    * 0 of the survivors) and inserts (key % 13 = 0 cloned to key +
+    * 1 000 000). `AtomicTable.diff` must tag exactly those rows —
+    * unchanged customers may not appear — and carry before/after
+    * values. The oracle is the closed form over the raw table. */
+  val q88 = Q("q88_version_diff",
+    """SELECT c_custkey, 'delete' AS change_type,
+      |       c_acctbal AS balance_before, CAST(NULL AS DOUBLE) AS balance_after
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, 'update', c_acctbal, c_acctbal + 1000.0
+      |FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 = 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, 'insert', CAST(NULL AS DOUBLE), c_acctbal + 5000.0
+      |FROM customer WHERE c_custkey % 13 = 0""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("balance"))
+    val v1 = AtomicTable.replace(base, tmp)
+    val next = base.filter(col("c_custkey") % 7 =!= 0)
+      .withColumn("balance",
+        when(col("c_custkey") % 10 === 0, col("balance") + 1000.0)
+          .otherwise(col("balance")))
+      .unionByName(base.filter(col("c_custkey") % 13 === 0).select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        (col("balance") + 5000.0).as("balance")))
+    val v2 = AtomicTable.replace(next, tmp)
+    AtomicTable.diff(s, tmp, v1, v2, Seq("c_custkey"))
+      .select(col("c_custkey"), col("change_type"),
+        col("balance_before"), col("balance_after"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88)
 }

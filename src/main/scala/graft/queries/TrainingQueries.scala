@@ -314,5 +314,43 @@ object TrainingQueries {
       .filter(h % 1000 < keepRate)
   }
 
-  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+  /** q89 — duplicate-SPAN pairs via winnowing (MOSS, Schleimer et al.
+    * SIGMOD'03): k=8-char gram hashes, w=12 window minima, pairs
+    * sharing ≥2 fingerprints with df ≤ 50. Alignment-independent exact
+    * substring evidence — the Lee-et-al-2022 dedup tier document-level
+    * MinHash (q19/q20) can't see. Registered with the md5-derived h60
+    * gram hash so DuckDB reproduces every fingerprint bit-for-bit;
+    * Bench times the xxhash64 prod twin instead. */
+  val q89 = Q("q89_duplicate_spans", {
+    val gList = s"list_transform(list_transform(range(1, greatest(length(text) - 7, 1) + 1), " +
+      s"gp -> ${graft.functions.Hashes.hex15Sql("substr(text, gp, 8)")}), " +
+      s"gx -> ${graft.functions.Hashes.hexToLongSql("gx")})"
+    s"""WITH grams AS (
+       |  SELECT doc_id, $gList AS g FROM documents),
+       |fps AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(g) - 11, 1) + 1),
+       |                               gw -> list_min(list_slice(g, gw, gw + 11)))) AS fp
+       |  FROM grams),
+       |ok AS (SELECT fp FROM fps GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 50)
+       |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+       |FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |WHERE x.fp IN (SELECT fp FROM ok)
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+  }) { (s, d) =>
+    Dedup.duplicateSpanPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 8, w = 12, maxDf = 50L, minShared = 2L,
+      gramHash = graft.functions.Hashes.h60)
+  }
+
+  /** q89's production twin: same plan, xxhash64 gram hash (one codegen'd
+    * primitive per gram instead of MessageDigest) — what a real corpus
+    * run ships; Bench skips the md5 parity form for this one. */
+  val q89p = Q.noOracle("q89_duplicate_spans_prod") { (s, d) =>
+    Dedup.duplicateSpanPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 8, w = 12, maxDf = 50L, minShared = 2L)
+  }
+
+  val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
+    q79, q89, q89p)
 }

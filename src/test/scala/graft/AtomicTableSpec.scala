@@ -176,4 +176,52 @@ class AtomicTableSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_none_").toString
     intercept[IllegalStateException] { AtomicTable.read(spark, dir) }
   }
+
+  private def parquetFiles(dir: String, v: String): Seq[java.io.File] =
+    new java.io.File(s"$dir/$v").listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+
+  test("compact: many small files become few, data identical, old version time-travels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_cpt_").toString
+    val df = spark.range(10000).selectExpr("id", "id % 7 AS grp")
+    val v1 = AtomicTable.replace(df.repartition(64), dir)
+    assert(parquetFiles(dir, v1).size === 64)
+    // a huge target ⇒ everything fits one file
+    val v2 = AtomicTable.compact(spark, dir, targetBytes = 1L << 30)
+    assert(parquetFiles(dir, v2).size === 1)
+    // a target sized to a third of the data ⇒ more than one, fewer than 64
+    val total = parquetFiles(dir, v2).map(_.length).sum
+    val v3 = AtomicTable.compact(spark, dir, targetBytes = math.max(1L, total / 3))
+    val n3 = parquetFiles(dir, v3).size
+    assert(n3 > 1 && n3 < 64, s"expected 1 < files < 64, got $n3")
+    // data identical across every version; the pre-compaction snapshot
+    // still time-travels (compaction is just another committed version)
+    val sums = Seq(v1, v2, v3).map(v =>
+      AtomicTable.readVersion(spark, dir, v).selectExpr("sum(id)", "count(*)").collect().head)
+    assert(sums.distinct.size === 1)
+    assert(AtomicTable.versions(spark, dir) === Seq(v1, v2, v3))
+  }
+
+  test("diff: insert/update/delete tagged; unchanged rows absent; schema evolution reads as typed null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_cdc_").toString
+    val v1 = AtomicTable.replace(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "bal"), dir)
+    // delete 3, update 2's bal, insert 4, leave 1 untouched
+    val v2 = AtomicTable.replace(
+      Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0)).toDF("id", "name", "bal"), dir)
+    val d = AtomicTable.diff(spark, dir, v1, v2, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(d === Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    val upd = AtomicTable.diff(spark, dir, v1, v2, Seq("id"))
+      .filter($"id" === 2L).collect().head
+    assert(upd.getAs[Double]("bal_before") === 20.0 && upd.getAs[Double]("bal_after") === 25.0)
+    // schema evolution: v3 adds `tier`; rows whose only change is a real
+    // value in the new column surface as update, identical rows stay absent
+    val v3 = AtomicTable.replace(
+      Seq((1L, "a", 10.0, "gold"), (2L, "b", 25.0, null.asInstanceOf[String]))
+        .toDF("id", "name", "bal", "tier"), dir, mergeSchema = true)
+    val d2 = AtomicTable.diff(spark, dir, v2, v3, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(d2 === Map(1L -> "update", 4L -> "delete"))
+  }
 }

@@ -134,6 +134,64 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getInt(1) === 5)
   }
 
+  test("winnowing: the w+k-1 guarantee holds at ANY alignment; disjoint docs share nothing") {
+    val k = 8; val w = 12
+    // a shared span of exactly w+k-1 = 19 chars, embedded at different
+    // offsets in otherwise-unrelated texts — the case stride shingling
+    // misses and the MOSS theorem guarantees
+    val span = "qqwweerrttyyuuiiopp" // 19 chars
+    assert(span.length == w + k - 1)
+    val a = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" + span + "bbbbbbbbbbbbbbbbbbbbbbbb"
+    val b = "cc" + span + "dddddddddddddddddddddddddddddddddddddddddddddddddd"
+    val c = "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"
+    val fps = Dedup.winnowingFingerprints(docs(1L -> a, 2L -> b, 3L -> c), "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 19-char span must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    // density: winnowing keeps far fewer than all grams (expected 2/(w+1))
+    assert(byDoc(1L).size < a.length - k + 1)
+    // pair generation surfaces exactly the (1,2) pair
+    val pairs = Dedup.duplicateSpanPairs(docs(1L -> a, 2L -> b, 3L -> c),
+      "doc_id", "text", k, w, maxDf = 50L, minShared = 1L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnowing recall is 1.0 on randomized injected spans, under BOTH hash families") {
+    val k = 8; val w = 12
+    val rnd = new scala.util.Random(42)
+    def noise(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // 30 unrelated random docs; inject one ≥(w+k-1)-char span into 8
+    // known pairs at RANDOM offsets (the alignment-independence claim)
+    val base = (1L to 30L).map(i => i -> noise(200 + rnd.nextInt(200)))
+    val injected = (0 until 8).map { j =>
+      val a = 1L + 2 * j; val b = 2L + 2 * j
+      val span = noise(w + k - 1 + rnd.nextInt(20))
+      (a, b, span)
+    }
+    val byId = base.toMap
+    val texts = injected.foldLeft(byId) { case (m, (a, b, span)) =>
+      def put(id: Long) = {
+        val t = m(id); val off = rnd.nextInt(t.length)
+        t.take(off) + span + t.drop(off)
+      }
+      m.updated(a, put(a)).updated(b, put(b))
+    }
+    val df = docs(texts.toSeq.sortBy(_._1): _*)
+    val want = injected.map { case (a, b, _) => (a, b) }.toSet
+    for (h <- Seq((c: org.apache.spark.sql.Column) => xxhash64(c),
+                  graft.functions.Hashes.h60 _)) {
+      val got = Dedup.duplicateSpanPairs(df, "doc_id", "text", k, w,
+        maxDf = 1000L, minShared = 1L, gramHash = h)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the MOSS theorem: every injected pair MUST appear (exact recall);
+      // random-noise false positives are possible in principle but the
+      // 60-bit hash space makes them vanishingly unlikely here
+      assert(want.subsetOf(got), s"missing pairs: ${want -- got}")
+    }
+  }
+
   test("fingerprint is order-sensitive (unlike set hashing)") {
     val fp = docs(1L -> "a b c", 2L -> "c b a")
       .select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
