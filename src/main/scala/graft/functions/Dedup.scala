@@ -395,10 +395,18 @@ object Dedup {
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => gramHash(text.substr(i, lit(k))))
-    // robust-winnowing window minima; trailing short windows truncate
-    val fps = array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      p => array_min(slice(grams, p, lit(w)))))
+    // window minima over the grams, with the gram array LAMBDA-BOUND
+    // once (transform(array(x), g => ...) + element_at) — referencing
+    // `grams` inside the window lambda would re-evaluate every gram
+    // hash PER WINDOW, an O(len·w→len²) interpreted-eval blowup (the
+    // same trap Text.ngrams documents; observed 500× on q89's bench
+    // twin). Trailing short windows truncate, same as the oracle.
+    val fps = element_at(
+      transform(array(grams), g =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+          p => array_min(slice(g, p, lit(w)))))),
+      1)
     df.select(col(idCol), explode(fps).as("fp"))
   }
 

@@ -97,6 +97,27 @@ object Text {
     (lenScore + symPenalty + stopScore) / 3.0
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, the
+    * rule-filter family FineWeb/RefinedWeb refined): each rule is an
+    * independent boolean column so a curation run can AUDIT which rule
+    * rejected a document, not just that one did — the property a
+    * composite score (see [[qualityScore]]) cannot give. All rules are
+    * scalar codegen'd expressions: scan speed, zero shuffle, prunable
+    * to the text column. Thresholds are the conventional ones adapted
+    * to this corpus's single-line lowercase shape. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val nWords = tokenCount(text)
+    Seq(
+      "rule_word_count" -> nWords.between(50, 100000),
+      "rule_mean_word_len" -> avgTokenLen(text).between(3.0, 10.0),
+      "rule_symbol_density" -> (nonAlphaRatio(text) < 0.1),
+      "rule_alpha_words" ->
+        (size(filter(tokens(text), t => t.rlike("[a-z]"))).cast(DoubleType) /
+          nWords >= 0.7),
+      "rule_repetition" -> (distinctTokenRatio(text) > 0.3),
+      "rule_stopwords" -> (stopwordHits(text, Stopwords("en")) >= 2))
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens:
     * fp = Σ-fold (acc*31 + tokenHash(token)) mod 2^40. Order-sensitive
     * (a real rolling hash) and computed entirely inside codegen via the

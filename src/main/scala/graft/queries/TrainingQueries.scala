@@ -351,6 +351,38 @@ object TrainingQueries {
       k = 8, w = 12, maxDf = 50L, minShared = 2L)
   }
 
+  /** q90 — Gopher rule battery (Rae et al. 2021): every rule as its own
+    * audited boolean plus the conjunction. Rule-level output is what a
+    * production curation run needs (which rule fired, per doc, summed
+    * over the corpus = the rejection report); the oracle recomputes
+    * each rule in DuckDB so boolean parity is exact, including the
+    * double-division thresholds (both engines are IEEE-754). */
+  val q90 = Q("q90_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(trim(text), ' ') AS toks,
+      |         len(string_split(trim(text), ' ')) AS n_words
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+      |  length(replace(text, ' ', '')) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+      |  length(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE) < 0.1 AS rule_symbol_density,
+      |  len(list_filter(toks, gw -> regexp_matches(gw, '[a-z]'))) / CAST(n_words AS DOUBLE) >= 0.7 AS rule_alpha_words,
+      |  len(list_distinct(toks)) / CAST(n_words AS DOUBLE) > 0.3 AS rule_repetition,
+      |  len(list_filter(toks, gw -> gw IN ('the','a','of','and','to','in','is'))) >= 2 AS rule_stopwords,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND (length(replace(text, ' ', '')) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0)
+      |    AND (length(regexp_replace(text, '[a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE) < 0.1)
+      |    AND (len(list_filter(toks, gw -> regexp_matches(gw, '[a-z]'))) / CAST(n_words AS DOUBLE) >= 0.7)
+      |    AND (len(list_distinct(toks)) / CAST(n_words AS DOUBLE) > 0.3)
+      |    AND (len(list_filter(toks, gw -> gw IN ('the','a','of','and','to','in','is'))) >= 2) AS keep
+      |FROM t""".stripMargin) { (s, d) =>
+    val rules = Text.gopherRules(col("text"))
+    Tables.documents(s, d).select(
+      Seq(col("doc_id"), Text.tokenCount(col("text")).as("n_words")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p)
+    q79, q89, q89p, q90)
 }

@@ -65,6 +65,58 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("CBO: ANALYZE stats land as rowCount and cost-based reorder joins the tiny dim first") {
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // two 100k-row facts with fan-out 100 on the join key (their join
+      // alone is a 10M-row intermediate) and a 10-row dim that cuts 99%
+      spark.range(100000).selectExpr("id % 1000 AS k", "id AS a")
+        .write.mode("overwrite").saveAsTable("cbo_fact1")
+      spark.range(100000).selectExpr("id % 1000 AS k", "id AS b")
+        .write.mode("overwrite").saveAsTable("cbo_fact2")
+      spark.range(10).selectExpr("id AS k", "id AS dv")
+        .write.mode("overwrite").saveAsTable("cbo_dim")
+      Seq("cbo_fact1", "cbo_fact2", "cbo_dim").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      // 1) stats propagate: the catalog relation reports the exact rowCount
+      assert(spark.table("cbo_fact1").queryExecution.optimizedPlan
+        .stats.rowCount === Some(BigInt(100000)))
+      // 2) the query is WRITTEN worst-first (fact1 ⋈ fact2, then dim);
+      // the cost-based reorderer must move the dim into the innermost
+      // join so the 10M-row intermediate never materializes
+      val q = spark.sql(
+        """SELECT count(*) AS n FROM cbo_fact1 f1
+          |JOIN cbo_fact2 f2 ON f1.k = f2.k
+          |JOIN cbo_dim d ON f1.k = d.k""".stripMargin)
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val joins = q.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      val innermost = joins.filter(j =>
+        j.children.forall(c => c.collect { case jj: LJoin => jj }.isEmpty))
+      assert(innermost.nonEmpty && innermost.forall(_.toString.contains("cbo_dim")),
+        s"expected the 10-row dim in the innermost join:\n${q.queryExecution.optimizedPlan}")
+      // 3) reorder is purely physical: the count matches the no-CBO run
+      val n = q.collect().head.getLong(0)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(spark.sql(
+        """SELECT count(*) AS n FROM cbo_fact1 f1
+          |JOIN cbo_fact2 f2 ON f1.k = f2.k
+          |JOIN cbo_dim d ON f1.k = d.k""".stripMargin).collect().head.getLong(0) === n)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq("cbo_fact1", "cbo_fact2", "cbo_dim").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("runtime bloom-filter join pruning: selective build side injects might_contain into the probe") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
