@@ -338,7 +338,12 @@ object TrainingQueries {
        |WHERE x.fp IN (SELECT fp FROM ok)
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
   }) { (s, d) =>
-    Dedup.duplicateSpanPairs(Tables.documents(s, d), "doc_id", "text",
+    // the fingerprint scan is the expensive stage (interpreted HOF eval)
+    // and the gate corpus is ONE parquet file = one input split; a keyed
+    // repartition first spreads the eval across all cores — on a real
+    // corpus with many splits the repartition is a no-op to add or drop
+    Dedup.duplicateSpanPairs(
+      Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
       k = 8, w = 12, maxDf = 50L, minShared = 2L,
       gramHash = graft.functions.Hashes.h60)
   }
@@ -347,7 +352,8 @@ object TrainingQueries {
     * primitive per gram instead of MessageDigest) — what a real corpus
     * run ships; Bench skips the md5 parity form for this one. */
   val q89p = Q.noOracle("q89_duplicate_spans_prod") { (s, d) =>
-    Dedup.duplicateSpanPairs(Tables.documents(s, d), "doc_id", "text",
+    Dedup.duplicateSpanPairs(
+      Tables.documents(s, d).repartition(col("doc_id")), "doc_id", "text",
       k = 8, w = 12, maxDf = 50L, minShared = 2L)
   }
 
