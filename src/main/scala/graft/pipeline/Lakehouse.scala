@@ -62,4 +62,24 @@ object Lakehouse {
   }
 
   def isShuffleFree(df: DataFrame): Boolean = shuffleCount(df) == 0
+
+  /** Range-clustered write — the CLUSTER BY / (single-key) Z-ORDER
+    * table service: `repartitionByRange` gives each output file a
+    * disjoint slice of the key space, `sortWithinPartitions` orders
+    * rows inside each file, so every parquet ROW GROUP carries narrow,
+    * non-overlapping min/max stats. A pushed range predicate then
+    * prunes all but the matching row groups at scan time — data
+    * skipping with no index structure, which is how a 100 TB table
+    * answers a point-range query without reading 100 TB. (True
+    * multi-column Z-ORDER interleaves key bits; for the single-key
+    * locality the reference's date/key-range queries need, range
+    * clustering is the same skipping with a cheaper sort.)
+    * `ScaleOpsSpec` proves the effect directly from the footers. */
+  def clusteredWrite(df: DataFrame, dir: String, sortCols: Seq[String],
+                     numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 }

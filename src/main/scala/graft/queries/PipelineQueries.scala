@@ -135,5 +135,23 @@ object PipelineQueries {
         col("balance_before"), col("balance_after"))
   }
 
-  val all: Seq[Q] = Seq(q50, q59, q87, q88)
+  /** q91 — range-CLUSTERED rewrite under the gate (CLUSTER BY / Z-ORDER
+    * table service): scramble the fact, `Lakehouse.clusteredWrite` it
+    * by order key, read back. Hash-green = the physical re-layout moved
+    * every row and changed none; ScaleOpsSpec separately proves the
+    * row-group stats become disjoint (the data-skipping property the
+    * layout exists for). */
+  val q91 = Q("q91_clustered_table",
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster_").toString
+    val fact = graft.Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    graft.pipeline.Lakehouse.clusteredWrite(
+      fact.orderBy(hash(col("l_orderkey"), col("l_partkey"))),
+      tmp, Seq("l_orderkey"), numFiles = 8)
+    s.read.parquet(tmp)
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91)
 }

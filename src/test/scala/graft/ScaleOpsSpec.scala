@@ -73,4 +73,54 @@ class ScaleOpsSpec extends SparkSpec {
     }
     assert(typed === expect)
   }
+
+  /** Per-row-group [min,max] of a long column, read straight from the
+    * parquet footers — the stats the scan's pushed range predicate
+    * prunes against. */
+  private def rowGroupRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == column).get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        } finally r.close()
+      }
+  }
+
+  test("clustered write: row-group stats are disjoint and a range predicate prunes most of them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_").toString
+    // hash-scrambled order: the worst case a streaming ingest leaves
+    val df = spark.range(200000)
+      .select(xxhash64(col("id")).as("scramble"), col("id"))
+      .orderBy("scramble").select("id")
+    Lakehouse.clusteredWrite(df, s"$dir/clustered", Seq("id"), numFiles = 8)
+    df.repartition(8).write.parquet(s"$dir/random")
+    def intersecting(d: String): Int =
+      rowGroupRanges(d, "id").count { case (lo, hi) => hi >= 1000L && lo <= 2999L }
+    // clustered: row groups tile the key space, a 1% range touches ~1;
+    // random layout: every row group spans ~the full range, none prune
+    val (cl, rnd) = (intersecting(s"$dir/clustered"), intersecting(s"$dir/random"))
+    assert(cl <= 2, s"clustered layout should isolate the range, got $cl row groups")
+    assert(rnd >= rowGroupRanges(s"$dir/random", "id").size,
+      s"random layout should leave every row group in range")
+    // clustered row groups are pairwise disjoint (the skipping guarantee)
+    val ranges = rowGroupRanges(s"$dir/clustered", "id").sorted
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    })
+    // and the layout is purely physical: same rows both ways
+    val a = spark.read.parquet(s"$dir/clustered").filter(col("id").between(1000, 2999))
+    val b = spark.read.parquet(s"$dir/random").filter(col("id").between(1000, 2999))
+    assert(a.count() === 2000 && b.count() === 2000)
+  }
 }
