@@ -85,5 +85,20 @@ object ScaleQueries {
         min("tus").as("first_ts"), max("tus").as("last_ts"))
   }
 
-  val all: Seq[Q] = Seq(q54, q55, q63)
+  /** q92 — Z-order (Morton) key under the gate: the exact interleave
+    * `Lakehouse.clusteredWrite` sorts by for 2D data skipping
+    * (ScaleOpsSpec proves the tiling from the parquet footers; this
+    * pins the key arithmetic itself bit-for-bit against DuckDB's
+    * integer shift/and/or). 21 bits per dimension covers both key
+    * domains at every test scale factor. */
+  val q92 = Q("q92_zorder_key", {
+    val z = graft.functions.ZOrder.zOrder2Sql("l_orderkey", "l_partkey", 21)
+    s"""SELECT l_orderkey, l_partkey, $z AS zkey
+       |FROM lineitem""".stripMargin
+  }) { (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      graft.functions.ZOrder.zOrder2(col("l_orderkey"), col("l_partkey"), 21).as("zkey"))
+  }
+
+  val all: Seq[Q] = Seq(q54, q55, q63, q92)
 }

@@ -123,4 +123,39 @@ class ScaleOpsSpec extends SparkSpec {
     val b = spark.read.parquet(s"$dir/random").filter(col("id").between(1000, 2999))
     assert(a.count() === 2000 && b.count() === 2000)
   }
+
+  test("z-order clustering: row groups become 2D tiles — BOTH dimensions prune; single-key prunes one") {
+    import graft.functions.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    // 200k points uniform on a 1024×1024 grid, in scrambled arrival order
+    val pts = spark.range(200000).select(
+      (xxhash64(col("id")).bitwiseAND(lit(1023L))).as("x"),
+      (xxhash64(col("id"), lit(7)).bitwiseAND(lit(1023L))).as("y"))
+    Lakehouse.clusteredWrite(
+      pts.withColumn("z", ZOrder.zOrder2(col("x"), col("y"), bits = 10)),
+      s"$dir/z", Seq("z"), numFiles = 32)
+    Lakehouse.clusteredWrite(pts, s"$dir/xonly", Seq("x"), numFiles = 32)
+    def inRange(d: String, c: String): Int =
+      rowGroupRanges(d, c).count { case (lo, hi) => hi >= 500L && lo <= 515L }
+    val total = rowGroupRanges(s"$dir/z", "x").size
+    val (zx, zy) = (inRange(s"$dir/z", "x"), inRange(s"$dir/z", "y"))
+    // z-layout: a 16-wide slice on EITHER axis prunes row groups. The
+    // curve interleaves y above x here, so y-tiles are finer (~128) than
+    // x-tiles (~256); range-partition boundaries are SAMPLED, not
+    // bit-aligned, so straddling tiles widen the x side — the guarantee
+    // is locality in both dimensions, not perfection in either.
+    assert(zx < total, s"x-slice pruned nothing under z-order ($zx/$total)")
+    assert(zy <= total / 2, s"y-slice pruned nothing under z-order ($zy/$total)")
+    // x-only layout: perfect on x, blind on y — every group stays in range
+    val xTotal = rowGroupRanges(s"$dir/xonly", "y").size
+    val (xx, xy) = (inRange(s"$dir/xonly", "x"), inRange(s"$dir/xonly", "y"))
+    assert(xx <= 2)
+    assert(xy === xTotal)
+    // the claim that matters: summed over both query dimensions, the
+    // z-layout reads strictly fewer row groups than the single-key one
+    assert(zx + zy < xx + xy, s"z-order ($zx+$zy) should beat single-key ($xx+$xy)")
+    // the key is purely derived: dropping it round-trips the data
+    assert(spark.read.parquet(s"$dir/z").drop("z").exceptAll(pts).isEmpty
+      && pts.exceptAll(spark.read.parquet(s"$dir/z").drop("z")).isEmpty)
+  }
 }
