@@ -153,5 +153,30 @@ object PipelineQueries {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91)
+  /** q93 — constraint gate under the oracle: every order tagged with
+    * the exact rules it violates (CHECK semantics: FALSE violates,
+    * NULL passes — pinned by QualitySpec), quarantine = non-empty
+    * violation list. The oracle recomputes each rule as a CASE and
+    * concat_ws — both engines skip NULLs in concat_ws, so the joined
+    * violation string is bit-comparable. */
+  val q93 = Q("q93_constraint_gate",
+    """SELECT o_orderkey,
+      |       concat_ws(',',
+      |         CASE WHEN NOT COALESCE(o_totalprice > 0, TRUE) THEN 'positive_price' END,
+      |         CASE WHEN NOT COALESCE(o_totalprice < 400000, TRUE) THEN 'price_cap' END,
+      |         CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), TRUE) THEN 'valid_status' END,
+      |         CASE WHEN NOT COALESCE(o_orderdate >= DATE '1992-01-01', TRUE) THEN 'date_floor' END
+      |       ) AS violations
+      |FROM orders""".stripMargin) { (s, d) =>
+    import graft.pipeline.Quality
+    val rules = Seq(
+      "positive_price" -> (col("o_totalprice") > 0),
+      "price_cap" -> (col("o_totalprice") < 400000),
+      "valid_status" -> col("o_orderstatus").isInCollection(Seq("O", "F", "P")),
+      "date_floor" -> (col("o_orderdate") >= lit(java.sql.Date.valueOf("1992-01-01"))))
+    Tables.orders(s, d).select(col("o_orderkey"),
+      Quality.violations(rules).as("violations"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93)
 }
