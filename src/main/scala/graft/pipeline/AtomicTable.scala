@@ -276,6 +276,26 @@ object AtomicTable {
       .drop("_pb", "_pa")
   }
 
+  /** Roll the live pointer back to an earlier COMMITTED version (Delta
+    * RESTORE / Iceberg rollback): one atomic pointer rename, no data
+    * movement — the bad version stays on disk (still time-travelable,
+    * still vacuumable later) and in-flight readers of it are unharmed.
+    * Only committed versions are valid targets; rolling back to an
+    * in-flight claim would publish a partial write. */
+  def rollback(spark: SparkSession, dir: String, version: String): Unit = {
+    if (!versions(spark, dir).contains(version))
+      throw new IllegalArgumentException(
+        s"$version at $dir is not a committed version (in-flight or vacuumed)")
+    val ctx = fc(spark, dir)
+    val tmp = new Path(dir, s"$Pointer.tmp")
+    val os = ctx.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try { os.write(version.getBytes("UTF-8")); os.hsync() } finally os.close()
+    ctx.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+  }
+
   /** Drop COMMITTED version directories except the newest `keep` (never
     * the live one). Only versions `versions()` lists are candidates: a
     * claimed-but-uncommitted directory belongs to an in-flight racing

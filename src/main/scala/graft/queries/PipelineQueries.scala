@@ -178,5 +178,21 @@ object PipelineQueries {
       Quality.violations(rules).as("violations"))
   }
 
-  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93)
+  /** q95 — RESTORE under the gate: commit the good snapshot, commit a
+    * corrupting overwrite, roll the pointer back, read. Hash-green
+    * against the plain source projection proves rollback re-publishes
+    * the prior version exactly — one pointer rename, no data rewrite
+    * (the spec pins the marker/pointer mechanics). */
+  val q95 = Q("q95_restore",
+    """SELECT c_custkey, c_acctbal AS balance FROM customer""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restore_").toString
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("balance"))
+    val good = AtomicTable.replace(base, tmp)
+    AtomicTable.replace(base.withColumn("balance", lit(0.0)), tmp)
+    AtomicTable.rollback(s, tmp, good)
+    AtomicTable.read(s, tmp)
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93, q95)
 }

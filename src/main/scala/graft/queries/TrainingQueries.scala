@@ -389,6 +389,51 @@ object TrainingQueries {
         rules.map(_._2).reduce(_ && _).as("keep"): _*)
   }
 
+  /** q94 — dedup APPLY: the final stage of the near-dup pipeline.
+    * q68/q83 turn pairwise evidence into canonical components; this
+    * keeps exactly one representative per component (the minimum
+    * doc_id, i.e. the component label itself) and drops the rest —
+    * the corpus a training run actually reads. One left-semi join
+    * against the canonical set; at 100 TB the canonical-id table is
+    * tiny relative to the corpus and broadcastable. Oracle = the q68
+    * recursive-CTE fixpoint filtered to label == id. */
+  val q94 = Q("q94_dedup_apply",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks),
+      |rare AS (
+      |  SELECT g.doc_id, g.gram FROM grams g
+      |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY 1) f
+      |    ON g.gram = f.gram
+      |  WHERE f.gram_df BETWEEN 2 AND 50),
+      |e0 AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b
+      |  FROM rare ga JOIN rare gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      |reach(v, u) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+      |comp AS (SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |JOIN comp c ON d.doc_id = c.doc_id
+      |WHERE c.component = c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    val canonical = graft.operators.Components
+      .connectedComponents(edges, docs.select(col("doc_id")))
+      .filter(col("v") === col("component"))
+      .select(col("v").as("doc_id"))
+    docs.join(broadcast(canonical), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90)
+    q79, q89, q89p, q90, q94)
 }

@@ -202,6 +202,24 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.versions(spark, dir) === Seq(v1, v2, v3))
   }
 
+  test("rollback re-points atomically; rejects in-flight claims; next replace allocates past the bad version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_rb_").toString
+    val v1 = AtomicTable.replace(Seq((1L, "good")).toDF("id", "v"), dir)
+    val v2 = AtomicTable.replace(Seq((1L, "bad")).toDF("id", "v"), dir)
+    AtomicTable.rollback(spark, dir, v1)
+    assert(AtomicTable.currentVersion(spark, dir) === Some(v1))
+    assert(AtomicTable.read(spark, dir).collect().head.getString(1) === "good")
+    // the bad version remains committed: still time-travelable
+    assert(AtomicTable.versions(spark, dir) === Seq(v1, v2))
+    // an in-flight claim is not a restorable target
+    assert(new java.io.File(s"$dir/_claim_v_00003").createNewFile())
+    intercept[IllegalArgumentException] { AtomicTable.rollback(spark, dir, "v_00003") }
+    // a write after rollback must not collide with the superseded v2
+    val v3 = AtomicTable.replace(Seq((1L, "fixed")).toDF("id", "v"), dir)
+    assert(v3 === "v_00004")
+    assert(AtomicTable.read(spark, dir).collect().head.getString(1) === "fixed")
+  }
+
   test("diff: insert/update/delete tagged; unchanged rows absent; schema evolution reads as typed null") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_cdc_").toString
     val v1 = AtomicTable.replace(
