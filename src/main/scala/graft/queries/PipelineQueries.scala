@@ -194,5 +194,25 @@ object PipelineQueries {
     AtomicTable.read(s, tmp)
   }
 
-  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93, q95)
+  /** q96 — one-pass column profile of the customer table (the
+    * data-catalog summary service): row/null/exact-distinct counts per
+    * column, numeric min/max as doubles. The oracle recomputes each
+    * column's row as a UNION ALL — exact distincts on both sides, so
+    * the whole profile is hash-comparable. */
+  val q96 = Q("q96_table_profile", {
+    def num(c: String) =
+      s"""SELECT '$c' AS column, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_value, CAST(MAX($c) AS DOUBLE) AS max_value
+         |FROM customer""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer""".stripMargin
+    Seq(num("c_custkey"), str("c_name"), num("c_nationkey"),
+      num("c_acctbal"), str("c_mktsegment")).mkString("\nUNION ALL\n")
+  }) { (s, d) =>
+    graft.pipeline.Profile.profile(Tables.customer(s, d))
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93, q95, q96)
 }
