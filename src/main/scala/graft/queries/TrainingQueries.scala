@@ -434,6 +434,27 @@ object TrainingQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q97 — reproducible corpus shuffle: every pretraining run shuffles
+    * its corpus, and the shuffle must be DETERMINISTIC (resume, data
+    * ablations, and loss-spike forensics all need to replay the exact
+    * order). Order = keyed hash of (seed, doc_id) — engine-portable,
+    * independent of partitioning, and a different seed is a fresh
+    * permutation. The global row_number is the gate artifact; a real
+    * run materializes order by range-partitioning on the hash
+    * (repartitionByRange + sortWithinPartitions — the q91 machinery)
+    * rather than a single-partition window. */
+  val q97 = Q("q97_corpus_shuffle", {
+    val h = graft.functions.Hashes.hex15Sql("'shuf1|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |       row_number() OVER (ORDER BY $h, doc_id) AS shuffle_pos
+       |FROM documents""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .hex15(concat(lit("shuf1|"), col("doc_id").cast(StringType)))
+    Tables.documents(s, d).select(col("doc_id"),
+      row_number().over(Window.orderBy(h, col("doc_id"))).as("shuffle_pos"))
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94)
+    q79, q89, q89p, q90, q94, q97)
 }
