@@ -97,4 +97,48 @@ class EdgeCasesSpec extends SparkSpec {
   test("rerank with all-empty inputs") {
     assert(graft.streaming.Events.rerank(Nil, Nil, Nil) === Nil)
   }
+
+  test("winnowing on empty/short text and empty corpus: fingerprints, never ANSI-throws") {
+    assert(Dedup.winnowingFingerprints(emptyDocs, "doc_id", "text").isEmpty)
+    // shorter than k: one fingerprint (the whole-text hash); empty text hashes too
+    val fps = Dedup.winnowingFingerprints(
+      Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0))
+    assert(fps.sorted.toSeq === Seq(1L, 2L))
+    assert(Dedup.duplicateSpanPairs(emptyDocs, "doc_id", "text").isEmpty)
+  }
+
+  test("zorder: bit-boundary inputs stay positive; bits out of range rejected") {
+    import graft.functions.ZOrder
+    val r = Seq((((1L << 31) - 1), ((1L << 31) - 1))).toDF("a", "b")
+      .select(ZOrder.zOrder2(col("a"), col("b"), 31).as("z")).collect().head.getLong(0)
+    assert(r === (1L << 62) - 1 && r > 0)
+    // values above 2^bits alias onto the grid instead of corrupting sign
+    val aliased = Seq((1L << 40, 0L)).toDF("a", "b")
+      .select(ZOrder.zOrder2(col("a"), col("b"), 10).as("z")).collect().head.getLong(0)
+    assert(aliased === 0L)
+    intercept[IllegalArgumentException] { ZOrder.zOrder2(col("a"), col("b"), 32) }
+    intercept[IllegalArgumentException] { ZOrder.zOrder2(col("a"), col("b"), 0) }
+  }
+
+  test("profile on empty and all-null-column tables") {
+    import graft.pipeline.Profile
+    val empty = Profile.profile(emptyDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(empty === Map("doc_id" -> ((0L, 0L, 0L)), "text" -> ((0L, 0L, 0L))))
+    val nulls = Profile.profile(
+      Seq((1L, Option.empty[java.lang.Double]), (2L, Option.empty[java.lang.Double]))
+        .toDF("id", "v")).collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.isNullAt(4))).toMap
+    // all-null numeric column: 2 nulls, 0 distinct, null min
+    assert(nulls("v") === ((2L, 0L, true)))
+    assert(nulls("id") === ((0L, 2L, false)))
+  }
+
+  test("quality gate with zero rules: everything valid, empty quarantine") {
+    import graft.pipeline.Quality
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val (valid, quarantine) = Quality.split(df, Nil)
+    assert(valid.count() === 1 && quarantine.isEmpty)
+  }
 }
