@@ -214,5 +214,71 @@ object PipelineQueries {
     graft.pipeline.Profile.profile(Tables.customer(s, d))
   }
 
-  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93, q95, q96)
+  /** q98 — CDC-driven INCREMENTAL VIEW MAINTENANCE: maintain a
+    * per-customer gold aggregate from `AtomicTable.diff` rows alone,
+    * never rescanning the base. Delta algebra: every CDC row
+    * contributes −(before) to its old group and +(after) to its new
+    * group — deletes have no after side, inserts no before side, and
+    * an update that MIGRATES groups (customer re-keyed here) is
+    * handled by exactly the same two terms. Sums ride DECIMAL(18,2)
+    * through the merge (decimal addition is associative, so
+    * incremental ≡ recompute bit-for-bit; q73 pins the same property
+    * for partial-agg merge). The oracle recomputes the gold from the
+    * v2 closed form directly — hash-green means a 100 TB gold can be
+    * maintained from the day's CDC rows, at CDC cost, not base cost. */
+  val q98 = Q("q98_cdc_incremental_gold",
+    """WITH v2 AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 20 = 0 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS cust,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 50.0
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT cust AS o_custkey, COUNT(*) AS n_orders,
+      |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM v2 GROUP BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val money = DecimalType(18, 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
+    val k = col("o_orderkey")
+    // v2: deletes (%13), price updates (%10), group migrations (%20), inserts (%17)
+    val next = base.filter(k % 13 =!= 0).select(k,
+        when(k % 20 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(k % 10 === 0, col("price") + 100.0).otherwise(col("price")).as("price"))
+      .unionByName(base.filter(k % 17 === 0).select(
+        (k + 10000000L).as("o_orderkey"), col("o_custkey"),
+        (col("price") + 50.0).as("price")))
+    val v1 = AtomicTable.replace(base, tmp)
+    val v2 = AtomicTable.replace(next, tmp)
+    // the gold as of v1, sums kept in exact decimal for the merge
+    val gold1 = s.read.parquet(s"$tmp/$v1").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n1"), sum(col("price").cast(money)).as("p1"))
+    // CDC rows → ±group deltas (one explode, two terms per row)
+    val cdc = AtomicTable.diff(s, tmp, v1, v2, Seq("o_orderkey"))
+    val deltas = cdc.select(explode(array(
+        struct(col("o_custkey_before").as("cust"), lit(-1L).as("dn"),
+          (-col("price_before").cast(money)).as("dp")),
+        struct(col("o_custkey_after").as("cust"), lit(1L).as("dn"),
+          col("price_after").cast(money).as("dp")))).as("d"))
+      .select(col("d.*")).filter(col("cust").isNotNull)
+      .groupBy("cust").agg(sum("dn").as("dn"), sum("dp").as("dp"))
+    // merge: gold2 = gold1 ⊕ deltas; groups whose count hits 0 vanish
+    gold1.join(deltas, gold1("o_custkey") === deltas("cust"), "full_outer")
+      .select(
+        coalesce(gold1("o_custkey"), col("cust")).as("o_custkey"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("p1"), lit(0).cast(money)) +
+          coalesce(col("dp"), lit(0).cast(money))).as("psum"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_custkey"), col("n_orders"),
+        col("psum").cast(org.apache.spark.sql.types.DoubleType).as("total_price"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q59, q87, q88, q91, q93, q95, q96, q98)
 }
