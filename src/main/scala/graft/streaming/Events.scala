@@ -381,6 +381,24 @@ object Events {
         graft.pipeline.AtomicTable.upsert(batch, dir, keyCol)
     }
 
+  /** Streaming constraint gate: per micro-batch, rows passing every
+    * named rule append to the silver path, violators append to a
+    * quarantine path carrying batch id + the exact rules broken —
+    * `Quality.split`'s CHECK semantics (FALSE violates, NULL passes)
+    * applied at the stream boundary. This is the structural cousin of
+    * [[parseWithDeadLetter]] one stage later: that one quarantines
+    * rows that don't PARSE, this one rows that parse but don't
+    * CONFORM. Both sinks are plain appends, so the streaming
+    * checkpoint's replay semantics apply unchanged. */
+  def constraintGateBatch(validDir: String, quarantineDir: String,
+                          rules: Seq[(String, org.apache.spark.sql.Column)])(
+                          batch: DataFrame, id: Long): Unit = {
+    val (valid, quarantine) = graft.pipeline.Quality.split(batch, rules)
+    valid.write.mode("append").parquet(validDir)
+    quarantine.withColumn("_batch_id", lit(id))
+      .write.mode("append").parquet(quarantineDir)
+  }
+
   /** Gold → serving-DB export per micro-batch: the dashboard tier the
     * reference reads through Dremio/Superset, as a foreachBatch that
     * OVERWRITES the serving table with each batch's aggregate snapshot.

@@ -130,6 +130,26 @@ class StreamingSpec extends SparkSpec {
     assert(InMemoryKV.get("user:null:views").isEmpty) // null guard held
   }
 
+  test("streaming constraint gate: conforming rows to silver, violators quarantined with attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_gate").toString
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData((1L, 5.0), (2L, -3.0), (3L, 500.0))
+    val rules = Seq(
+      "positive" -> (col("v") > 0),
+      "small" -> (col("v") < 100))
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .foreachBatch(constraintGateBatch(s"$dir/silver", s"$dir/quarantine", rules) _)
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/silver").select("id").as[Long].collect().toSet === Set(1L))
+    val bad = spark.read.parquet(s"$dir/quarantine").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("_violations")).toMap
+    assert(bad === Map(2L -> "positive", 3L -> "small"))
+  }
+
   test("dead-letter split: malformed rows quarantined with raw payload") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
