@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the DataSource V2 connector surface ([[SynthSource]]
+  * is the read half): a batch sink implementing the TWO-PHASE COMMIT
+  * protocol every production connector (JDBC, Iceberg, Kafka
+  * transactional) builds on —
+  *
+  *   task side:   each `DataWriter` writes its partition to a private
+  *                temp file and returns a commit MESSAGE (path + row
+  *                count); a failed/speculative task's `abort()` deletes
+  *                only its own file;
+  *   driver side: `BatchWrite.commit(messages)` publishes ONE manifest
+  *                naming every task file (written temp-then-rename, the
+  *                same atomic publish primitive as `AtomicTable`);
+  *                `abort()` deletes all task files.
+  *
+  * Readers resolve manifests first, so a job is visible all-or-nothing:
+  * no manifest ⇒ zero rows observed, however many task files were
+  * written before the failure. Each job appends its own manifest —
+  * concurrent writers cannot tear each other (distinct UUIDs).
+  *
+  *   df.write.format("graft.sources.CommitSink")
+  *     .option("path", dir).mode("append").save()
+  *
+  * The row codec is deliberately minimal (TSV of the supported atomic
+  * types) — the PROTOCOL is the demonstration, and `SourcesSpec` pins
+  * it: round-trip, append isolation, and all-or-nothing under an
+  * injected task failure. At scale the codec would be parquet and the
+  * manifest a catalog entry; the commit choreography is identical. */
+class CommitSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException("CommitSink is write-only; schema comes from the dataframe")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CommitSinkTable(schema, properties.get("path"),
+      Option(properties.get("failpartition")).map(_.toInt))
+}
+
+object CommitSink {
+  /** Rows published by committed manifests only, sorted for stable
+    * assertion. Tab-separated codec mirrors [[CommitSinkWriter]]. */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+           schema: StructType): org.apache.spark.sql.DataFrame = {
+    val d = new java.io.File(dir)
+    val committed = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("manifest-"))
+      .flatMap(m => java.nio.file.Files.readAllLines(m.toPath).toArray(Array.empty[String]))
+    val files = committed.filter(_.nonEmpty).map(new java.io.File(_)).toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("sep", "\t").csv(files.map(_.getAbsolutePath): _*)
+  }
+}
+
+private class CommitSinkTable(schema0: StructType, path: String, failPartition: Option[Int])
+    extends Table with SupportsWrite {
+  override def name(): String = s"commit_sink($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite = new CommitSinkBatchWrite(info.schema(), path, failPartition)
+    }
+  }
+}
+
+private case class TaskFile(path: String, rows: Long) extends WriterCommitMessage
+
+private class CommitSinkBatchWrite(schema: StructType, path: String, failPartition: Option[Int])
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CommitSinkWriterFactory(schema, path, failPartition)
+  // the ONLY publish point: one manifest names every task file, written
+  // temp-then-atomic-rename; readers that don't see it see nothing
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val body = messages.collect { case TaskFile(p, _) => p }.mkString("\n")
+    val id = java.util.UUID.randomUUID().toString
+    val tmp = java.nio.file.Paths.get(path, s".manifest-$id.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, s"manifest-$id"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TaskFile(p, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      case _ => ()
+    }
+}
+
+private class CommitSinkWriterFactory(schema: StructType, path: String, failPartition: Option[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CommitSinkWriter(schema, path, partitionId, taskId, failPartition)
+}
+
+private class CommitSinkWriter(schema: StructType, path: String, partitionId: Int,
+                               taskId: Long, failPartition: Option[Int])
+    extends DataWriter[InternalRow] {
+  private val file = java.nio.file.Paths.get(path, s"task-$partitionId-$taskId.tsv")
+  java.nio.file.Files.createDirectories(file.getParent)
+  private val out = java.nio.file.Files.newBufferedWriter(file)
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (failPartition.contains(partitionId))
+      throw new RuntimeException(s"injected failure in partition $partitionId")
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) ""
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case dt => throw new UnsupportedOperationException(s"codec: $dt")
+      }
+    }
+    out.write(cells.mkString("\t")); out.write("\n"); n += 1
+  }
+
+  // task-side commit: durable file + message; nothing is visible until
+  // the driver's manifest lands
+  override def commit(): WriterCommitMessage = { out.close(); TaskFile(file.toString, n) }
+  override def abort(): Unit = { out.close(); java.nio.file.Files.deleteIfExists(file) }
+  override def close(): Unit = ()
+}

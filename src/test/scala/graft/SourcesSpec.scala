@@ -166,4 +166,37 @@ class SourcesSpec extends SparkSpec {
       assert(!spark.catalog.isCached("nation_cache_probe"))
     }
   }
+
+  test("DSv2 write: two-phase commit round-trips; appends are isolated jobs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val df = spark.range(1000).repartition(8)
+      .selectExpr("id", "concat('n', id) AS name")
+    df.write.format("graft.sources.CommitSink").option("path", dir).mode("append").save()
+    val back = graft.sources.CommitSink.read(spark, dir, schema)
+    assert(back.count() === 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+    // a second job appends its own manifest; both stay visible
+    spark.range(5).selectExpr("id + 1000 AS id", "'x' AS name")
+      .write.format("graft.sources.CommitSink").option("path", dir).mode("append").save()
+    assert(graft.sources.CommitSink.read(spark, dir, schema).count() === 1005)
+    assert(new java.io.File(dir).listFiles.count(_.getName.startsWith("manifest-")) === 2)
+  }
+
+  test("DSv2 write: a failing task aborts the whole job — nothing becomes visible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_fail_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    intercept[Exception] {
+      spark.range(1000).repartition(8).toDF("id")
+        .write.format("graft.sources.CommitSink")
+        .option("path", dir).option("failpartition", "3").mode("append").save()
+    }
+    // no manifest published ⇒ zero rows observed, task temp files aborted
+    assert(graft.sources.CommitSink.read(spark, dir, schema).isEmpty)
+    assert(new java.io.File(dir).listFiles.count(_.getName.startsWith("manifest-")) === 0)
+  }
 }
