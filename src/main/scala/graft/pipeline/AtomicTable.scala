@@ -167,17 +167,55 @@ object AtomicTable {
     // manage it. Created BEFORE the pointer rename so a version is never
     // live-but-unlisted; exclusive allocation means this create cannot race.
     claimExclusive(actx, new Path(dir, s"_commit_$next"))
-    // one-file commit: temp pointer fully written + flushed, then the
-    // atomic overwrite-rename makes it the live pointer
-    val ctx = fc(spark, dir)
-    val tmp = new Path(dir, s"$Pointer.tmp")
-    val os = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try { os.write(next.getBytes("UTF-8")); os.hsync() } finally os.close()
-    ctx.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+    commitPointer(spark, dir, next)
     next
+  }
+
+  /** One-file commit: temp pointer fully written + flushed, then the
+    * atomic overwrite-rename makes it the live pointer. The temp name
+    * is PER-COMMIT-ATTEMPT (unique suffix): a shared `_current.tmp`
+    * let two racing committers overwrite each other's in-flight temp
+    * file — observed as a checksum-sidecar crash on the local fs, and
+    * on any fs a writer could rename a temp carrying the OTHER
+    * writer's content (racing replaces, or two rollbacks to the same
+    * version). Last-rename-wins is unchanged; each committer now
+    * renames only bytes it wrote itself. A writer that dies between
+    * create and rename leaves one tiny `_current.tmp.*` file behind —
+    * inert litter, never read.
+    *
+    * Like [[claimExclusive]], `file:` paths route through NIO: the
+    * Hadoop local shim is ChecksumFs, whose rename moves the `.crc`
+    * sidecar NON-atomically — two racing renames onto `_current`
+    * collide on the sidecar (observed FileAlreadyExistsException under
+    * a contended-commit hammer). POSIX rename(2) via NIO is atomic and
+    * last-wins with no sidecar; HDFS/object stores have server-side
+    * checksums and keep the FileContext path. */
+  private def commitPointer(spark: SparkSession, dir: String, version: String): Unit = {
+    val ctx = fc(spark, dir)
+    val tmp = new Path(dir, s"$Pointer.tmp.${java.util.UUID.randomUUID()}")
+    val scheme = Option(tmp.toUri.getScheme)
+      .getOrElse(ctx.getDefaultFileSystem.getUri.getScheme)
+    if (scheme == "file" || scheme == null) {
+      val dirP = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
+      java.nio.file.Files.createDirectories(dirP)
+      val tmpP = dirP.resolve(s"$Pointer.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmpP, version.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.SYNC)
+      java.nio.file.Files.move(tmpP, dirP.resolve(Pointer),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // a sidecar left by a pre-NIO commit would describe the OLD
+      // pointer bytes and fail ChecksumFs reads of the new ones
+      java.nio.file.Files.deleteIfExists(dirP.resolve(s".$Pointer.crc"))
+    } else {
+      val os = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try { os.write(version.getBytes("UTF-8")); os.hsync() } finally os.close()
+      ctx.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+    }
   }
 
   /** MERGE-style upsert: the next version = delta rows + current rows
@@ -286,14 +324,7 @@ object AtomicTable {
     if (!versions(spark, dir).contains(version))
       throw new IllegalArgumentException(
         s"$version at $dir is not a committed version (in-flight or vacuumed)")
-    val ctx = fc(spark, dir)
-    val tmp = new Path(dir, s"$Pointer.tmp")
-    val os = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try { os.write(version.getBytes("UTF-8")); os.hsync() } finally os.close()
-    ctx.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+    commitPointer(spark, dir, version)
   }
 
   /** Drop COMMITTED version directories except the newest `keep` (never

@@ -106,6 +106,37 @@ class AtomicTableSpec extends SparkSpec {
     val winner = if (cur.contains(vA)) "A" else "B"
     val live = AtomicTable.read(spark, dir).collect().map(_.getString(1)).toSet
     assert(live === Set(winner), s"live table must be exactly the winner's content: $live")
+    // successful commits leave no pointer-temp litter (each attempt's
+    // temp is uniquely named and renamed away — a SHARED temp name let
+    // racing committers tear each other's in-flight file)
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith("_current.tmp")),
+      "no _current.tmp* litter after successful commits")
+  }
+
+  test("racing pointer commits never crash or tear (repeated contended rounds)") {
+    // the shared-temp-pointer regression crashed roughly 1-in-N runs;
+    // hammer the exact contention point (two pointer commits in the
+    // same millisecond window) enough rounds to make recurrence loud
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_race2_").toString
+    AtomicTable.replace(Seq((0L, 0L)).toDF("id", "v"), dir)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    for (round <- 1 to 8) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (0 until 2).map { w =>
+        new Thread(() => {
+          try {
+            val df = Seq((round.toLong, w.toLong)).toDF("id", "v")
+            barrier.await()
+            AtomicTable.replace(df, dir)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    }
+    assert(failures.isEmpty, s"racing commits must not throw: ${failures.peek()}")
+    // pointer still resolves to a complete, committed version
+    assert(AtomicTable.read(spark, dir).count() === 1)
+    assert(AtomicTable.versions(spark, dir).size === 17)
   }
 
   test("vacuum deletes only committed versions, cleans their markers, spares in-flight claims") {
