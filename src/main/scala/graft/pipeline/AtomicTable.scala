@@ -192,13 +192,14 @@ object AtomicTable {
     * checksums and keep the FileContext path. */
   private def commitPointer(spark: SparkSession, dir: String, version: String): Unit = {
     val ctx = fc(spark, dir)
-    val tmp = new Path(dir, s"$Pointer.tmp.${java.util.UUID.randomUUID()}")
-    val scheme = Option(tmp.toUri.getScheme)
+    val tmpName = s"$Pointer.tmp.${java.util.UUID.randomUUID()}"
+    val dirPath = new Path(dir)
+    val scheme = Option(dirPath.toUri.getScheme)
       .getOrElse(ctx.getDefaultFileSystem.getUri.getScheme)
     if (scheme == "file" || scheme == null) {
-      val dirP = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
+      val dirP = java.nio.file.Paths.get(dirPath.toUri.getPath)
       java.nio.file.Files.createDirectories(dirP)
-      val tmpP = dirP.resolve(s"$Pointer.tmp.${java.util.UUID.randomUUID()}")
+      val tmpP = dirP.resolve(tmpName)
       java.nio.file.Files.write(tmpP, version.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.SYNC)
@@ -209,6 +210,7 @@ object AtomicTable {
       // pointer bytes and fail ChecksumFs reads of the new ones
       java.nio.file.Files.deleteIfExists(dirP.resolve(s".$Pointer.crc"))
     } else {
+      val tmp = new Path(dir, tmpName)
       val os = ctx.create(tmp,
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
           org.apache.hadoop.fs.CreateFlag.OVERWRITE),
