@@ -14,7 +14,9 @@ package graft
   *    and the reported number is the MIN — single-rep wall-clock on a
   *    shared box drifted untouched scalar queries by up to 7× between
   *    rounds; the min is the least-noise estimator of plan cost. All
-  *    reps are emitted too (`reps` field) for variance audit. Since
+  *    reps land in `target/bench_last.json` (`reps` field) for variance
+  *    audit; the stdout line omits them (and rounds to 4 dp) so the
+  *    driver's bounded stdout tail captures the whole JSON line. Since
   *    round 6 the cache is cleared between reps (see the loop), so each
   *    rep is the COLD per-invocation cost — what one production run of
   *    the operator pays — not a warm-cache replay of rep 1's persisted
@@ -68,9 +70,12 @@ object Bench {
         name -> times
       }
     def best(ts: Seq[Double]): Double = if (ts.exists(_ < 0)) -1.0 else ts.min
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + best(ts) }
+    def r4(x: Double): String =
+      if (x < 0) "-1" else BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + r4(best(ts)) }
       .mkString("{", ",", "}")
-    val repsJson = results.map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+    val repsJson = results.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(r4).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, ts) if best(ts) < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -79,13 +84,15 @@ object Bench {
     val nErrors = results.count(r => best(r._2) < 0)
     // n_errors travels next to the total so a round-over-round total
     // comparison can't silently absorb a newly failing (excluded) query
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir"}"""
-    println(line)
-    // stdout capture truncates on the driver side (it keeps a bounded
-    // tail); the file is the durable record of the full JSON line
+    val head = s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs"""
+    val tail = s""""oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir""""
+    // stdout gets the COMPACT line (no per-rep arrays, 4-dp values) so it
+    // fits the driver's bounded stdout tail and parses; the file keeps
+    // the full record including reps for variance audit
+    println(s"""{$head,$tail}""")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (s"""{$head,"reps":$repsJson,$tail}""" + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

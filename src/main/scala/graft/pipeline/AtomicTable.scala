@@ -203,12 +203,14 @@ object AtomicTable {
       java.nio.file.Files.write(tmpP, version.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.SYNC)
+      // a sidecar left by a pre-NIO commit would describe the OLD
+      // pointer bytes and fail ChecksumFs reads of the new ones;
+      // dropped BEFORE the rename so no reader ever pairs the new
+      // bytes with the stale checksum
+      java.nio.file.Files.deleteIfExists(dirP.resolve(s".$Pointer.crc"))
       java.nio.file.Files.move(tmpP, dirP.resolve(Pointer),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // a sidecar left by a pre-NIO commit would describe the OLD
-      // pointer bytes and fail ChecksumFs reads of the new ones
-      java.nio.file.Files.deleteIfExists(dirP.resolve(s".$Pointer.crc"))
     } else {
       val tmp = new Path(dir, tmpName)
       val os = ctx.create(tmp,
@@ -264,8 +266,11 @@ object AtomicTable {
               partitionCols: Seq[String] = Nil): String = {
     val v = currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"AtomicTable at $dir has no committed version"))
+    // rewrite the SAME snapshot that was resolved/sized: re-reading the
+    // live pointer here would let a commit landing mid-compact make the
+    // file count derive from a different version than the data
     if (partitionCols.nonEmpty) {
-      replace(read(spark, dir), dir, partitionCols = partitionCols)
+      replace(readVersion(spark, dir, v), dir, partitionCols = partitionCols)
     } else {
       val it = fc(spark, dir).util.listFiles(new Path(s"$dir/$v"), true)
       var total = 0L
@@ -274,7 +279,7 @@ object AtomicTable {
         if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
       }
       val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-      replace(read(spark, dir).repartition(nFiles), dir)
+      replace(readVersion(spark, dir, v).repartition(nFiles), dir)
     }
   }
 
@@ -321,12 +326,23 @@ object AtomicTable {
     * movement — the bad version stays on disk (still time-travelable,
     * still vacuumable later) and in-flight readers of it are unharmed.
     * Only committed versions are valid targets; rolling back to an
-    * in-flight claim would publish a partial write. */
+    * in-flight claim would publish a partial write. The committed-check
+    * and the pointer rename are two steps, so a concurrent `vacuum`
+    * could delete the (superseded, non-live) target between them —
+    * like `upsert`, rollback must be serialized against vacuum by the
+    * caller; as a backstop the target directory is re-verified after
+    * the rename and a torn publish fails loudly rather than leaving
+    * every subsequent read to throw. */
   def rollback(spark: SparkSession, dir: String, version: String): Unit = {
     if (!versions(spark, dir).contains(version))
       throw new IllegalArgumentException(
         s"$version at $dir is not a committed version (in-flight or vacuumed)")
     commitPointer(spark, dir, version)
+    if (!fc(spark, dir).util.exists(new Path(dir, version)))
+      throw new IllegalStateException(
+        s"rollback($dir, $version) raced a vacuum: the target directory was " +
+          "deleted after the committed-check; the pointer now names a missing " +
+          "version — serialize rollback against vacuum and roll forward/back")
   }
 
   /** Drop COMMITTED version directories except the newest `keep` (never
@@ -339,11 +355,26 @@ object AtomicTable {
     * Superseded versions written BEFORE the commit-marker protocol
     * (no `_commit_*` file) are indistinguishable from in-flight claims
     * and are deliberately left in place — deleting maybe-in-flight data
-    * is the worse failure; remove them manually when upgrading. */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
+    * is the worse failure; remove them manually when upgrading.
+    *
+    * `minAgeMs` is the retention guard (Delta's
+    * `deletedFileRetentionDuration`): a version whose commit marker is
+    * younger than this survives regardless of `keep`, so a fast writer
+    * churning versions cannot age out a snapshot a slow reader resolved
+    * moments ago. Age comes from the `_commit_*` marker's mtime — the
+    * instant the version became readable. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 1,
+             minAgeMs: Long = 0L): Unit = {
     val ctx = fc(spark, dir)
     val live = currentVersion(spark, dir).toSet
+    val now = System.currentTimeMillis()
+    def oldEnough(v: String): Boolean = minAgeMs <= 0L || {
+      val m = new Path(dir, s"_commit_$v")
+      !ctx.util.exists(m) ||
+        now - ctx.getFileStatus(m).getModificationTime >= minAgeMs
+    }
     versions(spark, dir).dropRight(keep).filterNot(live.contains)
+      .filter(oldEnough)
       .foreach { v =>
         ctx.delete(new Path(dir, v), true)
         Seq(s"_claim_$v", s"_commit_$v").foreach { m =>

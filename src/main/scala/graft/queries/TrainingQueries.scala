@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -439,20 +439,62 @@ object TrainingQueries {
     * ablations, and loss-spike forensics all need to replay the exact
     * order). Order = keyed hash of (seed, doc_id) — engine-portable,
     * independent of partitioning, and a different seed is a fresh
-    * permutation. The global row_number is the gate artifact; a real
-    * run materializes order by range-partitioning on the hash
-    * (repartitionByRange + sortWithinPartitions — the q91 machinery)
-    * rather than a single-partition window. */
+    * permutation.
+    *
+    * The registered plan is the SCALE-SAFE form (the oracle's global
+    * `row_number() OVER (ORDER BY hash)` stays as SQL only): range-
+    * partition on the keyed hash so each partition holds one contiguous
+    * slice of the global order, sort within partitions, then turn local
+    * ranks into global positions with per-partition prefix offsets —
+    * the classic zipWithIndex two-job shape. Job 1 counts rows per
+    * partition (one `(pid, count)` pair each — driver-tiny); job 2 adds
+    * the broadcast offsets in a single per-partition pass. Both jobs
+    * run over the SAME RDD lineage, so the range-shuffle map stage is
+    * computed once and job 2 reuses its shuffle files (Spark skips
+    * already-computed shuffle map stages). No single-partition exchange
+    * anywhere: at 100 TB every task sorts only its own range slice. */
   val q97 = Q("q97_corpus_shuffle", {
     val h = graft.functions.Hashes.hex15Sql("'shuf1|' || CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id,
        |       row_number() OVER (ORDER BY $h, doc_id) AS shuffle_pos
        |FROM documents""".stripMargin
-  }) { (s, d) =>
+  }) { (s, d) => shuffledPositions(s, Tables.documents(s, d), lit("shuf1")) }
+
+  /** Range-partitioned deterministic shuffle: (doc_id, shuffle_pos)
+    * where shuffle_pos is the 1-based global rank under
+    * ORDER BY hex15(seed|doc_id), doc_id. See q97 scaladoc for the
+    * two-job zipWithIndex shape and its 100 TB rationale. */
+  private[graft] def shuffledPositions(
+      s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      seed: Column): DataFrame = {
+    import s.implicits._
     val h = graft.functions.Hashes
-      .hex15(concat(lit("shuf1|"), col("doc_id").cast(StringType)))
-    Tables.documents(s, d).select(col("doc_id"),
-      row_number().over(Window.orderBy(h, col("doc_id"))).as("shuffle_pos"))
+      .hex15(concat(seed, lit("|"), col("doc_id").cast(StringType)))
+    // explicit partition count: an advisory repartitionByRange gets
+    // AQE-coalesced to ONE partition at test scale, re-creating the very
+    // single-partition stage this form exists to avoid; the session's
+    // shuffle parallelism is the scale-tracking choice
+    val n = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val sorted = docs
+      .select(col("doc_id"), h.as("_h"))
+      .repartitionByRange(n, col("_h"), col("doc_id"))
+      .sortWithinPartitions(col("_h"), col("doc_id"))
+    // Freeze one RDD lineage so the counts job materializes the range
+    // shuffle and the offset job reuses those shuffle files.
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
+      .collect().toMap // one pair per partition — driver-tiny
+    val offsets = Array.ofDim[Long](rdd.getNumPartitions)
+    var acc = 0L
+    for (p <- offsets.indices) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val bc = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+        var pos = bc.value(pid)
+        it.map { r => pos += 1L; (r.getLong(0), pos) }
+      }
+      .toDF("doc_id", "shuffle_pos")
   }
 
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,

@@ -25,7 +25,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Readers resolve manifests first, so a job is visible all-or-nothing:
   * no manifest ⇒ zero rows observed, however many task files were
   * written before the failure. Each job appends its own manifest —
-  * concurrent writers cannot tear each other (distinct UUIDs).
+  * concurrent writers cannot tear each other: manifests carry a random
+  * UUID and task files are scoped by the job's `queryId`, so two
+  * applications writing the same path never name the same file.
   *
   *   df.write.format("graft.sources.CommitSink")
   *     .option("path", dir).mode("append").save()
@@ -46,18 +48,28 @@ class CommitSink extends TableProvider {
 }
 
 object CommitSink {
-  /** Rows published by committed manifests only, sorted for stable
-    * assertion. Tab-separated codec mirrors [[CommitSinkWriter]]. */
+  /** Rows published by committed manifests only. Manifest resolution
+    * goes through Hadoop `FileContext` (scheme-dispatched like
+    * `AtomicTable`), so the read path works on any filesystem the
+    * cluster mounts, not just `file:`. Tab-separated codec mirrors
+    * [[CommitSinkWriter]]. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String,
            schema: StructType): org.apache.spark.sql.DataFrame = {
-    val d = new java.io.File(dir)
-    val committed = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("manifest-"))
-      .flatMap(m => java.nio.file.Files.readAllLines(m.toPath).toArray(Array.empty[String]))
-    val files = committed.filter(_.nonEmpty).map(new java.io.File(_)).toSeq
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      dirPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val manifests =
+      if (!ctx.util.exists(dirPath)) Array.empty[org.apache.hadoop.fs.Path]
+      else ctx.util.listStatus(dirPath)
+        .filter(_.getPath.getName.startsWith("manifest-")).map(_.getPath)
+    val files = manifests.flatMap { m =>
+      val in = ctx.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    }.filter(_.nonEmpty).toSeq
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).option("sep", "\t").csv(files.map(_.getAbsolutePath): _*)
+    else spark.read.schema(schema).option("sep", "\t").csv(files: _*)
   }
 }
 
@@ -69,25 +81,32 @@ private class CommitSinkTable(schema0: StructType, path: String, failPartition: 
     util.EnumSet.of(TableCapability.BATCH_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
-      override def toBatch: BatchWrite = new CommitSinkBatchWrite(info.schema(), path, failPartition)
+      override def toBatch: BatchWrite =
+        new CommitSinkBatchWrite(info.schema(), path, info.queryId(), failPartition)
     }
   }
 }
 
 private case class TaskFile(path: String, rows: Long) extends WriterCommitMessage
 
-private class CommitSinkBatchWrite(schema: StructType, path: String, failPartition: Option[Int])
+private class CommitSinkBatchWrite(schema: StructType, path: String, queryId: String,
+                                   failPartition: Option[Int])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CommitSinkWriterFactory(schema, path, failPartition)
+    new CommitSinkWriterFactory(schema, path, queryId, failPartition)
   // the ONLY publish point: one manifest names every task file, written
-  // temp-then-atomic-rename; readers that don't see it see nothing
+  // temp-synced-then-atomic-rename (the same durability order as
+  // AtomicTable.commitPointer: a crash after commit() returns must not
+  // lose the manifest while the task files it names survive)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val body = messages.collect { case TaskFile(p, _) => p }.mkString("\n")
     val id = java.util.UUID.randomUUID().toString
     val tmp = java.nio.file.Paths.get(path, s".manifest-$id.tmp")
     java.nio.file.Files.createDirectories(tmp.getParent)
-    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, s"manifest-$id"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
@@ -98,16 +117,20 @@ private class CommitSinkBatchWrite(schema: StructType, path: String, failPartiti
     }
 }
 
-private class CommitSinkWriterFactory(schema: StructType, path: String, failPartition: Option[Int])
+private class CommitSinkWriterFactory(schema: StructType, path: String, queryId: String,
+                                      failPartition: Option[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CommitSinkWriter(schema, path, partitionId, taskId, failPartition)
+    new CommitSinkWriter(schema, path, queryId, partitionId, taskId, failPartition)
 }
 
-private class CommitSinkWriter(schema: StructType, path: String, partitionId: Int,
-                               taskId: Long, failPartition: Option[Int])
+private class CommitSinkWriter(schema: StructType, path: String, queryId: String,
+                               partitionId: Int, taskId: Long, failPartition: Option[Int])
     extends DataWriter[InternalRow] {
-  private val file = java.nio.file.Paths.get(path, s"task-$partitionId-$taskId.tsv")
+  // taskId is unique only within one SparkContext; the job's queryId
+  // scopes the name so concurrent applications on the same path cannot
+  // truncate each other's task files
+  private val file = java.nio.file.Paths.get(path, s"task-$queryId-$partitionId-$taskId.tsv")
   java.nio.file.Files.createDirectories(file.getParent)
   private val out = java.nio.file.Files.newBufferedWriter(file)
   private var n = 0L
