@@ -831,7 +831,29 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), ntile(4).over(w).as("bucket"))
   }
 
+  /** q86 production twin — the form the q86 scaladoc names for giant
+    * languages: cut buckets at per-language `approx_percentile`
+    * boundaries (q82's bounded-memory sketch) instead of ntile's
+    * per-partition total sort. One small groupBy produces ≤|langs|
+    * boundary rows, broadcast back; every doc then buckets with a
+    * scan-local comparison — no window, no sort, no skew exposure to
+    * the largest language. Bucket POPULATIONS are approximate where
+    * ntile's are exactly equal, which is why the exact form stays the
+    * oracle pin (no-oracle twin, same pattern as q84_prod/q89_prod). */
+  val q86p = Q.noOracle("q86_curriculum_buckets_prod") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.tokenCount(col("text")).as("n_tokens"))
+    val bounds = toks.groupBy("lang").agg(approx_percentile(
+      col("n_tokens"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+    toks.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n_tokens") <= col("qs")(0), 1)
+          .when(col("n_tokens") <= col("qs")(1), 2)
+          .when(col("n_tokens") <= col("qs")(2), 3)
+          .otherwise(4).cast("int").as("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86)
+    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p)
 }

@@ -100,5 +100,22 @@ object ScaleQueries {
       graft.functions.ZOrder.zOrder2(col("l_orderkey"), col("l_partkey"), 21).as("zkey"))
   }
 
-  val all: Seq[Q] = Seq(q54, q55, q63, q92)
+  /** q92n — the n-dimensional generalization of q92: three keys
+    * interleaved (order, part, supplier — the `ZORDER BY (a, b, c)`
+    * layout for a fact range-queried by any of the three), 21 bits
+    * each = 63 bits, still a positive int64. Same bit-for-bit oracle
+    * discipline; the 3-col row-group tiling proof is in ScaleOpsSpec. */
+  val q92n = Q("q92n_zorder3_key", {
+    val z = graft.functions.ZOrder
+      .zOrderNSql(Seq("l_orderkey", "l_partkey", "l_suppkey"), 21)
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, $z AS zkey
+       |FROM lineitem""".stripMargin
+  }) { (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      graft.functions.ZOrder.zOrderN(
+        Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")), 21).as("zkey"))
+  }
+
+  val all: Seq[Q] = Seq(q54, q55, q63, q92, q92n)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    NOT re-evaluated — exactly the V2 contract;
   *  - rows are a pure function of the row id, so any slice is
   *    reproducible on retry (idempotent re-read, the property Spark
-  *    assumes of batch sources).
+  *    assumes of batch sources);
+  *  - `toMicroBatchStream` (STREAMING read half, the shape of the
+  *    reference's Kafka source): offsets are positions in the id range,
+  *    admission control caps each micro-batch at `batchrows` ids
+  *    (`maxOffsetsPerTrigger`), `planInputPartitions(start, end)` slices
+  *    each offset range like the batch path, and restart resumes from
+  *    the checkpointed offset — `spark.readStream.format(...)` with the
+  *    same options.
   */
 class SynthSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = SynthSource.Schema
@@ -42,7 +50,8 @@ class SynthSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("parts", "4").toInt)
+      properties.getOrDefault("parts", "4").toInt,
+      properties.getOrDefault("batchrows", "250").toLong)
 }
 
 object SynthSource {
@@ -65,16 +74,17 @@ object SynthSource {
   }
 }
 
-private class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+private class SynthTable(rows: Long, parts: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"synth($rows rows, $parts parts)"
   override def schema(): StructType = SynthSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, batchRows)
 }
 
-private class SynthScanBuilder(rows: Long, parts: Int)
+private class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = SynthSource.Schema
@@ -116,26 +126,81 @@ private class SynthScanBuilder(rows: Long, parts: Int)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new SynthScan(math.max(lo, 0L), math.min(hi, rows), parts, required)
+  override def build(): Scan =
+    new SynthScan(math.max(lo, 0L), math.min(hi, rows), parts, batchRows, required)
 }
 
 private case class SynthSlice(start: Long, end: Long) extends InputPartition
 
-private class SynthScan(lo: Long, hi: Long, parts: Int, required: StructType)
+private object SynthScan {
+  /** Shared by the batch and streaming paths: [lo, hi) into ≤`parts`
+    * disjoint contiguous slices. */
+  def slices(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
+    val span = math.max(0L, hi - lo)
+    val per = math.max(1L, (span + parts - 1) / parts)
+    (lo until hi by per).map(s => SynthSlice(s, math.min(s + per, hi))).toArray
+  }
+}
+
+private class SynthScan(lo: Long, hi: Long, parts: Int, batchRows: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SynthScan range=[$lo,$hi) parts=$parts ReadSchema=${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val span = math.max(0L, hi - lo)
-    val per = math.max(1L, (span + parts - 1) / parts)
-    (lo until hi by per).map(s => SynthSlice(s, math.min(s + per, hi))).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] = SynthScan.slices(lo, hi, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, parts, batchRows, required.fieldNames)
+}
+
+/** Offset = next unread id. Serialized as the bare number into the
+  * checkpoint's offset log, so a restarted query resumes exactly where
+  * the last committed batch ended (pinned in SourcesSpec). */
+private case class SynthOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The streaming read half: the Kafka-source shape — monotone offsets,
+  * per-trigger admission control (`batchrows` ≈ maxOffsetsPerTrigger),
+  * offset ranges planned into the same partition slices as the batch
+  * scan, and a reader that regenerates any slice idempotently (what
+  * Kafka gets from the broker log, this source gets from determinism).
+  * `commit` is a no-op: nothing to release — data is a pure function of
+  * the id, the property that also makes replay-on-recovery exact. */
+private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int, batchRows: Long,
+                                    cols: Array[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // AvailableNow contract: freeze the end bound at query start so the
+  // run drains to a fixed point; this source's range is immutable per
+  // query, so `hi` already IS that fixed point — nothing to capture.
+  // Without this marker Spark falls back to single-batch Trigger.Once
+  // and ignores the admission-control limit entirely.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    limit match {
+      case mr: ReadMaxRows => SynthOffset(math.min(hi, s + mr.maxRows()))
+      case _ => SynthOffset(hi)
+    }
+  }
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    SynthScan.slices(start.asInstanceOf[SynthOffset].pos,
+      end.asInstanceOf[SynthOffset].pos, parts)
+  override def createReaderFactory(): PartitionReaderFactory = new SynthReaderFactory(cols)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private class SynthReaderFactory(cols: Array[String]) extends PartitionReaderFactory {

@@ -174,6 +174,33 @@ class AtomicTableSpec extends SparkSpec {
     assert(AtomicTable.versions(spark, dir) === Seq("v_00003", "v_00005"))
   }
 
+  test("vacuum minAge: a young superseded version survives; aged out it goes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_atomic_age_").toString
+    AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)
+    AtomicTable.replace(Seq((2L, "b")).toDF("id", "v"), dir)
+    AtomicTable.replace(Seq((3L, "c")).toDF("id", "v"), dir)
+
+    // both superseded versions committed moments ago — the retention
+    // guard must spare them even though keep=1 marks them for deletion
+    AtomicTable.vacuum(spark, dir, keep = 1, minAgeMs = 60_000L)
+    assert(new java.io.File(s"$dir/v_00001").exists)
+    assert(new java.io.File(s"$dir/v_00002").exists)
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00001", "v_00002", "v_00003"))
+    // a slow reader that resolved v_00002 pre-vacuum still reads it whole
+    assert(AtomicTable.readVersion(spark, dir, "v_00002").count() === 1)
+
+    // age v_00001 past the bar (backdate its commit marker); v_00002 stays young
+    val m1 = new java.io.File(s"$dir/_commit_v_00001")
+    assert(m1.setLastModified(System.currentTimeMillis() - 120_000L))
+    AtomicTable.vacuum(spark, dir, keep = 1, minAgeMs = 60_000L)
+    assert(!new java.io.File(s"$dir/v_00001").exists)
+    assert(new java.io.File(s"$dir/v_00002").exists)
+    // minAgeMs = 0 (default) keeps today's count-only behavior
+    AtomicTable.vacuum(spark, dir, keep = 1)
+    assert(!new java.io.File(s"$dir/v_00002").exists)
+    assert(AtomicTable.versions(spark, dir) === Seq("v_00003"))
+  }
+
   test("pre-marker tables stay readable: the live pointer needs no commit marker") {
     val dir = java.nio.file.Files.createTempDirectory("graft_atomic_pre_").toString
     AtomicTable.replace(Seq((1L, "a")).toDF("id", "v"), dir)

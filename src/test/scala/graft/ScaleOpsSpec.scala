@@ -158,4 +158,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").drop("z").exceptAll(pts).isEmpty
       && pts.exceptAll(spark.read.parquet(s"$dir/z").drop("z")).isEmpty)
   }
+
+  test("3-col z-order (q92n layout): row groups tile in ALL three dimensions") {
+    import graft.functions.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3_").toString
+    // 200k points uniform on a 256³ grid (bits=8, 24-bit key)
+    val pts = spark.range(200000).select(
+      xxhash64(col("id")).bitwiseAND(lit(255L)).as("x"),
+      xxhash64(col("id"), lit(7)).bitwiseAND(lit(255L)).as("y"),
+      xxhash64(col("id"), lit(13)).bitwiseAND(lit(255L)).as("z"))
+    Lakehouse.clusteredWrite(
+      pts.withColumn("zk",
+        ZOrder.zOrderN(Seq(col("x"), col("y"), col("z")), bits = 8)),
+      s"$dir/z3", Seq("zk"), numFiles = 32)
+    Lakehouse.clusteredWrite(pts, s"$dir/xonly", Seq("x"), numFiles = 32)
+    // a 16-wide slice at [100, 115]: inside one x-half, one y-quarter
+    // and one z-quarter of the curve's top-level tiling, so no dimension
+    // straddles a tile boundary by construction
+    def inRange(d: String, c: String): Int =
+      rowGroupRanges(d, c).count { case (lo, hi) => hi >= 100L && lo <= 115L }
+    val total = rowGroupRanges(s"$dir/z3", "x").size
+    val (zx, zy, zz) =
+      (inRange(s"$dir/z3", "x"), inRange(s"$dir/z3", "y"), inRange(s"$dir/z3", "z"))
+    // with 32 curve chunks over 24 bits the top 5 key bits split x into
+    // halves and y/z into quarters — every dimension must prune
+    assert(zx < total, s"x-slice pruned nothing under 3-col z-order ($zx/$total)")
+    assert(zy < total, s"y-slice pruned nothing under 3-col z-order ($zy/$total)")
+    assert(zz < total, s"z-slice pruned nothing under 3-col z-order ($zz/$total)")
+    // single-key layout: near-perfect on x (≈8 x-values per file, so a
+    // 16-wide slice touches 2-4 files), blind on BOTH other dimensions
+    val xTotal = rowGroupRanges(s"$dir/xonly", "x").size
+    val (xx, xy, xz) = (inRange(s"$dir/xonly", "x"),
+      inRange(s"$dir/xonly", "y"), inRange(s"$dir/xonly", "z"))
+    assert(xx <= 4)
+    assert(xy === xTotal && xz === xTotal)
+    // summed over the three query dimensions the z-layout reads fewer groups
+    assert(zx + zy + zz < xx + xy + xz,
+      s"3-col z-order ($zx+$zy+$zz) should beat single-key ($xx+$xy+$xz)")
+    // the key is purely derived: dropping it round-trips the data
+    assert(spark.read.parquet(s"$dir/z3").drop("zk").exceptAll(pts).isEmpty
+      && pts.exceptAll(spark.read.parquet(s"$dir/z3").drop("zk")).isEmpty)
+  }
 }
