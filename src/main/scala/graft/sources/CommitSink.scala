@@ -5,13 +5,14 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The WRITE half of the DataSource V2 connector surface ([[SynthSource]]
-  * is the read half): a batch sink implementing the TWO-PHASE COMMIT
-  * protocol every production connector (JDBC, Iceberg, Kafka
-  * transactional) builds on —
+  * is the read half): a batch + streaming sink implementing the
+  * TWO-PHASE COMMIT protocol every production connector (JDBC, Iceberg,
+  * Kafka transactional) builds on —
   *
   *   task side:   each `DataWriter` writes its partition to a private
   *                temp file and returns a commit MESSAGE (path + row
@@ -71,6 +72,32 @@ object CommitSink {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).option("sep", "\t").csv(files: _*)
   }
+
+  /** EPOCH publish for the streaming write half — the exactly-once
+    * primitive: the manifest name is DETERMINISTIC per (queryId,
+    * epochId), so a replayed epoch (driver restart re-running a batch
+    * whose commit landed but whose offset-log entry didn't) targets the
+    * SAME manifest, and the non-replacing `ATOMIC_MOVE` makes the
+    * second publish lose cleanly. Returns true iff THIS call published;
+    * on false the caller deletes its freshly written (duplicate) task
+    * files — the already-committed manifest keeps naming the originals.
+    * Same durability order as the batch path: temp + SYNC, then move. */
+  def publishEpoch(path: String, queryId: String, epochId: Long,
+                   taskFiles: Seq[String]): Boolean = {
+    val target = java.nio.file.Paths.get(path, s"manifest-$queryId-$epochId")
+    if (java.nio.file.Files.exists(target)) return false
+    val tmp = java.nio.file.Paths.get(path,
+      s".manifest-$queryId-$epochId.tmp.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, taskFiles.mkString("\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
+    try { java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp); false }
+  }
 }
 
 private class CommitSinkTable(schema0: StructType, path: String, failPartition: Option[Int])
@@ -78,11 +105,13 @@ private class CommitSinkTable(schema0: StructType, path: String, failPartition: 
   override def name(): String = s"commit_sink($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = new Write {
       override def toBatch: BatchWrite =
         new CommitSinkBatchWrite(info.schema(), path, info.queryId(), failPartition)
+      override def toStreaming: StreamingWrite =
+        new CommitSinkStreamingWrite(info.schema(), path, info.queryId(), failPartition)
     }
   }
 }
@@ -115,6 +144,39 @@ private class CommitSinkBatchWrite(schema: StructType, path: String, queryId: St
       case TaskFile(p, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
       case _ => ()
     }
+}
+
+/** Streaming half of the two-phase commit: same task-side choreography
+  * (private epoch-scoped temp file + commit message), but the driver
+  * publishes via [[CommitSink.publishEpoch]] — deterministic manifest
+  * per epoch, so Spark's replay-after-restart of an already-committed
+  * epoch is absorbed idempotently (the duplicate task files are
+  * deleted, the original manifest stands). This is the sink-side
+  * exactly-once contract the reference's Kafka→bronze flow leans on
+  * its parquet sink for (streaming_flow.py:122-131). */
+private class CommitSinkStreamingWrite(schema: StructType, path: String, queryId: String,
+                                       failPartition: Option[Int])
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new CommitSinkStreamingWriterFactory(schema, path, queryId, failPartition)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case TaskFile(p, _) => p }.toSeq
+    if (!CommitSink.publishEpoch(path, queryId, epochId, files))
+      files.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TaskFile(p, _) => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      case _ => ()
+    }
+}
+
+private class CommitSinkStreamingWriterFactory(schema: StructType, path: String,
+                                               queryId: String, failPartition: Option[Int])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new CommitSinkWriter(schema, path, s"$queryId-$epochId", partitionId, taskId, failPartition)
 }
 
 private class CommitSinkWriterFactory(schema: StructType, path: String, queryId: String,

@@ -121,6 +121,33 @@ class EdgeCasesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ZOrder.zOrder2(col("a"), col("b"), 0) }
   }
 
+  test("zorderN: bit-exact interleave, zOrder2 compatibility, injective on the grid, bounds rejected") {
+    import graft.functions.ZOrder
+    val abc = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (3L, 5L, 6L)).toDF("a", "b", "c")
+    // column j's bit i lands at position 3i+j: unit vectors map to 1,2,4
+    val z3 = abc.select(ZOrder.zOrderN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z3.take(5) === Seq(0L, 1L, 2L, 4L, 7L))
+    // (3,5,6) = a:011 b:101 c:110 → bit-plane interleave, hand-computed
+    assert(z3(5) === ((1L << 0) | (1L << 3) | (1L << 1) | (1L << 7) | (1L << 5) | (1L << 8)))
+    // n=2 reproduces zOrder2 exactly (shared bit layout)
+    val pairs = Seq((7L, 11L), (1023L, 0L), (512L, 513L)).toDF("a", "b")
+    val viaN = pairs.select(ZOrder.zOrderN(Seq(col("a"), col("b")), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val via2 = pairs.select(ZOrder.zOrder2(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaN === via2)
+    // injective over a full small grid: 8^3 distinct keys from 8^3 points
+    val grid = spark.range(512).select(
+      (col("id") % 8).as("a"), (expr("id div 8") % 8).as("b"), expr("id div 64").as("c"))
+    assert(grid.select(ZOrder.zOrderN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .distinct().count() === 512)
+    intercept[IllegalArgumentException] { ZOrder.zOrderN(Seq(col("a")), 3) }
+    intercept[IllegalArgumentException] { ZOrder.zOrderN(Seq(col("a"), col("b"), col("c")), 22) }
+    intercept[IllegalArgumentException] { ZOrder.zOrderNSql(Seq("a", "b", "c", "d"), 16) }
+  }
+
   test("profile on empty and all-null-column tables") {
     import graft.pipeline.Profile
     val empty = Profile.profile(emptyDocs).collect()

@@ -176,6 +176,53 @@ class SourcesSpec extends SparkSpec {
     assert(ids.distinct().count() === 800)
   }
 
+  test("DSv2 streaming write: one manifest per epoch; all epochs visible; end-to-end connector loop") {
+    import graft.sources.CommitSink
+    val dir = Files.createTempDirectory("graft_commit_stream_").toString
+    // full DSv2 loop: streaming READ (SynthSource micro-batches) into
+    // streaming WRITE (CommitSink epochs) — 500 ids at 200/trigger = 3 epochs
+    val stream = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "500").option("parts", "2").option("batchrows", "200").load()
+    val q = stream.select(col("id"), col("event_type"))
+      .writeStream.format("graft.sources.CommitSink")
+      .option("path", s"$dir/data").option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("event_type", StringType)))
+    val got = CommitSink.read(spark, s"$dir/data", schema)
+    assert(got.count() === 500)
+    assert(got.select("id").distinct().count() === 500)
+    val manifests = new java.io.File(s"$dir/data").listFiles
+      .filter(_.getName.startsWith("manifest-"))
+    assert(manifests.length === 3,
+      s"expected one manifest per epoch (3), saw ${manifests.length}")
+  }
+
+  test("DSv2 streaming write: epoch re-commit is idempotent (replay after restart)") {
+    import graft.sources.CommitSink
+    val dir = Files.createTempDirectory("graft_commit_epoch_").toString
+    def taskFile(name: String, rows: Seq[String]): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val original = taskFile("task-q1-7-0-1.tsv", Seq("1\tview", "2\tcart"))
+    assert(CommitSink.publishEpoch(dir, "q1", 7L, Seq(original)))
+    // replayed epoch: fresh task files, same (queryId, epoch) — the
+    // publish must lose and the sink then deletes its duplicates
+    val replay = taskFile("task-q1-7-0-9.tsv", Seq("1\tview", "2\tcart"))
+    assert(!CommitSink.publishEpoch(dir, "q1", 7L, Seq(replay)))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(replay))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("event_type", StringType)))
+    val got = CommitSink.read(spark, dir, schema)
+    assert(got.count() === 2, "replayed epoch must not duplicate rows")
+    // the standing manifest still names the ORIGINAL task file
+    val manifest = java.nio.file.Paths.get(dir, "manifest-q1-7")
+    assert(new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8") === original)
+  }
+
   test("ORC tier: round-trip preserves values; filters push into the ORC scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val src = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
