@@ -82,4 +82,24 @@ object Lakehouse {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
+
+  /** Delta-style `ZORDER BY (cols…)`: lay the files out along the
+    * n-dimensional Morton curve WITHOUT storing the synthetic key —
+    * the interleave drives `repartitionByRange` + the in-file sort and
+    * is then projected away (a narrow projection after the sort, so
+    * file order is preserved). Readers see only the original schema;
+    * the layout survives in every column's row-group min/max stats,
+    * which is where the skipping lives. `bits` sizes the grid per
+    * [[graft.functions.ZOrder.zOrderN]] (n·bits ≤ 63). */
+  def zorderWrite(df: DataFrame, dir: String, zCols: Seq[String],
+                  numFiles: Int, bits: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(!df.columns.contains("__zkey"),
+      "column name __zkey is reserved by zorderWrite")
+    df.withColumn("__zkey", graft.functions.ZOrder.zOrderN(zCols.map(col), bits))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 }

@@ -199,4 +199,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z3").drop("zk").exceptAll(pts).isEmpty
       && pts.exceptAll(spark.read.parquet(s"$dir/z3").drop("zk")).isEmpty)
   }
+
+  test("zorderWrite: Delta-shape ZORDER BY — key never stored, layout survives in the stats") {
+    import graft.functions.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwrite_").toString
+    val pts = spark.range(200000).select(
+      xxhash64(col("id")).bitwiseAND(lit(255L)).as("x"),
+      xxhash64(col("id"), lit(7)).bitwiseAND(lit(255L)).as("y"),
+      xxhash64(col("id"), lit(13)).bitwiseAND(lit(255L)).as("z"))
+    Lakehouse.zorderWrite(pts, s"$dir/zw", Seq("x", "y", "z"), numFiles = 32, bits = 8)
+    // the synthetic key is projected away: readers see the original schema
+    val out = spark.read.parquet(s"$dir/zw")
+    assert(out.columns.toSeq === Seq("x", "y", "z"))
+    assert(out.exceptAll(pts).isEmpty && pts.exceptAll(out).isEmpty)
+    // the curve layout survives the projection: every dimension prunes
+    def inRange(c: String): Int =
+      rowGroupRanges(s"$dir/zw", c).count { case (lo, hi) => hi >= 100L && lo <= 115L }
+    val total = rowGroupRanges(s"$dir/zw", "x").size
+    assert(inRange("x") < total && inRange("y") < total && inRange("z") < total,
+      s"tiling lost in projection: ${inRange("x")}/${inRange("y")}/${inRange("z")} of $total")
+    // same skipping class as writing the key explicitly (bit-identical
+    // boundaries are NOT expected — range sampling is per-job), and the
+    // explicit form stores one extra column the Delta shape doesn't
+    Lakehouse.clusteredWrite(
+      pts.withColumn("k", ZOrder.zOrderN(Seq(col("x"), col("y"), col("z")), 8)),
+      s"$dir/explicit", Seq("k"), numFiles = 32)
+    def pruned(d: String, c: String): Int =
+      rowGroupRanges(d, c).count { case (lo, hi) => hi < 100L || lo > 115L }
+    assert(pruned(s"$dir/zw", "y") > 0 && pruned(s"$dir/explicit", "y") > 0)
+    assert(spark.read.parquet(s"$dir/explicit").columns.length === 4)
+  }
 }
