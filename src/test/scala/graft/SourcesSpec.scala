@@ -199,6 +199,35 @@ class SourcesSpec extends SparkSpec {
       s"expected one manifest per epoch (3), saw ${manifests.length}")
   }
 
+  test("DSv2 streaming write: failed epoch publishes nothing; prior epochs stay visible") {
+    import graft.sources.CommitSink
+    val dir = Files.createTempDirectory("graft_commit_fail_").toString
+    // epoch 0 commits cleanly (one 100-id batch); then the poisoned
+    // writer (failpartition) kills epoch 1 mid-flight
+    def run(rows: String, failPartition: Option[Int]): Either[Throwable, Unit] = {
+      val s = spark.readStream.format("graft.sources.SynthSource")
+        .option("rows", rows).option("parts", "2").option("batchrows", "100").load()
+      val w = s.select(col("id"), col("event_type"))
+        .writeStream.format("graft.sources.CommitSink")
+        .option("path", s"$dir/data").option("checkpointLocation", s"$dir/chk")
+      val q = failPartition.fold(w)(p => w.option("failpartition", p.toString))
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(120000); Right(()) }
+      catch { case e: Throwable => Left(e) }
+    }
+    assert(run("100", None).isRight)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("event_type", StringType)))
+    assert(CommitSink.read(spark, s"$dir/data", schema).count() === 100)
+    // second run sees 100 more ids; its single epoch fails in partition 1
+    assert(run("200", Some(1)).isLeft, "poisoned epoch must fail the query")
+    val after = CommitSink.read(spark, s"$dir/data", schema)
+    assert(after.count() === 100, "failed epoch must be invisible to readers")
+    // nothing half-published: every surviving manifest belongs to run 1
+    val files = new java.io.File(s"$dir/data").listFiles.map(_.getName)
+    assert(files.count(_.startsWith("manifest-")) === 1)
+  }
+
   test("DSv2 streaming write: epoch re-commit is idempotent (replay after restart)") {
     import graft.sources.CommitSink
     val dir = Files.createTempDirectory("graft_commit_epoch_").toString
