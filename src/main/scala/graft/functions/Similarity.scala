@@ -198,6 +198,87 @@ object Similarity {
       col("cos_sim"), col("neighbor_id"))
   }
 
+  // ------------- Product quantization (IVF-PQ's compression half) -------
+
+  /** Squared L2 distance of two float-array columns — double precision,
+    * left-to-right summation (the same oracle-stable discipline as
+    * [[dotHof]]; DuckDB's `list_reduce` fold reproduces it exactly). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Explode an embedding into its `m` contiguous sub-vectors:
+    * (…, block ∈ [0, m), sub = slice b·(dim/m)..(b+1)·(dim/m)). */
+  private def explodeBlocks(df: DataFrame, idCol: String, embCol: String,
+                            m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    df.select(col(idCol), explode(array((0 until m).map { b =>
+        struct(lit(b).as("block"),
+          slice(col(embCol), b * subDim + 1, subDim).as("sub"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.block").as("block"), col("bs.sub").as("sub"))
+  }
+
+  /** PQ sub-codebooks with the deterministic id-sample init (the q52
+    * discipline — the plan shape is the point, and an id-deterministic
+    * codebook is what lets DuckDB reproduce the assignment exactly):
+    * block b's codebook = sub-slice b of the `c` smallest-id vectors.
+    * Output (block, code_id, sc_emb): m·c rows of (dim/m) floats —
+    * driver-tiny, always broadcast. A trained variant would run
+    * [[kmeansCentroids]] per block over the sliced sample; the assign
+    * and ADC passes below are identical either way. */
+  def pqCodebooks(vectors: DataFrame, m: Int, c: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal blocks")
+    explodeBlocks(centroids(vectors, c).withColumnRenamed("centroid_id", "code_id"),
+      "code_id", "c_emb", m, dim)
+      .select(col("block"), col("code_id"), col("sub").as("sc_emb"))
+  }
+
+  /** PQ encode — the one full-data pass: every vector becomes m small
+    * integer codes (nearest sub-centroid per block, squared-L2, ties to
+    * the lowest code id). This is the 100 TB story: a 64-dim float
+    * embedding (256 B) compresses to m codes (m bytes at c ≤ 256), a
+    * 32-64× storage/scan reduction, and the arg-min is a `min_by` hash
+    * aggregate — partial aggregation collapses the n·m·c scored rows
+    * before the one shuffle, which carries n·m rows (same agg-first
+    * rule as [[ivfAssign]]). Output (vec_id, block, code). */
+  def pqAssign(vectors: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    explodeBlocks(vectors, "vec_id", "embedding", m, dim)
+      .join(broadcast(books), Seq("block"))
+      .select(col("vec_id"), col("block"), col("code_id"),
+        l2sq(col("sub"), col("sc_emb")).as("d2"))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, build the
+    * m·c lookup table of exact query-sub-to-centroid distances (the
+    * asymmetric trick — only the database side is quantized), broadcast
+    * it, and score every vector as the SUM of m table lookups — an
+    * equi-join on (block, code) plus one hash aggregate; the corpus
+    * embeddings themselves are never read. Approximate by construction
+    * (codes quantize), so no SQL oracle — recall vs the exact scan is
+    * pinned in SimilaritySpec, and the exact assign pass is oracled as
+    * q99. Ranks ascend by ADC distance (ties to the lower id). */
+  def pqTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
+             k: Int, m: Int, dim: Int): DataFrame = {
+    val lut = explodeBlocks(queries.withColumnRenamed("vec_id", "query_id"),
+        "query_id", "embedding", m, dim)
+      .join(books, Seq("block"))
+      .select(col("query_id"), col("block"), col("code_id").as("code"),
+        l2sq(col("sub"), col("sc_emb")).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("block", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    Relational.topNPerGroup(
+        scored.select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc_d2")),
+        k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via the IVF buckets: only
     * vectors sharing a centroid are compared (equi-join on centroid_id,
     * not an O(n²) cross join), then thresholded.

@@ -853,7 +853,63 @@ object ExtensionQueries {
           .otherwise(4).cast("int").as("bucket"))
   }
 
+  /** q99 — PQ encode (product quantization, IVF-PQ's compression half)
+    * under the exact oracle: each 64-dim vector becomes m=4 codes, one
+    * nearest sub-centroid per 16-dim block, squared-L2 with ties to the
+    * lowest code id. Sub-codebooks follow the q52 id-sample discipline
+    * so DuckDB reproduces the assignment bit-for-bit (a trained
+    * variant swaps in per-block Lloyd; the pass is identical). This is
+    * the one full-data pass of a PQ index — at 100 TB it turns 256 B
+    * float vectors into m bytes (c=16 here for the test grid; 256 in
+    * production), which is what makes billion-vector ANN storable. */
+  val q99 = Q("q99_pq_codes",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT code_id, ce FROM (
+      |    SELECT vec_id AS code_id, e AS ce,
+      |           row_number() OVER (ORDER BY vec_id) AS rnk FROM v)
+      |  WHERE rnk <= 16),
+      |blocks AS (SELECT unnest(range(0, 4)) AS block),
+      |vb AS (SELECT v.vec_id, b.block,
+      |              list_slice(v.e, b.block*16 + 1, b.block*16 + 16) AS sub
+      |       FROM v CROSS JOIN blocks b),
+      |cb AS (SELECT b.block, c.code_id,
+      |              list_slice(c.ce, b.block*16 + 1, b.block*16 + 16) AS sc
+      |       FROM cents c CROSS JOIN blocks b),
+      |scored AS (
+      |  SELECT vb.vec_id, vb.block, cb.code_id,
+      |         list_reduce(list_transform(range(1, 17),
+      |                       i -> (vb.sub[i] - cb.sc[i]) * (vb.sub[i] - cb.sc[i])),
+      |                     (x, y) -> x + y) AS d2
+      |  FROM vb JOIN cb ON vb.block = cb.block)
+      |SELECT vec_id, block, code FROM (
+      |  SELECT vec_id, block, code_id AS code,
+      |         row_number() OVER (PARTITION BY vec_id, block
+      |                            ORDER BY d2, code_id) AS rn
+      |  FROM scored) WHERE rn = 1""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    Similarity.pqAssign(vecs, Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64),
+      m = 4, dim = 64)
+  }
+
+  /** q100 — ADC top-10 over the q99 codes: per query an m·c lookup
+    * table of exact sub-distances, broadcast; every corpus vector
+    * scores as m table lookups summed in a hash aggregate — the corpus
+    * embeddings are never re-read. Approximate (quantized) ⇒ no SQL
+    * oracle; recall vs the exact scan is pinned in SimilaritySpec and
+    * the encode pass is oracled (q99). */
+  val q100 = Q.noOracle("q100_pq_adc_topk") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val books = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
+    val codes = Similarity.pqAssign(vecs, books, m = 4, dim = 64)
+    Similarity.pqTopK(codes, books, vecs.filter(col("vec_id") < 5), k = 10,
+      m = 4, dim = 64)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
-    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p)
+    q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
+    q99, q100)
 }

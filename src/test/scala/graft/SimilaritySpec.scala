@@ -77,6 +77,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("PQ: m codes per vector from the block codebooks; encode is deterministic") {
+    val vecs = Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
+    assert(books.count() === 64) // m·c sub-centroids
+    assert(books.select(size(col("sc_emb"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(16)) // dim/m floats each
+    val codes = Similarity.pqAssign(vecs, books, m = 4, dim = 64)
+    assert(codes.count() === vecs.count() * 4)
+    // codebook ids are the 16 smallest vec_ids (0..15 on this fixture)
+    assert(codes.filter(col("code") < 0 || col("code") > 15).isEmpty)
+    val run1 = codes.orderBy("vec_id", "block").collect().map(_.toSeq)
+    val run2 = Similarity.pqAssign(vecs, books, m = 4, dim = 64)
+      .orderBy("vec_id", "block").collect().map(_.toSeq)
+    assert(run1.sameElements(run2))
+    // a codebook vector reconstructs itself: distance 0 ⇒ its own code
+    val self = codes.filter(col("vec_id") < 16)
+    assert(self.filter(col("code") =!= col("vec_id")).isEmpty,
+      "a sampled centroid must encode to itself in every block")
+  }
+
+  test("PQ ADC top-10 recall vs the exact L2 scan") {
+    import graft.operators.Relational
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") < 5)
+    val v = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = Relational.topNPerGroup(
+        v.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.l2sq(col("qe"), col("ve")).as("d2")),
+        10, Seq(col("query_id")), -col("d2"), col("neighbor_id"))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
+    val codes = Similarity.pqAssign(vecs, books, m = 4, dim = 64)
+    val approx = Similarity.pqTopK(codes, books, queries, k = 10, m = 4, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"PQ ADC recall@10 = $recall%.2f (m=4, c=16)")
+    // 4×16 codes on a 64-dim grid is a coarse quantizer; the floor
+    // documents "meaningfully better than chance (10/499 ≈ 0.02)", the
+    // exact pass is oracled (q99)
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("media featurize: deterministic stub decode, byte_len = utf8 length") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val out = Multimodal.featurize(media).cache()
