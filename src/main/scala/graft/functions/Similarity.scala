@@ -78,11 +78,18 @@ object Similarity {
     * tiny per-cluster aggregate: d mean-aggregates over c groups, so
     * the shuffle carries c·d doubles regardless of input size. Empty
     * clusters keep their previous centroid. */
-  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int, dim: Int): DataFrame = {
+  def kmeansCentroids(vectors: DataFrame, c: Int, iters: Int, dim: Int): DataFrame =
+    lloyd(vectors, centroids(vectors, c), iters, dim, ivfAssign)
+
+  /** The Lloyd loop shared by the cosine (IVF) and squared-L2 (PQ)
+    * codebooks: `assign` maps (vectors, centroids) to rows carrying at
+    * least (vec_id, embedding, centroid_id). */
+  private def lloyd(vectors: DataFrame, init: DataFrame, iters: Int, dim: Int,
+                    assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    var cents = centroids(vectors, c)
+    var cents = init
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(vectors, cents)
+      val assigned = assign(vectors, cents)
       val means = assigned.groupBy(col("centroid_id"))
         .agg(array((0 until dim).map(i =>
           avg(col("embedding").getItem(i)).cast("float")): _*).as("m_emb"))
@@ -97,6 +104,21 @@ object Similarity {
     }
     cents
   }
+
+  /** Squared-L2 nearest-centroid assignment — [[ivfAssign]]'s metric
+    * twin for the PQ path (k-means under L2 is the classical PQ
+    * training objective; cosine is IVF's). Same agg-first shape:
+    * `min_by` hash aggregate, n·c scored rows collapse before the
+    * shuffle. */
+  def l2Assign(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents.select(col("centroid_id"), col("c_emb"))))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        l2sq(col("embedding"), col("c_emb")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        min_by(col("centroid_id"),
+          struct(col("d2"), col("centroid_id"))).as("centroid_id"))
 
   /** IVF codebook-size rule of thumb: c ≈ √n makes bucket count and
     * expected bucket size both ≈ √n, so within-bucket pair work totals
@@ -226,14 +248,33 @@ object Similarity {
     * codebook is what lets DuckDB reproduce the assignment exactly):
     * block b's codebook = sub-slice b of the `c` smallest-id vectors.
     * Output (block, code_id, sc_emb): m·c rows of (dim/m) floats —
-    * driver-tiny, always broadcast. A trained variant would run
-    * [[kmeansCentroids]] per block over the sliced sample; the assign
-    * and ADC passes below are identical either way. */
+    * driver-tiny, always broadcast. [[pqCodebooksTrained]] refines each
+    * block's codebook with L2 Lloyd; the assign and ADC passes are
+    * identical either way. */
   def pqCodebooks(vectors: DataFrame, m: Int, c: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m equal blocks")
     explodeBlocks(centroids(vectors, c).withColumnRenamed("centroid_id", "code_id"),
       "code_id", "c_emb", m, dim)
       .select(col("block"), col("code_id"), col("sub").as("sc_emb"))
+  }
+
+  /** Trained PQ sub-codebooks: per block, squared-L2 Lloyd refinement
+    * ([[l2Assign]] — the classical PQ objective) from the id-sample
+    * init. m independent small trainings; at scale each runs on the
+    * same bounded sample [[trainedCodebook]] uses, and the corpus is
+    * touched once, by [[pqAssign]]. Same output shape as
+    * [[pqCodebooks]] — drop-in for the assign/ADC passes. */
+  def pqCodebooksTrained(vectors: DataFrame, m: Int, c: Int, dim: Int,
+                         iters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal blocks")
+    val subDim = dim / m
+    (0 until m).map { b =>
+      val sub = vectors.select(col("vec_id"),
+        slice(col("embedding"), b * subDim + 1, subDim).as("embedding"))
+      lloyd(sub, centroids(sub, c), iters, subDim, l2Assign)
+        .select(lit(b).as("block"), col("centroid_id").as("code_id"),
+          col("c_emb").as("sc_emb"))
+    }.reduce(_ unionByName _)
   }
 
   /** PQ encode — the one full-data pass: every vector becomes m small

@@ -123,6 +123,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("trained PQ codebooks: L2 Lloyd never increases quantization error; recall holds") {
+    import graft.operators.Relational
+    val vecs = Tables.embeddings(spark, sf)
+    // k-means objective: total min squared distance to the codebook.
+    // One Lloyd iteration (assign, then L2 mean) is monotone
+    // non-increasing on the training set — a guarantee, not a hope.
+    def qErr(books: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqAssign(vecs, books, m = 4, dim = 64)
+        .withColumnRenamed("code", "code_id")
+        .join(books, Seq("block", "code_id"))
+        .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(sum(Similarity.l2sq(
+          slice(col("embedding"), col("block") * 16 + 1, lit(16)), col("sc_emb"))).as("e"))
+        .head.getDouble(0)
+    val sampled = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
+    val trained = Similarity.pqCodebooksTrained(vecs, m = 4, c = 16, dim = 64, iters = 2)
+    val (es, et) = (qErr(sampled), qErr(trained))
+    info(f"PQ quantization error: sampled=$es%.1f trained=$et%.1f")
+    assert(et <= es * (1 + 1e-9), s"Lloyd increased the objective: $es -> $et")
+    // recall with the trained books stays in the sampled books' class
+    val queries = vecs.filter(col("vec_id") < 5)
+    val v = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = Relational.topNPerGroup(
+        v.crossJoin(broadcast(q)).filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.l2sq(col("qe"), col("ve")).as("d2")),
+        10, Seq(col("query_id")), -col("d2"), col("neighbor_id"))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(books: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.pqTopK(Similarity.pqAssign(vecs, books, m = 4, dim = 64),
+          books, queries, k = 10, m = 4, dim = 64)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val (rs, rt) = (recall(sampled), recall(trained))
+    info(f"PQ ADC recall@10: sampled=$rs%.2f trained=$rt%.2f")
+    assert(rt >= rs - 0.1, s"trained recall $rt much worse than sampled $rs")
+  }
+
   test("media featurize: deterministic stub decode, byte_len = utf8 length") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val out = Multimodal.featurize(media).cache()
