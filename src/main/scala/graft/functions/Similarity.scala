@@ -139,7 +139,7 @@ object Similarity {
       return vectors.select(col("vec_id").as("centroid_id"),
         col("embedding").as("c_emb")).limit(0)
     val c = codebookSize(n)
-    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     val cap = 256L * c
     val train =
       if (n <= cap) vectors

@@ -66,7 +66,7 @@ object Components {
     // deterministic convergence probe (decimal: no long overflow on
     // wide id spaces, no double rounding)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -152,7 +152,7 @@ object Components {
     // long sum — same guard as the propagation loop's labelSum)
     def fingerprint(e: DataFrame): (Long, String) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0)))).head
+        sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0)))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
 

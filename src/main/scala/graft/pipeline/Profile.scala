@@ -37,7 +37,7 @@ object Profile {
             max(c).cast(DoubleType).as(s"${f.name}__max"))
         else Nil)
     } :+ count(lit(1)).as("__rows")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val perCol = cols.map { f =>
       val numeric = f.dataType.isInstanceOf[NumericType]
       struct(
@@ -48,6 +48,6 @@ object Profile {
         (if (numeric) col(s"${f.name}__min") else lit(null).cast(DoubleType)).as("min_value"),
         (if (numeric) col(s"${f.name}__max") else lit(null).cast(DoubleType)).as("max_value"))
     }
-    row.select(explode(array(perCol: _*)).as("p")).select($"p.*")
+    row.select(explode(array(perCol.toIndexedSeq: _*)).as("p")).select($"p.*")
   }
 }

@@ -221,7 +221,7 @@ object Events {
   def toKafkaPayload(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** K7 — Kafka sink with the reference's delivery tuning
     * (streaming_flow.py:122-131: acks=all, retries, compression). */

@@ -40,7 +40,7 @@ class JdbcSpec extends SparkSpec {
     val df = Sources.jdbc(spark, dbUrl, "\"seed\"", "app", "", Driver)
     assert(df.columns.toSeq === Seq("id", "name", "bal"))
     assert(df.count() === 100)
-    val r = df.filter(col("id") === 7L).head
+    val r = df.filter(col("id") === 7L).head()
     assert(r.getLong(0) === 7L && r.getString(1) === "cust_7" && r.getDouble(2) === 10.5)
   }
 
@@ -61,7 +61,7 @@ class JdbcSpec extends SparkSpec {
       "partitioned read must open parallel range scans")
     // range predicates must tile: every row exactly once, none dropped
     assert(df.count() === 100)
-    assert(df.agg(sum("id")).head.getLong(0) === (0L until 100L).sum)
+    assert(df.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
   }
 
   test("write-back round-trip (serving-DB export tier)") {

@@ -54,7 +54,7 @@ class NativeSpec extends SparkSpec {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")
     val r = spark.sql(
       """SELECT graft_dot_f32(a.embedding, b.embedding) AS d
-        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head
+        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
     assert(!r.isNullAt(0) && (r.getDouble(0) !== 0.0))
   }
 
@@ -62,7 +62,7 @@ class NativeSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
-    assert(df.select(NativeExpressions.dotF32(col("a"), col("b"))).head.isNullAt(0))
+    assert(df.select(NativeExpressions.dotF32(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("native simhash == HOF simhash on the corpus; SQL form resolves") {
@@ -74,7 +74,7 @@ class NativeSpec extends SparkSpec {
     d.createOrReplaceTempView("docs_v")
     val r = spark.sql(
       """SELECT graft_simhash64(transform(split(trim(text), ' '), t -> xxhash64(t))) AS sh
-        |FROM docs_v LIMIT 1""".stripMargin).head
+        |FROM docs_v LIMIT 1""".stripMargin).head()
     assert(!r.isNullAt(0))
   }
 
@@ -85,7 +85,7 @@ class NativeSpec extends SparkSpec {
     pairs.count() // materialize cache so both timings measure compute only
     def time(c: org.apache.spark.sql.Column): Double = {
       val t0 = System.nanoTime()
-      pairs.select(sum(c)).head
+      pairs.select(sum(c)).head()
       (System.nanoTime() - t0) / 1e9
     }
     val hof = withoutRewrite(time(Similarity.dotHof(col("ea"), col("eb"))))

@@ -40,7 +40,7 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
     val out = Medallion.withPartitionColumns(df, None, java.sql.Date.valueOf("2025-03-09"))
-      .select("year", "month", "day").head
+      .select("year", "month", "day").head()
     assert((out.getInt(0), out.getInt(1), out.getInt(2)) === ((2025, 3, 9)))
   }
 
@@ -54,12 +54,12 @@ class PipelineSpec extends SparkSpec {
       "l_quantity", "l_extendedprice", groupExtra = Seq("p_name"))
     assert(gold.count() === queries.CoreQueries.q02.fn(spark, sf).count())
     // spot value: total quantity over all groups == filtered lineitem sum
-    val total = gold.agg(sum("total_quantity")).head.getDouble(0)
+    val total = gold.agg(sum("total_quantity")).head().getDouble(0)
     val direct = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"), "inner")
       .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
     assert(total === direct)
   }
 
@@ -70,6 +70,6 @@ class PipelineSpec extends SparkSpec {
       dir, Seq("year"))
     Medallion.createOrReplace(Seq((3, "c", 2026)).toDF("id", "v", "year"), dir, Seq("year"))
     val back = spark.read.parquet(dir)
-    assert(back.count() === 1 && back.select("id").head.getInt(0) === 3)
+    assert(back.count() === 1 && back.select("id").head().getInt(0) === 3)
   }
 }

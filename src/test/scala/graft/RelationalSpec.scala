@@ -15,7 +15,7 @@ class RelationalSpec extends SparkSpec {
       .withColumnRenamed("o_orderkey", "l_orderkey")
     val semi = Relational.semiJoin(li, recent, "l_orderkey")
     val inner = Relational.semiJoinViaInner(li, recent, "l_orderkey")
-      .select(semi.columns.map(col): _*)
+      .select(semi.columns.toIndexedSeq.map(col): _*)
     assert(semi.count() === inner.count())
     assert(semi.exceptAll(inner).isEmpty && inner.exceptAll(semi).isEmpty)
   }
@@ -54,8 +54,8 @@ class RelationalSpec extends SparkSpec {
     val df = (1 to 10).map(i => ("u", i)).toDF("k", "t")
     val out = Relational.boundedRecentPerKey(df, "k", 3, col("t"))
     assert(out.count() === 3)
-    assert(out.agg(max("rn")).head.getInt(0) === 3)
-    assert(out.agg(max("t")).head.getInt(0) === 10) // most recent kept
+    assert(out.agg(max("rn")).head().getInt(0) === 3)
+    assert(out.agg(max("t")).head().getInt(0) === 10) // most recent kept
   }
 
   test("rerank: cart beats views beats offline, dedup keeps best class, ≤10") {

@@ -88,7 +88,7 @@ class ScaleOpsSpec extends SparkSpec {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
         try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val st = b.getColumns.asScala
+          val st: org.apache.parquet.column.statistics.Statistics[_] = b.getColumns.asScala
             .find(_.getPath.toDotString == column).get.getStatistics
           (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
             st.genericGetMax.asInstanceOf[java.lang.Long].longValue)

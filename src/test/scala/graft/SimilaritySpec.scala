@@ -136,7 +136,7 @@ class SimilaritySpec extends SparkSpec {
         .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(sum(Similarity.l2sq(
           slice(col("embedding"), col("block") * 16 + 1, lit(16)), col("sc_emb"))).as("e"))
-        .head.getDouble(0)
+        .head().getDouble(0)
     val sampled = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
     val trained = Similarity.pqCodebooksTrained(vecs, m = 4, c = 16, dim = 64, iters = 2)
     val (es, et) = (qErr(sampled), qErr(trained))

@@ -44,13 +44,13 @@ class SourcesSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(spark.table("jsonl_out").count() === 2)
-    assert(spark.table("jsonl_out").agg(sum("total")).head.getDouble(0) === 8.0)
+    assert(spark.table("jsonl_out").agg(sum("total")).head().getDouble(0) === 8.0)
   }
 
   test("nanosToTimestamp: event ts longs convert to calendar time") {
     val r = Tables.events(spark, sf)
       .select(Cols.nanosToTimestamp(col("ts")).as("t"))
-      .agg(min(year(col("t"))), max(year(col("t")))).head
+      .agg(min(year(col("t"))), max(year(col("t")))).head()
     assert(r.getInt(0) === 2024 && r.getInt(1) === 2024)
   }
 
@@ -63,7 +63,7 @@ class SourcesSpec extends SparkSpec {
     val a = df.filter(col("id") < 100).collect().map(_.toSeq).toSet
     val b = df.filter(col("id") < 100).collect().map(_.toSeq).toSet
     assert(a === b && a.size === 100)
-    val row = df.filter(col("id") === 7).head
+    val row = df.filter(col("id") === 7).head()
     assert(row.getLong(1) === 7L && row.getString(2) === "cart" &&
       row.getDouble(3) === 0.07)
   }
@@ -299,7 +299,7 @@ class SourcesSpec extends SparkSpec {
     df.write.format("graft.sources.CommitSink").option("path", dir).mode("append").save()
     val back = graft.sources.CommitSink.read(spark, dir, schema)
     assert(back.count() === 1000)
-    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) === 499500L)
     // a second job appends its own manifest; both stay visible
     spark.range(5).selectExpr("id + 1000 AS id", "'x' AS name")
       .write.format("graft.sources.CommitSink").option("path", dir).mode("append").save()

@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
     val df = Seq((Seq("o1", "o2"), Seq("v1", "o1"), Seq("c1", "v1")))
       .toDF("offline", "views", "cart")
     val got = df.select(rerankCol(col("offline"), col("views"), col("cart")))
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     assert(got === Seq("c1", "v1", "o1", "o2"))
   }
 
@@ -268,13 +268,13 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "timestamp", "product_id")
     val payload = toKafkaPayload(recs, "user_id")
     assert(payload.columns.toSeq === Seq("key", "value")) // the Kafka contract
-    val row = payload.head
+    val row = payload.head()
     assert(row.getString(0) === "u1")
     // the serialized value parses back through the SAME event schema
     val back = spark.createDataFrame(java.util.List.of(row),
         payload.schema)
       .select(from_json(col("value"), eventSchemas("page_view")).as("d"))
-      .select("d.*").head
+      .select("d.*").head()
     assert(back.getAs[String]("user_id") === "u1" && back.getAs[String]("product_id") === "p9")
   }
 
@@ -284,7 +284,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "offline", "views", "cart")
     val out = df.select(col("user_id"),
       rerankCol(col("offline"), col("views"), col("cart")).as("recs"))
-      .head.getSeq[String](1)
+      .head().getSeq[String](1)
     assert(out === Seq("c1", "v1", "v2", "off1"))
   }
 

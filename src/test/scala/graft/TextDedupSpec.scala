@@ -128,7 +128,7 @@ class TextDedupSpec extends SparkSpec {
   test("token counts: whitespace vs BPE-ish") {
     val r = docs(1L -> "hello world42 x!").select(
       Text.tokenCount(col("text")).as("ws"),
-      Text.bpeTokenCount(col("text")).as("bpe")).head
+      Text.bpeTokenCount(col("text")).as("bpe")).head()
     assert(r.getInt(0) === 3)
     // hello | world | 42 | x | !
     assert(r.getInt(1) === 5)
