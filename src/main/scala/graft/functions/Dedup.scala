@@ -122,16 +122,18 @@ object Dedup {
     * colliding in ANY band become candidate pairs (a<b to halve). The
     * pair's estimated Jaccard = fraction of equal signature components.
     */
-  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
-                        estThreshold: Double,
-                        bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
+  /** The banded LSH index: (id, full signature, band, band hash) — one
+    * row per (doc, band). This is the ARTIFACT a 100 TB pipeline
+    * persists between shards (k longs + `bands` hashes per doc, not the
+    * text): [[minhashCandidates]] self-joins it, and
+    * [[minhashCandidatesIncremental]] probes it with a new shard's
+    * bands. Not persisted here — the caller owns materialization (a
+    * cached frame inside one job, a parquet table across jobs). */
+  def bandedIndex(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                  bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    // the banded index feeds BOTH sides of the candidate self-join;
-    // persisting it materializes the LSH index once (the standard
-    // "build the index, then probe it" shape) instead of recomputing
-    // the whole signature aggregation per side
-    val banded = sigs.select(
+    sigs.select(
       col(idCol),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
       explode(array((0 until bands).map { b =>
@@ -139,15 +141,60 @@ object Dedup {
           bandHash((b * r until (b + 1) * r).map(i => col(s"mh_$i"))).as("bh"))
       }: _*)).as("bucket"))
       .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  private def estJaccard(k: Int): Column =
+    size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      v => v)).cast(DoubleType) / k
+
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                        estThreshold: Double,
+                        bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
+    // the banded index feeds BOTH sides of the candidate self-join;
+    // persisting it materializes the LSH index once (the standard
+    // "build the index, then probe it" shape) instead of recomputing
+    // the whole signature aggregation per side
+    val banded = bandedIndex(sigs, idCol, k, bands, bandHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("a"), col("sig").as("sig_a"), col("band"), col("bh"))
     val b = banded.select(col(idCol).as("b"), col("sig").as("sig_b"), col("band"), col("bh"))
     a.join(b, Seq("band", "bh"), "inner")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / k).as("est_jaccard"))
+      .select(col("a"), col("b"), estJaccard(k).as("est_jaccard"))
       .distinct() // a pair may collide in several bands
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** INCREMENTAL near-dup candidates — the shard-arrival path: pairs
+    * between a NEW batch and the persisted [[bandedIndex]] of the
+    * existing corpus, plus pairs within the new batch, WITHOUT
+    * re-shingling or re-banding a single existing document. MinHash
+    * signatures are per-doc (corpus-independent), so the union of this
+    * result with the corpus's own candidate pairs is EXACTLY the
+    * candidates of a full recompute over old∪new — equivalence pinned
+    * in TextDedupSpec. Precondition: new ids are disjoint from indexed
+    * ids (pairs are emitted with a < b regardless of which side is
+    * newer). At 100 TB this is the difference between scanning one
+    * shard and scanning the corpus per arrival. */
+  def minhashCandidatesIncremental(newSigs: DataFrame, index: DataFrame,
+                                   idCol: String, k: Int, bands: Int,
+                                   estThreshold: Double,
+                                   bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
+    val newBanded = bandedIndex(newSigs, idCol, k, bands, bandHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = newBanded.select(col(idCol).as("a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    def bSide(df: DataFrame) = df.select(col(idCol).as("b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    val crossShard = a.join(bSide(index), Seq("band", "bh"), "inner")
+      .filter(col("a") =!= col("b"))
+    val withinShard = a.join(bSide(newBanded), Seq("band", "bh"), "inner")
+      .filter(col("a") < col("b"))
+    crossShard.unionByName(withinShard)
+      .select(least(col("a"), col("b")).as("pa"),
+        greatest(col("a"), col("b")).as("pb"), estJaccard(k).as("est_jaccard"))
+      .select(col("pa").as("a"), col("pb").as("b"), col("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= estThreshold)
   }
 

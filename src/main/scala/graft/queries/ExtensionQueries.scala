@@ -908,8 +908,34 @@ object ExtensionQueries {
       m = 4, dim = 64)
   }
 
+  /** q101 — INCREMENTAL minhash dedup (the shard-arrival path): docs
+    * with id above the median are "the new shard", the rest are the
+    * existing corpus whose banded LSH index is already built; only the
+    * shard is shingled/signed/banded, and its bands probe the index.
+    * Emits exactly the q20 pairs that TOUCH the shard (union with the
+    * corpus's own pairs ≡ full recompute — equivalence spec-pinned in
+    * TextDedupSpec). The oracle runs the full q20 CTE and restricts to
+    * shard-touching pairs, so every signature, band hash and estimate
+    * of the incremental path is hash-verified. */
+  val q101 = Q("q101_incremental_dedup",
+    s"""$minhashCteSql,
+       |cut AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c FROM documents)
+       |SELECT a, b, est_jaccard FROM scored, cut
+       |WHERE est_jaccard >= 0.2 AND (a > cut.c OR b > cut.c)""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesAffine(df, "doc_id", "text", shingleN = 3, k = 16)
+    val index = Dedup.bandedIndex(sigs(docs.filter(col("doc_id") <= cut)),
+      "doc_id", k = 16, bands = 8, bandHash = Dedup.Md5BandHash)
+    Dedup.minhashCandidatesIncremental(sigs(docs.filter(col("doc_id") > cut)),
+      index, "doc_id", k = 16, bands = 8, estThreshold = 0.2,
+      bandHash = Dedup.Md5BandHash)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100)
+    q99, q100, q101)
 }

@@ -89,6 +89,33 @@ class TextDedupSpec extends SparkSpec {
     assert((exact intersect cand).size.toDouble >= 0.5 * exact.size)
   }
 
+  test("incremental LSH ≡ full recompute: corpus pairs ∪ shard-incremental pairs") {
+    val docs = Tables.documents(spark, sf)
+    val cut = docs.agg((max(col("doc_id")) / 2).cast("long")).head().getLong(0)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesAffine(df, "doc_id", "text", shingleN = 3, k = 16)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairSet(Dedup.minhashCandidates(sigs(docs), "doc_id",
+      k = 16, bands = 8, estThreshold = 0.2))
+    val oldOnly = pairSet(Dedup.minhashCandidates(
+      sigs(docs.filter(col("doc_id") <= cut)), "doc_id",
+      k = 16, bands = 8, estThreshold = 0.2))
+    val index = Dedup.bandedIndex(sigs(docs.filter(col("doc_id") <= cut)),
+      "doc_id", k = 16, bands = 8)
+    val incremental = pairSet(Dedup.minhashCandidatesIncremental(
+      sigs(docs.filter(col("doc_id") > cut)), index, "doc_id",
+      k = 16, bands = 8, estThreshold = 0.2))
+    // signatures are per-doc, so the decomposition is EXACT, not approx:
+    // a full recompute over old∪new = the corpus's own pairs + exactly
+    // the pairs the incremental probe finds (disjoint sets)
+    assert((oldOnly intersect incremental).isEmpty)
+    assert(oldOnly.union(incremental) === full)
+    assert(incremental.nonEmpty, "fixture must exercise the cross-shard path")
+    assert(incremental.exists { case (a, b, _) => a <= cut && b > cut },
+      "fixture must contain at least one old-new pair")
+  }
+
   test("simhash banded pairs: recall is EXACT for hamming < bands (pigeonhole), vs brute force") {
     val corpus = Tables.documents(spark, sf)
     val got = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
