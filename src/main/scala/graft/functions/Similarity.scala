@@ -260,16 +260,22 @@ object Similarity {
 
   /** Trained PQ sub-codebooks: per block, squared-L2 Lloyd refinement
     * ([[l2Assign]] — the classical PQ objective) from the id-sample
-    * init. m independent small trainings; at scale each runs on the
-    * same bounded sample [[trainedCodebook]] uses, and the corpus is
-    * touched once, by [[pqAssign]]. Same output shape as
-    * [[pqCodebooks]] — drop-in for the assign/ADC passes. */
+    * init. Training reads the corpus ONCE: a bounded deterministic
+    * sample (≤256·c smallest-id vectors, ~1 MB at c=16·d=64) is
+    * materialized locally, and all m·iters Lloyd scans run over that
+    * local frame — the corpus's single full pass remains [[pqAssign]],
+    * the same cost discipline as [[trainedCodebook]]. Same output
+    * shape as [[pqCodebooks]] — drop-in for the assign/ADC passes. */
   def pqCodebooksTrained(vectors: DataFrame, m: Int, c: Int, dim: Int,
                          iters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m equal blocks")
     val subDim = dim / m
+    val sampleRows = vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(256 * c)
+    val sample = vectors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampleRows.collect(): _*), sampleRows.schema)
     (0 until m).map { b =>
-      val sub = vectors.select(col("vec_id"),
+      val sub = sample.select(col("vec_id"),
         slice(col("embedding"), b * subDim + 1, subDim).as("embedding"))
       lloyd(sub, centroids(sub, c), iters, subDim, l2Assign)
         .select(lit(b).as("block"), col("centroid_id").as("code_id"),

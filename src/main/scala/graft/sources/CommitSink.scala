@@ -77,15 +77,21 @@ object CommitSink {
     * primitive: the manifest name is DETERMINISTIC per (queryId,
     * epochId), so a replayed epoch (driver restart re-running a batch
     * whose commit landed but whose offset-log entry didn't) targets the
-    * SAME manifest, and the non-replacing `ATOMIC_MOVE` makes the
-    * second publish lose cleanly. Returns true iff THIS call published;
-    * on false the caller deletes its freshly written (duplicate) task
-    * files — the already-committed manifest keeps naming the originals.
-    * Same durability order as the batch path: temp + SYNC, then move. */
+    * SAME manifest and exactly one publisher can win it. The winner is
+    * decided by a hard LINK of the synced temp onto the target — unlike
+    * rename(2), which ATOMIC_MOVE maps to on POSIX and which silently
+    * REPLACES an existing target, link(2) fails with EEXIST, so two
+    * racing publishers (zombie old driver + restarted driver) cannot
+    * both "succeed" with one manifest silently overwritten (the same
+    * O_EXCL discipline as `AtomicTable.claimExclusive`). Returns true
+    * iff THIS call published; on false the caller deletes its freshly
+    * written (duplicate) task files — the committed manifest keeps
+    * naming the originals. Durability matches the batch path: the temp
+    * is written with SYNC before it becomes linkable. */
   def publishEpoch(path: String, queryId: String, epochId: Long,
                    taskFiles: Seq[String]): Boolean = {
     val target = java.nio.file.Paths.get(path, s"manifest-$queryId-$epochId")
-    if (java.nio.file.Files.exists(target)) return false
+    if (java.nio.file.Files.exists(target)) return false // fast path; the link is the real gate
     val tmp = java.nio.file.Paths.get(path,
       s".manifest-$queryId-$epochId.tmp.${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(tmp.getParent)
@@ -93,9 +99,11 @@ object CommitSink {
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE,
       java.nio.file.StandardOpenOption.SYNC)
-    try { java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
+    try {
+      java.nio.file.Files.createLink(target, tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException =>
       java.nio.file.Files.deleteIfExists(tmp); false }
   }
 }
@@ -189,12 +197,21 @@ private class CommitSinkWriterFactory(schema: StructType, path: String, queryId:
 private class CommitSinkWriter(schema: StructType, path: String, queryId: String,
                                partitionId: Int, taskId: Long, failPartition: Option[Int])
     extends DataWriter[InternalRow] {
-  // taskId is unique only within one SparkContext; the job's queryId
-  // scopes the name so concurrent applications on the same path cannot
-  // truncate each other's task files
-  private val file = java.nio.file.Paths.get(path, s"task-$queryId-$partitionId-$taskId.tsv")
+  // three name scopes, all load-bearing: queryId so concurrent
+  // applications cannot collide; (partitionId, taskId) for
+  // debuggability; and a per-ATTEMPT random token because neither is
+  // unique across a driver restart — a replayed streaming epoch reuses
+  // the same queryId/epoch/partition ids AND a fresh SparkContext
+  // restarts taskId at 0, so a name built only from those would
+  // TRUNCATE the committed epoch's files and then delete them when the
+  // replay's publish loses. The committed manifest tracks full paths,
+  // so unique names cost nothing.
+  private val file = java.nio.file.Paths.get(path,
+    s"task-$queryId-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.tsv")
   java.nio.file.Files.createDirectories(file.getParent)
-  private val out = java.nio.file.Files.newBufferedWriter(file)
+  private val out = java.nio.file.Files.newBufferedWriter(file,
+    java.nio.file.StandardOpenOption.CREATE_NEW,
+    java.nio.file.StandardOpenOption.WRITE)
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {

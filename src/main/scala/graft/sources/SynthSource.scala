@@ -76,6 +76,10 @@ object SynthSource {
 
 private class SynthTable(rows: Long, parts: Int, batchRows: Long)
     extends Table with SupportsRead {
+  // batchrows == 0 would make latestOffset(start, limit) return start
+  // forever: the stream never advances toward the AvailableNow fixed
+  // point and spins on empty batches — reject at the option boundary
+  require(batchRows > 0, s"batchrows must be positive, got $batchRows")
   override def name(): String = s"synth($rows rows, $parts parts)"
   override def schema(): StructType = SynthSource.Schema
   override def capabilities(): util.Set[TableCapability] =
