@@ -182,6 +182,23 @@ object Dedup {
                                    bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
     val newBanded = bandedIndex(newSigs, idCol, k, bands, bandHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (crossShard, withinShard) = incrementalHalves(newBanded, index, idCol)
+    crossShard.unionByName(withinShard)
+      .select(least(col("a"), col("b")).as("pa"),
+        greatest(col("a"), col("b")).as("pb"), estJaccard(k).as("est_jaccard"))
+      .select(col("pa").as("a"), col("pb").as("b"), col("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** The two halves of the incremental probe, pair provenance intact:
+    * `_1` = new-vs-index pairs with the NEW doc always on the `a` side,
+    * `_2` = pairs within the new batch (a < b). Callers that must know
+    * WHICH side is new (e.g. the streaming gate quarantining arriving
+    * dups) use this; [[minhashCandidatesIncremental]] is the
+    * orientation-normalized union. */
+  def incrementalHalves(newBanded: DataFrame, index: DataFrame,
+                        idCol: String): (DataFrame, DataFrame) = {
     val a = newBanded.select(col(idCol).as("a"), col("sig").as("sig_a"),
       col("band"), col("bh"))
     def bSide(df: DataFrame) = df.select(col(idCol).as("b"), col("sig").as("sig_b"),
@@ -190,12 +207,7 @@ object Dedup {
       .filter(col("a") =!= col("b"))
     val withinShard = a.join(bSide(newBanded), Seq("band", "bh"), "inner")
       .filter(col("a") < col("b"))
-    crossShard.unionByName(withinShard)
-      .select(least(col("a"), col("b")).as("pa"),
-        greatest(col("a"), col("b")).as("pb"), estJaccard(k).as("est_jaccard"))
-      .select(col("pa").as("a"), col("pb").as("b"), col("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= estThreshold)
+    (crossShard, withinShard)
   }
 
   /** SimHash-64 as a single codegen'd expression: per-token hash,

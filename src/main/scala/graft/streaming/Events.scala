@@ -381,6 +381,55 @@ object Events {
         graft.pipeline.AtomicTable.upsert(batch, dir, keyCol)
     }
 
+  /** Streaming NEAR-DUP gate — dedup-on-arrival, composing three tiers:
+    * each micro-batch is MinHash-signed and banded ([[graft.functions
+    * .Dedup.bandedIndex]]), probed against the persisted corpus index
+    * (an `AtomicTable` of banded rows — k signature longs + band hashes
+    * per doc, never the text), and split: arriving docs whose estimated
+    * Jaccard against the corpus OR an earlier doc of the same batch
+    * clears `threshold` append to `dupDir` (quarantine, audit-ready);
+    * the rest append to `cleanDir` and their bands MERGE into the index
+    * through the committed-version protocol, so a crashed batch replay
+    * re-derives the same decision set instead of double-indexing.
+    * Within-batch policy is keep-first (lowest id wins, its later
+    * near-copies quarantine) — greedy, order-deterministic. At 100 TB
+    * the per-batch cost is the batch's own shingling plus equi-joins on
+    * (band, hash) against an index that is ~1e-3 the corpus bytes. */
+  def lshDedupGateBatch(indexDir: String, cleanDir: String, dupDir: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+                        threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.Dedup
+    import graft.pipeline.AtomicTable
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val sigs = Dedup.minhashSignaturesAffine(batch, idCol, textCol, shingleN, k)
+    val banded = Dedup.bandedIndex(sigs, idCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hasIndex = AtomicTable.currentVersion(spark, indexDir).isDefined
+    val est = (pairs: DataFrame) =>
+      pairs.select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    val (cross, within) = Dedup.incrementalHalves(banded,
+      if (hasIndex) AtomicTable.read(spark, indexDir)
+      else banded.limit(0), idCol)
+    // provenance decides the victim: cross pairs carry the ARRIVING doc
+    // on `a`; within-batch pairs quarantine the higher id (keep-first)
+    val dupIds = est(cross).select(col("a").as(idCol))
+      .unionByName(est(within).select(col("b").as(idCol)))
+      .distinct()
+    val dups = batch.join(dupIds, Seq(idCol), "left_semi")
+    val clean = batch.join(dupIds, Seq(idCol), "left_anti")
+    dups.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(dupDir)
+    clean.write.mode("append").parquet(cleanDir)
+    val cleanBanded = banded.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
+    if (hasIndex) AtomicTable.upsertKeys(cleanBanded, indexDir, Seq(idCol, "band"))
+    else AtomicTable.replace(cleanBanded, indexDir)
+    banded.unpersist()
+  }
+
   /** Streaming constraint gate: per micro-batch, rows passing every
     * named rule append to the silver path, violators append to a
     * quarantine path carrying batch id + the exact rules broken —

@@ -111,6 +111,42 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/year=2026/month=8/day=12").exists())
   }
 
+  test("streaming near-dup gate: arriving dups quarantine, clean docs extend the LSH index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_lsh_gate_").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.Events.lshDedupGateBatch(
+        s"$dir/index", s"$dir/clean", s"$dir/dup") _)
+      .start()
+    // batch 1: two novel docs seed the index
+    ms.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark engines shuffle data across partitioned executors efficiently"))
+    q.processAllAvailable()
+    // batch 2: a copy of doc 1 (vs-corpus dup), a novel doc, and an
+    // identical pair arriving together (within-batch dup, keep-first)
+    ms.addData(
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "novel content entirely unrelated to anything indexed before now"),
+      (5L, "identical twin sentences arriving together in one single batch"),
+      (6L, "identical twin sentences arriving together in one single batch"))
+    q.processAllAvailable(); q.stop()
+    def ids(p: String) = spark.read.parquet(p).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(s"$dir/clean") === Set(1L, 2L, 4L, 5L))
+    assert(ids(s"$dir/dup") === Set(3L, 6L))
+    // the committed index holds exactly the clean docs' bands
+    val index = graft.pipeline.AtomicTable.read(spark, s"$dir/index")
+    assert(index.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
+    assert(index.count() === 4 * 8) // bands per doc
+    // quarantined rows carry the batch id for audit
+    assert(spark.read.parquet(s"$dir/dup").select("_batch_id")
+      .distinct().collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("K6: foreachBatch serving-state sink routes views vs cart, partition-local") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
