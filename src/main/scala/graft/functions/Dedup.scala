@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   *    stage at large scale.
   *
   * Persist lifecycle (caller-owned): `minhashCandidates`,
-  * `lshVerifiedJaccard`, `ngramJaccardPairs` and `rareGramEdges`
+  * `minhashCandidatesIncremental`, `lshVerifiedJaccard`,
+  * `ngramJaccardPairs` and `rareGramEdges`
   * persist their internal index (the banded LSH index / the gram
   * table) at MEMORY_AND_DISK so one explode feeds every consumer of
   * the returned lazy plan. The block lives in the session's cache
@@ -118,10 +119,6 @@ object Dedup {
   val Md5BandHash: Seq[Column] => Column =
     cols => Hashes.hex15(concat_ws(",", cols: _*))
 
-  /** LSH banding: hash r consecutive signature components per band; docs
-    * colliding in ANY band become candidate pairs (a<b to halve). The
-    * pair's estimated Jaccard = fraction of equal signature components.
-    */
   /** The banded LSH index: (id, full signature, band, band hash) — one
     * row per (doc, band). This is the ARTIFACT a 100 TB pipeline
     * persists between shards (k longs + `bands` hashes per doc, not the
@@ -143,10 +140,18 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
   }
 
-  private def estJaccard(k: Int): Column =
+  /** Estimated Jaccard of a candidate pair = fraction of equal
+    * signature components (columns `sig_a`/`sig_b`). Shared by the
+    * batch, incremental and streaming-gate paths so the estimator can
+    * never diverge between them. */
+  private[graft] def estJaccard(k: Int): Column =
     size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       v => v)).cast(DoubleType) / k
 
+  /** LSH banding: hash r consecutive signature components per band; docs
+    * colliding in ANY band become candidate pairs (a<b to halve). The
+    * pair's estimated Jaccard = fraction of equal signature components.
+    */
   def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int,
                         estThreshold: Double,
                         bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {

@@ -99,12 +99,29 @@ object CommitSink {
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE,
       java.nio.file.StandardOpenOption.SYNC)
+    def cleanupTmp(): Unit = // best-effort: NEVER after-the-fact fail a
+      try java.nio.file.Files.deleteIfExists(tmp) // publish that already landed
+      catch { case _: java.io.IOException => () }
     try {
       java.nio.file.Files.createLink(target, tmp)
-      java.nio.file.Files.deleteIfExists(tmp)
+      cleanupTmp()
       true
-    } catch { case _: java.nio.file.FileAlreadyExistsException =>
-      java.nio.file.Files.deleteIfExists(tmp); false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        cleanupTmp(); false
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        // mount without hard links (vfat/some FUSE): fall back to the
+        // rename publish — atomic but not exclusive (rename(2) silently
+        // replaces), so the fast-path exists() above is the only replay
+        // guard there; acceptable on a degraded fs, and both branches
+        // still publish fully-synced bytes
+        try {
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException =>
+          cleanupTmp(); false }
+    }
   }
 }
 

@@ -385,16 +385,29 @@ object Events {
     * each micro-batch is MinHash-signed and banded ([[graft.functions
     * .Dedup.bandedIndex]]), probed against the persisted corpus index
     * (an `AtomicTable` of banded rows — k signature longs + band hashes
-    * per doc, never the text), and split: arriving docs whose estimated
-    * Jaccard against the corpus OR an earlier doc of the same batch
-    * clears `threshold` append to `dupDir` (quarantine, audit-ready);
-    * the rest append to `cleanDir` and their bands MERGE into the index
-    * through the committed-version protocol, so a crashed batch replay
-    * re-derives the same decision set instead of double-indexing.
-    * Within-batch policy is keep-first (lowest id wins, its later
-    * near-copies quarantine) — greedy, order-deterministic. At 100 TB
-    * the per-batch cost is the batch's own shingling plus equi-joins on
-    * (band, hash) against an index that is ~1e-3 the corpus bytes. */
+    * per doc, never the text), and split: arriving docs near-matching
+    * the corpus, and all but one representative of each within-batch
+    * near-dup COMPONENT, append to `dupDir` (quarantine with batch-id
+    * audit); the rest append to `cleanDir` and their bands MERGE into
+    * the index through the committed-version protocol.
+    *
+    * Within-batch policy: pairs above `threshold` form components
+    * (transitive closure via [[graft.operators.Components]]) and the
+    * minimum id of each component is kept — the SAME one-representative-
+    * per-cluster policy the batch corpus dedup applies (q94), so batch
+    * and streaming decisions agree on identical input.
+    *
+    * Replay semantics: the index MERGE is idempotent (same keys re-merge
+    * to the same rows), so a crashed batch cannot double-index; the
+    * clean/dup PARQUET APPENDS are at-least-once like every plain-append
+    * foreachBatch sink ([[constraintGateBatch]] has the same caveat) —
+    * replay re-appends the batch's rows, dedupe downstream on
+    * (idCol, _batch_id) or point the sinks at an idempotent writer.
+    *
+    * At 100 TB the per-batch cost is the batch's own shingling plus
+    * equi-joins on (band, hash) against an index that is ~1e-3 the
+    * corpus bytes; the decision set (`dupIds`) is persisted so the three
+    * consumers (two sinks + index merge) don't re-run the probe. */
   def lshDedupGateBatch(indexDir: String, cleanDir: String, dupDir: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, k: Int = 16, bands: Int = 8,
@@ -408,18 +421,26 @@ object Events {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hasIndex = AtomicTable.currentVersion(spark, indexDir).isDefined
     val est = (pairs: DataFrame) =>
-      pairs.select(col("a"), col("b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          v => v)).cast("double") / k).as("est_jaccard"))
+      pairs.select(col("a"), col("b"), Dedup.estJaccard(k).as("est_jaccard"))
         .filter(col("est_jaccard") >= threshold)
     val (cross, within) = Dedup.incrementalHalves(banded,
       if (hasIndex) AtomicTable.read(spark, indexDir)
       else banded.limit(0), idCol)
-    // provenance decides the victim: cross pairs carry the ARRIVING doc
-    // on `a`; within-batch pairs quarantine the higher id (keep-first)
+    // cross pairs carry the ARRIVING doc on `a` — always the victim;
+    // within-batch pairs cluster transitively, keep each component's min
+    val withinPairs = est(within).select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinDupIds =
+      if (withinPairs.isEmpty) withinPairs.select(col("a").as(idCol)).limit(0)
+      else graft.operators.Components
+        .connectedComponents(withinPairs,
+          withinPairs.select(col("a")).union(withinPairs.select(col("b"))).distinct())
+        .filter(col("v") =!= col("component"))
+        .select(col("v").as(idCol))
     val dupIds = est(cross).select(col("a").as(idCol))
-      .unionByName(est(within).select(col("b").as(idCol)))
+      .unionByName(withinDupIds)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = batch.join(dupIds, Seq(idCol), "left_semi")
     val clean = batch.join(dupIds, Seq(idCol), "left_anti")
     dups.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(dupDir)
@@ -427,6 +448,8 @@ object Events {
     val cleanBanded = banded.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
     if (hasIndex) AtomicTable.upsertKeys(cleanBanded, indexDir, Seq(idCol, "band"))
     else AtomicTable.replace(cleanBanded, indexDir)
+    dupIds.unpersist()
+    withinPairs.unpersist()
     banded.unpersist()
   }
 
