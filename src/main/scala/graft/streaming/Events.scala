@@ -397,34 +397,43 @@ object Events {
     * per-cluster policy the batch corpus dedup applies (q94), so batch
     * and streaming decisions agree on identical input.
     *
-    * Replay semantics: the index MERGE is idempotent (same keys re-merge
-    * to the same rows), so a crashed batch cannot double-index; the
-    * clean/dup PARQUET APPENDS are at-least-once like every plain-append
-    * foreachBatch sink ([[constraintGateBatch]] has the same caveat) —
-    * replay re-appends the batch's rows, dedupe downstream on
+    * Index growth is an O(batch) DYNAMIC PARTITION OVERWRITE, not a
+    * table rewrite: arriving ids are disjoint from indexed ids (the
+    * gate's precondition), so the merge is pure insert — each batch's
+    * bands land in `_gate_batch=<id>/` and a replayed batch OVERWRITES
+    * exactly its own partition, making the index update idempotent at
+    * per-batch cost (a keyed MERGE here would rewrite the whole index
+    * every trigger — O(index), the wrong asymptote for a streaming
+    * sink). The clean/dup PARQUET APPENDS are at-least-once like every
+    * plain-append foreachBatch sink ([[constraintGateBatch]] has the
+    * same caveat) — replay re-appends those rows; dedupe downstream on
     * (idCol, _batch_id) or point the sinks at an idempotent writer.
     *
     * At 100 TB the per-batch cost is the batch's own shingling plus
     * equi-joins on (band, hash) against an index that is ~1e-3 the
     * corpus bytes; the decision set (`dupIds`) is persisted so the three
-    * consumers (two sinks + index merge) don't re-run the probe. */
+    * consumers (two sinks + index write) don't re-run the probe. */
   def lshDedupGateBatch(indexDir: String, cleanDir: String, dupDir: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, k: Int = 16, bands: Int = 8,
                         threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.Dedup
-    import graft.pipeline.AtomicTable
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignaturesAffine(batch, idCol, textCol, shingleN, k)
     val banded = Dedup.bandedIndex(sigs, idCol, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hasIndex = AtomicTable.currentVersion(spark, indexDir).isDefined
+    val hasIndex = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.util.exists(p)
+    }
     val est = (pairs: DataFrame) =>
       pairs.select(col("a"), col("b"), Dedup.estJaccard(k).as("est_jaccard"))
         .filter(col("est_jaccard") >= threshold)
     val (cross, within) = Dedup.incrementalHalves(banded,
-      if (hasIndex) AtomicTable.read(spark, indexDir)
+      if (hasIndex) spark.read.parquet(indexDir).drop("_gate_batch")
       else banded.limit(0), idCol)
     // cross pairs carry the ARRIVING doc on `a` — always the victim;
     // within-batch pairs cluster transitively, keep each component's min
@@ -446,8 +455,11 @@ object Events {
     dups.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(dupDir)
     clean.write.mode("append").parquet(cleanDir)
     val cleanBanded = banded.join(clean.select(col(idCol)), Seq(idCol), "left_semi")
-    if (hasIndex) AtomicTable.upsertKeys(cleanBanded, indexDir, Seq(idCol, "band"))
-    else AtomicTable.replace(cleanBanded, indexDir)
+    cleanBanded.withColumn("_gate_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gate_batch")
+      .parquet(indexDir)
     dupIds.unpersist()
     withinPairs.unpersist()
     banded.unpersist()

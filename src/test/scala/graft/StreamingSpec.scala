@@ -137,14 +137,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids(s"$dir/clean") === Set(1L, 2L, 4L, 5L))
     assert(ids(s"$dir/dup") === Set(3L, 6L))
-    // the committed index holds exactly the clean docs' bands
-    val index = graft.pipeline.AtomicTable.read(spark, s"$dir/index")
+    // the index holds exactly the clean docs' bands, partitioned by batch
+    val index = spark.read.parquet(s"$dir/index")
     assert(index.select("doc_id").distinct().collect()
       .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
     assert(index.count() === 4 * 8) // bands per doc
+    assert(index.select("_gate_batch").distinct().count() === 2)
     // quarantined rows carry the batch id for audit
     assert(spark.read.parquet(s"$dir/dup").select("_batch_id")
       .distinct().collect().map(_.getLong(0)).toSet === Set(1L))
+    // REPLAY: re-deliver batch 1 verbatim (crash-before-checkpoint) —
+    // decisions re-derive, the dynamic partition overwrite rewrites only
+    // _gate_batch=1, so the index does NOT grow; the plain-append sinks
+    // double, the documented at-least-once caveat
+    import spark.implicits._
+    val replay = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "novel content entirely unrelated to anything indexed before now"),
+      (5L, "identical twin sentences arriving together in one single batch"),
+      (6L, "identical twin sentences arriving together in one single batch"))
+      .toDF("doc_id", "text")
+    graft.streaming.Events.lshDedupGateBatch(
+      s"$dir/index", s"$dir/clean", s"$dir/dup")(replay, 1L)
+    val after = spark.read.parquet(s"$dir/index")
+    assert(after.count() === 4 * 8, "replayed batch must not grow the index")
+    assert(after.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
   }
 
   test("K6: foreachBatch serving-state sink routes views vs cart, partition-local") {
