@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *
   * Persist lifecycle (caller-owned): `minhashCandidates`,
   * `minhashCandidatesIncremental`, `lshVerifiedJaccard`,
-  * `ngramJaccardPairs` and `rareGramEdges`
+  * `ngramJaccardPairs`, `ngramCosinePairs` and `rareGramEdges`
   * persist their internal index (the banded LSH index / the gram
   * table) at MEMORY_AND_DISK so one explode feeds every consumer of
   * the returned lazy plan. The block lives in the session's cache
@@ -370,6 +370,70 @@ object Dedup {
       .select(col("a"), col("b"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-document n-gram term frequencies — [[shingles]] WITH
+    * multiplicity: one row per (doc, distinct gram) carrying how often
+    * the gram occurs in the doc. Same lambda-bind discipline and same
+    * short-doc guard as `shingles`. */
+  def gramCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams =
+      if (n == 1) toks
+      else element_at(
+        transform(array(toks), t =>
+          when(size(t) >= n,
+            transform(sequence(lit(0), size(t) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+            .otherwise(array().cast(ArrayType(StringType)))),
+        1)
+    df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Count-vector cosine near-dup pairs over word n-grams — the
+    * multiplicity-aware sibling of [[ngramJaccardPairs]]. Jaccard sees
+    * only the distinct gram SETS: a doc that repeats one phrase fifty
+    * times and a doc that mentions it once have Jaccard 1.0; the count
+    * vector separates them, which is exactly the signal template-spam
+    * dedup needs.
+    *
+    * Oracle-exactness discipline: every aggregate is integer — tf per
+    * (doc, gram), Σtf² per doc, Σ tf_a·tf_b per pair — and the only
+    * double work is one sqrt·sqrt division per surviving pair (IEEE
+    * ops, bit-identical across engines; the q41 rule).
+    *
+    * Same hot-gram df cap as Jaccard, same reasoning: a gram shared by
+    * k docs contributes k² join rows, so grams in more than
+    * `maxGramDf` docs are dropped from the DOT PRODUCT only — norms
+    * keep every gram, so hot-gram pairs underestimate identically in
+    * engine and oracle. The tf table is persisted once (caller-owned
+    * lifecycle, see the object doc) because it feeds the norms, the df
+    * histogram and both self-join sides. */
+  def ngramCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxGramDf: Long = 1000L): DataFrame = {
+    val tf = gramCounts(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("ss"))
+    val kept = tf.join(
+      tf.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df") <= maxGramDf)
+        .select("gram"),
+      Seq("gram"), "left_semi")
+    val dot = kept.select(col(idCol).as("a"), col("gram"), col("tf").as("tf_a"))
+      .join(kept.select(col(idCol).as("b"), col("gram"), col("tf").as("tf_b")),
+        Seq("gram"), "inner")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dot
+      .join(norms.select(col(idCol).as("a"), col("ss").as("ss_a")), Seq("a"))
+      .join(norms.select(col(idCol).as("b"), col("ss").as("ss_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("ss_a").cast(DoubleType)) * sqrt(col("ss_b").cast(DoubleType))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Boilerplate-segment removal (the CCNet/RefinedWeb line-dedup shape

@@ -934,8 +934,47 @@ object ExtensionQueries {
       bandHash = Dedup.Md5BandHash)
   }
 
+  /** q103 — count-vector cosine near-dup pairs over word 3-grams: the
+    * multiplicity-aware sibling of q22 (Jaccard is blind to repeated
+    * phrases — two docs with the same distinct gram set but wildly
+    * different repetition look identical to it; the count vector is
+    * the template-spam signal). Integer dot products and norms, one
+    * IEEE sqrt·sqrt division per pair — same exactness discipline and
+    * the same hot-gram df cap (mirrored by the oracle) as q22. */
+  val q103 = Q("q103_ngram_cosine",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |tf AS (
+      |  SELECT doc_id, gram, COUNT(*) AS tf FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |    FROM toks)
+      |  GROUP BY 1, 2),
+      |norms AS (SELECT doc_id, SUM(tf * tf) AS ss FROM tf GROUP BY 1),
+      |kept AS (
+      |  SELECT tf.doc_id, tf.gram, tf.tf FROM tf
+      |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM tf GROUP BY 1) f
+      |    ON tf.gram = f.gram
+      |  WHERE f.gram_df <= 1000),
+      |dot AS (
+      |  SELECT ka.doc_id AS a, kb.doc_id AS b, SUM(ka.tf * kb.tf) AS dot
+      |  FROM kept ka JOIN kept kb ON ka.gram = kb.gram AND ka.doc_id < kb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |       CAST(dot AS DOUBLE)
+      |         / (sqrt(CAST(ss_a AS DOUBLE)) * sqrt(CAST(ss_b AS DOUBLE))) AS cosine
+      |FROM (SELECT dot.a, dot.b, dot.dot, na.ss AS ss_a, nb.ss AS ss_b
+      |      FROM dot JOIN norms na ON na.doc_id = dot.a
+      |               JOIN norms nb ON nb.doc_id = dot.b)
+      |WHERE CAST(dot AS DOUBLE)
+      |        / (sqrt(CAST(ss_a AS DOUBLE)) * sqrt(CAST(ss_b AS DOUBLE))) >= 0.3""".stripMargin) { (s, d) =>
+    Dedup.ngramCosinePairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.3, maxGramDf = 1000L)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101)
+    q99, q100, q101, q103)
 }

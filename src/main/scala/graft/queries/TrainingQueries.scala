@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Cols, Tables}
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, Retrieval, Similarity, Text}
 
 /** Round-4 training-data-pipeline batch: corpus vocabulary building,
   * stratified sampling, benchmark-contamination detection, boilerplate
@@ -497,6 +497,65 @@ object TrainingQueries {
       .toDF("doc_id", "shuffle_pos")
   }
 
+  /** q102 — BM25 top-20 for a fixed keyword query (k1=1.2, b=0.75)
+    * over the documents corpus: the lexical retrieval ranking a
+    * curation pipeline runs to pull topic-relevant training data (the
+    * embedding-side ranking is q23/q24). Scoring is
+    * [[Retrieval.bm25Scores]] — integer aggregation only, rational
+    * Robertson idf (no libm log in the gate), one fixed-shape double
+    * expression per doc, so the oracle matches bit-for-bit. The top-k
+    * is `orderBy.limit` (TakeOrderedAndProject — per-partition heaps,
+    * no single-partition exchange; the q97 lesson), and only the 20
+    * survivors see the rank window. Every double CONSTANT in the
+    * oracle is built by the same CAST-then-operate tree as the Scala
+    * `lit` arithmetic — a folded decimal literal (`2.2`) could round
+    * differently from `1.2d + 1.0d` at the half-ulp. */
+  val q102 = Q("q102_bm25_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS dl,
+      |         SUM(CASE WHEN token = 'dup' THEN 1 ELSE 0 END) AS tf_dup,
+      |         SUM(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+      |         SUM(CASE WHEN token = 'merge' THEN 1 ELSE 0 END) AS tf_merge,
+      |         SUM(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS tf_window
+      |  FROM toks GROUP BY 1),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS t_total,
+      |         SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS df_dup,
+      |         SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+      |         SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+      |         SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      |  FROM per_doc),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ((CAST(n_docs AS DOUBLE) - CAST(df_dup AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_dup AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * ((CAST(tf_dup AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(tf_dup AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_spark AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * ((CAST(tf_spark AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(tf_spark AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_merge AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * ((CAST(tf_merge AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(tf_merge AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    + ((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_window AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * ((CAST(tf_window AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |         / (CAST(tf_window AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |    AS score
+      |  FROM per_doc, stats)
+      |SELECT doc_id, score, rank FROM (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 20""".stripMargin) { (s, d) =>
+    val scored = Retrieval.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+      terms = Seq("dup", "spark", "merge", "window"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "score", "rank")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97)
+    q79, q89, q89p, q90, q94, q97, q102)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.Retrieval
+
+/** BM25 semantics pinned against an independent driver-side reference
+  * implementation (plain Scala over hand-counted tfs), plus the
+  * ordering properties retrieval relies on. */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Reference BM25 computed doc-at-a-time in plain Scala (no Spark):
+    * same rational Robertson idf, same constants. */
+  private def refBm25(corpus: Map[Long, String], terms: Seq[String],
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfT = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    toks.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      id -> terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = (n - dfT(t) + 0.5) / (dfT(t) + 0.5)
+        idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+      }.sum
+    }
+  }
+
+  test("bm25 matches the driver-side reference implementation exactly") {
+    val corpus = Map(
+      1L -> "rare common x x x x",
+      2L -> "common common common x x x",
+      3L -> "x x x x x x x x x x x x",
+      4L -> "rare rare common x x x x x")
+    val got = Retrieval.bm25Scores(docs(corpus.toSeq.sortBy(_._1): _*),
+      "doc_id", "text", terms = Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refBm25(corpus, Seq("rare", "common"))
+    assert(got.keySet === want.keySet)
+    for ((id, w) <- want)
+      assert(math.abs(got(id) - w) < 1e-12, s"doc $id: got ${got(id)}, want $w")
+  }
+
+  test("bm25 ordering: tf monotone at equal dl; rare term outranks common at equal tf") {
+    // d2 has more 'dup' than d1 at the same length → strictly higher score
+    val tfCorpus = docs(
+      1L -> "dup x x x x x",
+      2L -> "dup dup x x x x",
+      3L -> "y y y y y y")
+    val s1 = Retrieval.bm25Scores(tfCorpus, "doc_id", "text", Seq("dup"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1(2L) > s1(1L) && s1(1L) > 0.0)
+    assert(s1(3L) === 0.0) // no query term → exactly zero
+
+    // 'rare' is in 1 of 4 docs, 'common' in 3 of 4; the two probe docs
+    // carry each term once at identical dl → idf decides the order
+    val idfCorpus = docs(
+      1L -> "rare z z z",
+      2L -> "common z z z",
+      3L -> "common q q q",
+      4L -> "common w w w")
+    val s2 = Retrieval.bm25Scores(idfCorpus, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s2(1L) > s2(2L), "the rarer term must outrank the common one")
+  }
+}

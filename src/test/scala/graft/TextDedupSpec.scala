@@ -224,4 +224,42 @@ class TextDedupSpec extends SparkSpec {
       .select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fp(0) !== fp(1))
   }
+
+  test("ngram cosine: identical=1; repetition separates docs Jaccard calls identical; disjoint absent") {
+    // docs 1 and 2 have the SAME distinct 3-gram set {a b c, b c a, c a b}
+    // but different multiplicities — Jaccard 1.0, cosine < 1.0: the
+    // signal ngramCosinePairs exists to add over q22's Jaccard.
+    val d = docs(
+      1L -> "a b c a b c",
+      2L -> "a b c a b c a b c",
+      3L -> "a b c a b c",
+      4L -> "p q r s t")
+    val cos = Dedup.ngramCosinePairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // identical docs (sqrt·sqrt ≈ ss)
+    assert(cos((1L, 2L)) < 1.0 && cos((1L, 2L)) > 0.9) // same gram set, different counts
+    assert(!cos.keySet.exists { case (a, b) => a == 4L || b == 4L }) // no shared gram
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((1L, 2L)) === 1.0, "Jaccard must be blind to the repetition cosine sees")
+  }
+
+  test("ngram cosine: hot-gram df cap drops hot grams from the dot product but not the norms") {
+    // gram "x y z" is in all 3 docs (df 3 > cap 2) → excluded from every
+    // dot product; docs 1,2 still share "a b c" so they pair with a
+    // cosine strictly below the uncapped value; doc 3 shares ONLY the
+    // hot gram and must not pair at all.
+    val d = docs(
+      1L -> "a b c x y z",
+      2L -> "a b c x y z",
+      3L -> "q r s x y z")
+    val capped = Dedup.ngramCosinePairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0, maxGramDf = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.keySet === Set((1L, 2L)))
+    val uncapped = Dedup.ngramCosinePairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped((1L, 2L)) < uncapped((1L, 2L)))
+  }
 }
