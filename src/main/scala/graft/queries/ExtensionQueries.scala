@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.{Dedup, Multimodal, Similarity, Text}
-import graft.operators.Relational
+import graft.operators.{PageRank, Relational}
 
 /** Training-data-pipeline extensions (SURVEY §7.2 M5 / BASELINE north
   * star): dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), ANN
@@ -973,8 +973,62 @@ object ExtensionQueries {
       n = 3, threshold = 0.3, maxGramDf = 1000L)
   }
 
+  /** q104 — fixed-point integer PageRank (5 iterations, damping 85/100)
+    * over the same rare-gram document graph q68/q83 cluster: the
+    * centrality quality signal of web-corpus curation, as a SECOND
+    * iterative graph algorithm under the exact gate (components prove
+    * reachability; this proves weighted propagation). All-integer
+    * arithmetic — `div` in Spark, `//` in DuckDB — so five rounds of
+    * join+sum match bit-for-bit; the oracle unrolls the five
+    * iterations as generated CTE stages, mirroring the engine's
+    * unrolled lazy plan. See [[graft.operators.PageRank]] for the
+    * scale/exactness notes. */
+  val q104: Q = {
+    val scale = 1000000000000L
+    val edgeCtes =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM toks),
+        |rare AS (
+        |  SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY 1) f
+        |    ON g.gram = f.gram
+        |  WHERE f.gram_df BETWEEN 2 AND 50),
+        |e0 AS (
+        |  SELECT ga.doc_id AS a, gb.doc_id AS b
+        |  FROM rare ga JOIN rare gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT a AS v, b AS dst FROM e0 UNION ALL SELECT b AS v, a AS dst FROM e0),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n FROM documents),
+        |r0 AS (SELECT doc_id AS v, 1000000000000 // n AS rank
+        |       FROM documents CROSS JOIN stats)""".stripMargin
+    val iterCte = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT d.doc_id AS v,
+         |         (1000000000000 * 15) // (100 * n)
+         |           + (85 * COALESCE(s.sum_in, 0)) // 100 AS rank
+         |  FROM documents d CROSS JOIN stats
+         |  LEFT JOIN (SELECT e.dst AS v2, CAST(SUM(r.rank // dg.deg) AS BIGINT) AS sum_in
+         |             FROM r${k - 1} r JOIN deg dg ON dg.v = r.v JOIN edges e ON e.v = r.v
+         |             GROUP BY 1) s ON s.v2 = d.doc_id)""".stripMargin
+    Q("q104_doc_pagerank",
+      (edgeCtes +: (1 to 5).map(iterCte)).mkString(",\n") +
+        "\nSELECT v AS doc_id, rank FROM r5") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+        maxDf = 50L, minShared = 2L)
+      PageRank.fixedPointRanks(edges, docs.select(col("doc_id")), "doc_id",
+        iterations = 5, scale = scale)
+    }
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103)
+    q99, q100, q101, q103, q104)
 }

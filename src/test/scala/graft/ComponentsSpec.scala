@@ -105,4 +105,46 @@ class ComponentsSpec extends SparkSpec {
     val bad = edges.collect().filter(r => label(r.getLong(0)) != label(r.getLong(1)))
     assert(bad.isEmpty, s"edges crossing components: ${bad.take(5).mkString(",")}")
   }
+
+  /** Driver-side reference: the same fixed-point integer PageRank,
+    * vertex-at-a-time in plain Scala — every `/` is Long division, so
+    * equality with the engine is EXACT, not approximate. */
+  private def refPageRank(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                          iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val n = vertices.size
+    val teleport = (scale * 15L) / (100L * n)
+    var rank = vertices.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((v, outs) <- adj; contrib = rank(v) / outs.size; u <- outs) in(u) += contrib
+      rank = vertices.map(v => v -> (teleport + (85L * in(v)) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def pr(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                 iters: Int = 5): Map[Long, Long] =
+    graft.operators.PageRank.fixedPointRanks(
+      edges.toDF("a", "b"), vertices.toDF("v"), "v", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("integer pagerank matches the driver-side reference EXACTLY on a mixed graph") {
+    // star (1 is the hub) + a 2-cycle + an isolated vertex
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    for (k <- Seq(1, 3, 5))
+      assert(pr(edges, vertices, k) === refPageRank(edges, vertices, k),
+        s"mismatch at $k iterations")
+  }
+
+  test("pagerank ordering and teleport floor: hub > leaves; isolated vertex gets teleport only") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val vertices = Seq(1L, 2L, 3L, 4L, 9L)
+    val got = pr(edges, vertices)
+    assert(got(1L) > got(2L), "the hub must outrank its leaves")
+    assert(got(2L) === got(3L) && got(3L) === got(4L), "symmetric leaves tie")
+    val teleport = (1000000000000L * 15L) / (100L * 5L)
+    assert(got(9L) === teleport, "an isolated vertex holds exactly the teleport mass")
+  }
 }
