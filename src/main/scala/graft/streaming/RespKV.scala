@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, IOException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Redis-protocol (RESP2) adapter for [[Events.KVStore]] — the wire
+  * form of the reference's serving-state sink
+  * (`streaming_flow.py:103-111`: `LPUSH` + `LTRIM 0 keep-1` +
+  * `EXPIRE ttl` per event; `LRANGE 0 -1` reads at `:145-147`). The
+  * bounded-list/TTL SEMANTICS are already spec-pinned against
+  * `InMemoryKV` and `transformWithState`; this class closes the wire
+  * seam by speaking the actual protocol, verified in `RespSpec`
+  * against an in-process loopback RESP server — the embedded-Derby
+  * treatment (JdbcSpec) applied to Redis.
+  *
+  * The three push commands are pipelined in ONE socket write and their
+  * three replies read back together, so a push is one round trip, not
+  * three (the reference pays three — `r.lpush; r.ltrim; r.expire`).
+  *
+  * Connection model: one lazily-opened socket per JVM per (host,port),
+  * shared by every task and synchronized per command batch. Serving-
+  * state pushes are tiny; if contention ever mattered, a pooled client
+  * drops in behind the same KVStore trait without touching any
+  * foreachBatch wiring. Instances are Serializable (closures capture
+  * them); the socket lives in the JVM-scoped companion pool, never in
+  * the serialized instance.
+  */
+final class RespKV(host: String, port: Int, ttlSeconds: Long = 86400L)
+    extends Events.KVStore {
+
+  def push(key: String, value: String, keep: Int): Unit = {
+    val conn = RespKV.connection(host, port)
+    conn.synchronized {
+      conn.send(
+        Seq("LPUSH", key, value),
+        Seq("LTRIM", key, "0", (keep - 1).toString),
+        Seq("EXPIRE", key, ttlSeconds.toString))
+      conn.readReply(); conn.readReply(); conn.readReply()
+    }
+  }
+
+  def get(key: String): Seq[String] = {
+    val conn = RespKV.connection(host, port)
+    conn.synchronized {
+      conn.send(Seq("LRANGE", key, "0", "-1"))
+      conn.readReply() match {
+        case null             => Nil
+        case xs: Vector[_]    => xs.map(x => String.valueOf(x))
+        case other            => throw new IOException(s"LRANGE: unexpected reply $other")
+      }
+    }
+  }
+}
+
+object RespKV {
+  private val conns =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Conn]()
+
+  private[streaming] def connection(host: String, port: Int): Conn =
+    conns.computeIfAbsent((host, port), { case (h, p) => new Conn(h, p) })
+
+  /** One RESP connection: frame encoder + reply parser. Callers hold
+    * the monitor across a send/read sequence (pipelining unit). */
+  private[streaming] final class Conn(host: String, port: Int) {
+    private val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    private val out = new BufferedOutputStream(socket.getOutputStream)
+    private val in = new BufferedInputStream(socket.getInputStream)
+
+    /** Encode each command as a RESP array of bulk strings; one write. */
+    def send(cmds: Seq[String]*): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      cmds.foreach { args =>
+        buf.write(s"*${args.size}\r\n".getBytes(UTF_8))
+        args.foreach { a =>
+          val b = a.getBytes(UTF_8)
+          buf.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+          buf.write(b)
+          buf.write("\r\n".getBytes(UTF_8))
+        }
+      }
+      out.write(buf.toByteArray); out.flush()
+    }
+
+    private def readLine(): String = {
+      val buf = new StringBuilder
+      var prev = -1
+      while (true) {
+        val c = in.read()
+        if (c < 0) throw new EOFException("RESP stream closed")
+        if (c == '\n' && prev == '\r') return buf.substring(0, buf.length - 1)
+        buf.append(c.toChar); prev = c
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Simple string → String, integer → Long, bulk → String (nil →
+      * null), array → Vector (nil → null), error → IOException. */
+    def readReply(): Any = readLine() match {
+      case l if l.startsWith("+") => l.substring(1)
+      case l if l.startsWith(":") => l.substring(1).toLong
+      case l if l.startsWith("-") => throw new IOException(s"RESP error: ${l.substring(1)}")
+      case l if l.startsWith("$") =>
+        val n = l.substring(1).toInt
+        if (n < 0) null
+        else {
+          val b = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(b, off, n - off)
+            if (r < 0) throw new EOFException("RESP stream closed mid-bulk")
+            off += r
+          }
+          readLine() // trailing CRLF
+          new String(b, UTF_8)
+        }
+      case l if l.startsWith("*") =>
+        val n = l.substring(1).toInt
+        if (n < 0) null else Vector.fill(n)(readReply())
+      case l => throw new IOException(s"RESP: unparseable line '$l'")
+    }
+  }
+}
