@@ -27,6 +27,43 @@ object Text {
   def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Adjacent BPE-token pairs ("a b" strings) per row — the
+    * merge-candidate stream of BPE training (q76 counts these
+    * corpus-wide; q105 applies the winner). The token array is
+    * lambda-bound ONCE: `element_at(raw_regexp_extract, i)` inside the
+    * index lambda would re-run the regex per element (measured 9.6 s →
+    * 0.4 s at sf0.1 — the Text.ngrams trap). */
+  def bpePairs(text: Column): Column =
+    element_at(
+      transform(array(bpeTokens(text)), b =>
+        when(size(b) >= 2,
+          transform(sequence(lit(1), size(b) - 1),
+            i => concat(element_at(b, i), lit(" "), element_at(b, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
+
+  /** ONE BPE merge round applied to a token array: greedy LEFTMOST
+    * non-overlapping replacement of the adjacent pair (a, b) by the
+    * concatenated symbol — exactly the rewrite step between BPE
+    * training iterations. Implemented as a left fold over the array
+    * (`aggregate`): append each token, but when the accumulator's last
+    * element is `a` and the current token is `b`, replace that last
+    * element with `a+b`. The fold gives leftmost-nonoverlap for free —
+    * a freshly merged `a+b` can never re-match `a` within the round
+    * (that would need b = "") — including self-pair chains
+    * ("t t t" with pair (t,t) → "tt t", not "tt tt"). Pure codegen'd
+    * HOF: per-row, zero shuffle, zero regex, runs at scan speed —
+    * where the SQL oracle needs explode + two windows (gaps-and-
+    * islands parity) to express the same greedy scan.
+    * `try_element_at` (not `element_at`) keeps the empty-accumulator
+    * probe NULL-safe under ANSI mode. */
+  def mergePair(tokens: Column, a: String, b: String): Column =
+    aggregate(tokens, array().cast(ArrayType(StringType)),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
   /** Characters that are neither lowercase letters nor spaces, as a
     * ratio of total length (punctuation/symbol density). */
   def nonAlphaRatio(text: Column): Column =

@@ -223,18 +223,10 @@ object TrainingQueries {
        |  FROM freq)
        |WHERE rank <= 500""".stripMargin
   }) { (s, d) =>
-    // lambda-bind the token array ONCE: element_at(b, i) with b the raw
-    // regexp_extract_all re-runs the regex per element (measured 9.6 s
-    // -> 0.4 s at sf0.1; the Text.ngrams trap)
-    val pairList = element_at(
-      transform(array(Text.bpeTokens(col("text"))), b =>
-        when(size(b) >= 2,
-          transform(sequence(lit(1), size(b) - 1),
-            i => concat(element_at(b, i), lit(" "), element_at(b, i + 1))))
-          .otherwise(array().cast(ArrayType(StringType)))),
-      1)
+    // pair construction shared with q105's merge-apply: Text.bpePairs
+    // (lambda-bound once — see its doc for the re-evaluation trap)
     val freq = Tables.documents(s, d)
-      .select(explode(pairList).as("pair"))
+      .select(explode(Text.bpePairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
     freq.withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("pair"))))
@@ -556,6 +548,77 @@ object TrainingQueries {
       .select("doc_id", "score", "rank")
   }
 
+  /** q105 — BPE merge-round APPLY (the rewrite step between tokenizer-
+    * training iterations): find the corpus-top adjacent pair (q76's
+    * count, same tie-break) and replace every greedy-leftmost
+    * occurrence in every document with the merged symbol. The engine
+    * side is [[Text.mergePair]] — a per-row codegen'd fold, zero
+    * shuffle, zero regex (the top-pair probe is the only aggregate,
+    * and its result is a 2-string driver value, the q101-cut
+    * precedent). The oracle has no fold, so it expresses the SAME
+    * greedy scan relationally: explode positions, flag candidate
+    * pairs, group consecutive candidates into islands
+    * (i − row_number), merge at even parity within each island
+    * (leftmost-nonoverlap — parity only matters for self-pair chains
+    * like "t t t"), drop the swallowed successor via lag, reassemble
+    * with an ordered list(). Fold ≡ parity-scan is additionally
+    * pinned by a randomized property spec against a driver reference
+    * (TokenizerSpec). */
+  val q105 = Q("q105_bpe_merge_apply", {
+    val pat = Text.BpePattern
+    s"""WITH bt AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$pat') AS b FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, greatest(len(b), 1)),
+       |                i -> b[i] || ' ' || b[i+1])) AS pair
+       |  FROM bt),
+       |top1 AS (
+       |  SELECT string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+       |  FROM (SELECT pair, COUNT(*) AS n FROM pr GROUP BY 1
+       |        ORDER BY n DESC, pair LIMIT 1)),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(1, len(b) + 1)) AS i, b FROM bt),
+       |flags AS (
+       |  SELECT doc_id, i, b[i] AS tok,
+       |         CASE WHEN i < len(b) AND b[i] = pa AND b[i + 1] = pb
+       |              THEN 1 ELSE 0 END AS cand,
+       |         pa, pb
+       |  FROM pos CROSS JOIN top1),
+       |isl AS (
+       |  SELECT *, CASE WHEN cand = 1
+       |                 THEN i - row_number() OVER (PARTITION BY doc_id, cand ORDER BY i)
+       |                 ELSE NULL END AS grp
+       |  FROM flags),
+       |starts AS (
+       |  SELECT *, cand = 1
+       |              AND ((i - MIN(i) OVER (PARTITION BY doc_id, grp)) % 2 = 0) AS strt
+       |  FROM isl),
+       |pruned AS (
+       |  SELECT doc_id, i, tok, strt, pa, pb
+       |  FROM (SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY doc_id ORDER BY i),
+       |                           false) AS prev_strt
+       |        FROM starts)
+       |  WHERE NOT prev_strt)
+       |SELECT doc_id,
+       |       array_to_string(list(CASE WHEN strt THEN pa || pb ELSE tok END
+       |                            ORDER BY i), ' ') AS toks,
+       |       CAST(SUM(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT) AS n_merges
+       |FROM pruned
+       |GROUP BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val top = docs.select(explode(Text.bpePairs(col("text"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1).head()
+    val Array(a, b) = top.getString(0).split(" ", 2)
+    docs.select(col("doc_id"), Text.bpeTokens(col("text")).as("b0"))
+      .select(col("doc_id"), col("b0"), Text.mergePair(col("b0"), a, b).as("tl"))
+      // the gate compares the space-joined form (BPE symbols carry no
+      // spaces, so the join is invertible) — the q44 array discipline
+      .select(col("doc_id"), concat_ws(" ", col("tl")).as("toks"),
+        (size(col("b0")) - size(col("tl"))).cast(LongType).as("n_merges"))
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102)
+    q79, q89, q89p, q90, q94, q97, q102, q105)
 }

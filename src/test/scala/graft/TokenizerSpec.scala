@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Semantics of the BPE merge-round fold (Text.mergePair): greedy
+  * LEFTMOST non-overlapping pair replacement, pinned against a
+  * driver-side reference scan — the fold ≡ parity-islands equivalence
+  * the q105 oracle relies on is exercised here at random. */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: the canonical greedy left-to-right BPE merge scan. */
+  private def refMerge(toks: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += toks(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def engineMerge(rows: Seq[(Long, Seq[String])], a: String,
+                          b: String): Map[Long, Seq[String]] =
+    rows.toDF("id", "toks")
+      .select(col("id"), Text.mergePair(col("toks"), a, b).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+  test("merge round: hand cases incl. self-pair chains, created-symbol no-rematch, no-ops") {
+    val cases = Seq(
+      1L -> Seq("a", "b", "a", "b"), // both occurrences merge
+      3L -> Seq("a", "a", "b"),      // the second a merges
+      4L -> Seq("x", "y"),           // no occurrence: identity
+      5L -> Seq("a"),                // single token: identity
+      6L -> Seq("a", "b", "b"))      // created "ab" must not re-match as a
+    val got = engineMerge(cases, "a", "b")
+    assert(got(1L) === Seq("ab", "ab"))
+    assert(got(3L) === Seq("a", "ab"))
+    assert(got(4L) === Seq("x", "y"))
+    assert(got(5L) === Seq("a"))
+    assert(got(6L) === Seq("ab", "b"))
+    // self-pair chain: leftmost wins, merged symbol does not chain on
+    val tt = engineMerge(Seq(2L -> Seq("t", "t", "t")), "t", "t")
+    assert(tt(2L) === Seq("tt", "t"))
+  }
+
+  test("merge round: randomized equivalence with the reference scan; character mass conserved") {
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = Vector("a", "b", "c")
+    val rows: Seq[(Long, Seq[String])] = (1L to 200L).map(i =>
+      i -> Vector.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(3))).toSeq)
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("c", "b"))) {
+      val got = engineMerge(rows, a, b)
+      rows.foreach { case (id, t) =>
+        assert(got(id).toList === refMerge(t.toList, a, b), s"pair ($a,$b) on $t")
+        assert(got(id).mkString === t.mkString, "character mass must be conserved")
+      }
+    }
+  }
+}
