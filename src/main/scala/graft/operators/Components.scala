@@ -48,7 +48,7 @@ object Components {
     * ContextCleaner got around to them — a leak proportional to
     * iteration count on large graphs. The checkpointed plan is a single
     * `LogicalRDD` holding exactly that RDD. */
-  private[operators] def dropCheckpoint(df: DataFrame): Unit =
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))

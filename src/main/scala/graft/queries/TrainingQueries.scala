@@ -619,6 +619,22 @@ object TrainingQueries {
         (size(col("b0")) - size(col("tl"))).cast(LongType).as("n_merges"))
   }
 
+  /** q106 — distributed BPE TRAINING (8 rounds): the loop whose two
+    * single-round stages are both under the exact oracle — q76 counts
+    * the pairs, q105 applies a merge — composed into the real
+    * tokenizer-training iteration ([[Text.bpeTrainMerges]]: one
+    * integer aggregate + one scan-speed rewrite per round, corpus
+    * checkpointed between rounds). The loop output is the learned
+    * merge table; the driver-orchestrated iteration itself is not one
+    * SQL statement, so this registers rows-only with the merge
+    * SEQUENCE pinned exactly against a driver-side reference trainer
+    * in TokenizerSpec (the q24→q52 twin discipline). */
+  val q106 = Q.noOracle("q106_bpe_train") { (s, d) =>
+    import s.implicits._
+    Text.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8)
+      .toDF("rank", "a", "b", "n")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106)
 }

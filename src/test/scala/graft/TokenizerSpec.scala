@@ -45,6 +45,40 @@ class TokenizerSpec extends SparkSpec {
     assert(tt(2L) === Seq("tt", "t"))
   }
 
+  /** Reference BPE trainer: per round count adjacent pairs, pick
+    * (max count, lexicographically-least pair string), rewrite. */
+  private def refTrain(corpus: Seq[List[String]],
+                       rounds: Int): Seq[(Int, String, String, Long)] = {
+    var docs = corpus
+    val out = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      val counts = docs.flatMap(t => t.zip(t.drop(1)))
+        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), m) => (-m, x + " " + y) }
+        out += ((r, a, b, n))
+        docs = docs.map(t => refMerge(t, a, b))
+      }
+      r += 1
+    }
+    out.toList
+  }
+
+  test("bpe trainer: merge sequence matches the reference trainer exactly; early exhaustion stops") {
+    val corpus = Seq("a b a b c", "b c b c b c", "a b c a b c", "x y")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Text.bpeTrainMerges(df, "text", rounds = 6)
+    assert(got === refTrain(corpus.map(_.split(" ").toList), 6))
+    assert(got.size === 6, "this corpus sustains 6 merge rounds")
+    // a corpus with one pair exhausts after one round, well before the budget
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Text.bpeTrainMerges(tiny, "text", rounds = 5) ===
+      Seq((1, "a", "b", 1L)))
+  }
+
   test("merge round: randomized equivalence with the reference scan; character mass conserved") {
     val rnd = new scala.util.Random(20260813L)
     val alpha = Vector("a", "b", "c")
