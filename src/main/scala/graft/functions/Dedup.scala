@@ -53,20 +53,25 @@ object Dedup {
     * unguarded, `sequence(0, size-n)` would descend for short docs and
     * the out-of-bounds `element_at` would throw under Spark 4's default
     * ANSI mode, killing the whole job on one 2-token document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val grams =
-      if (n == 1) array_distinct(toks)
-      else element_at(
-        transform(array(toks), t =>
-          when(size(t) >= n,
-            array_distinct(
-              transform(sequence(lit(0), size(t) - n),
-                i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
-            .otherwise(array().cast(ArrayType(StringType)))),
-        1)
-    df.select(col(idCol), explode(grams).as("gram"))
-  }
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(gramArray(Text.tokens(col(textCol)), n))).as("gram"))
+
+  /** The shared n-gram array expression (WITH multiplicity): all grams
+    * of a token array, lambda-bound once, short docs yielding an empty
+    * array (never an ANSI error). `shingles` wraps it in
+    * `array_distinct` for set semantics; `gramCounts` aggregates the
+    * multiplicities. ONE definition so the guard and the lambda-bind
+    * trap fix can never diverge between the two consumers. */
+  private def gramArray(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
 
   /** Default seeded gram hash: xxhash64 (one codegen'd primitive op —
     * the production path). Registered queries pass `Hashes`-derived
@@ -376,20 +381,10 @@ object Dedup {
     * multiplicity: one row per (doc, distinct gram) carrying how often
     * the gram occurs in the doc. Same lambda-bind discipline and same
     * short-doc guard as `shingles`. */
-  def gramCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val grams =
-      if (n == 1) toks
-      else element_at(
-        transform(array(toks), t =>
-          when(size(t) >= n,
-            transform(sequence(lit(0), size(t) - n),
-              i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-            .otherwise(array().cast(ArrayType(StringType)))),
-        1)
-    df.select(col(idCol), explode(grams).as("gram"))
+  def gramCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(gramArray(Text.tokens(col(textCol)), n)).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
-  }
 
   /** Count-vector cosine near-dup pairs over word n-grams — the
     * multiplicity-aware sibling of [[ngramJaccardPairs]]. Jaccard sees
@@ -412,9 +407,12 @@ object Dedup {
     * histogram and both self-join sides. */
   def ngramCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
-                       maxGramDf: Long = 1000L): DataFrame = {
-    val tf = gramCounts(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                       maxGramDf: Long = 1000L,
+                       persistTf: Boolean = true): DataFrame = {
+    val tf0 = gramCounts(df, idCol, textCol, n)
+    val tf = if (persistTf)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     val norms = tf.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("ss"))
     val kept = tf.join(
       tf.groupBy("gram").agg(count(lit(1)).as("gram_df"))

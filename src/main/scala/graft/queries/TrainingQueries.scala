@@ -573,9 +573,11 @@ object TrainingQueries {
        |                i -> b[i] || ' ' || b[i+1])) AS pair
        |  FROM bt),
        |top1 AS (
-       |  SELECT string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
-       |  FROM (SELECT pair, COUNT(*) AS n FROM pr GROUP BY 1
-       |        ORDER BY n DESC, pair LIMIT 1)),
+       |  SELECT pair FROM (SELECT pair, COUNT(*) AS n FROM pr GROUP BY 1
+       |                    ORDER BY n DESC, pair LIMIT 1)),
+       |pp AS (
+       |  SELECT (SELECT string_split(pair, ' ')[1] FROM top1) AS pa,
+       |         (SELECT string_split(pair, ' ')[2] FROM top1) AS pb),
        |pos AS (
        |  SELECT doc_id, unnest(range(1, len(b) + 1)) AS i, b FROM bt),
        |flags AS (
@@ -583,7 +585,7 @@ object TrainingQueries {
        |         CASE WHEN i < len(b) AND b[i] = pa AND b[i + 1] = pb
        |              THEN 1 ELSE 0 END AS cand,
        |         pa, pb
-       |  FROM pos CROSS JOIN top1),
+       |  FROM pos CROSS JOIN pp),
        |isl AS (
        |  SELECT *, CASE WHEN cand = 1
        |                 THEN i - row_number() OVER (PARTITION BY doc_id, cand ORDER BY i)
@@ -598,25 +600,37 @@ object TrainingQueries {
        |  FROM (SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY doc_id ORDER BY i),
        |                           false) AS prev_strt
        |        FROM starts)
-       |  WHERE NOT prev_strt)
-       |SELECT doc_id,
-       |       array_to_string(list(CASE WHEN strt THEN pa || pb ELSE tok END
-       |                            ORDER BY i), ' ') AS toks,
-       |       CAST(SUM(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT) AS n_merges
-       |FROM pruned
-       |GROUP BY doc_id""".stripMargin
+       |  WHERE NOT prev_strt),
+       |grouped AS (
+       |  SELECT doc_id,
+       |         array_to_string(list(CASE WHEN strt THEN pa || pb ELSE tok END
+       |                              ORDER BY i), ' ') AS toks,
+       |         CAST(SUM(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT) AS n_merges
+       |  FROM pruned
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(g.toks, '') AS toks,
+       |       COALESCE(g.n_merges, 0) AS n_merges
+       |FROM documents d LEFT JOIN grouped g ON g.doc_id = d.doc_id""".stripMargin
   }) { (s, d) =>
     val docs = Tables.documents(s, d)
     val top = docs.select(explode(Text.bpePairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("pair")).limit(1).head()
-    val Array(a, b) = top.getString(0).split(" ", 2)
-    docs.select(col("doc_id"), Text.bpeTokens(col("text")).as("b0"))
-      .select(col("doc_id"), col("b0"), Text.mergePair(col("b0"), a, b).as("tl"))
-      // the gate compares the space-joined form (BPE symbols carry no
-      // spaces, so the join is invertible) — the q44 array discipline
-      .select(col("doc_id"), concat_ws(" ", col("tl")).as("toks"),
-        (size(col("b0")) - size(col("tl"))).cast(LongType).as("n_merges"))
+      .orderBy(col("n").desc, col("pair")).limit(1).collect()
+    val base = docs.select(col("doc_id"), Text.bpeTokens(col("text")).as("b0"))
+    if (top.isEmpty)
+      // no adjacent pair anywhere (every doc < 2 tokens): the merge
+      // round is the identity — mirrored by the oracle, whose scalar-
+      // subquery pa/pb go NULL and flag no candidates
+      base.select(col("doc_id"), concat_ws(" ", col("b0")).as("toks"),
+        lit(0L).as("n_merges"))
+    else {
+      val Array(a, b) = top(0).getString(0).split(" ", 2)
+      base.select(col("doc_id"), col("b0"), Text.mergePair(col("b0"), a, b).as("tl"))
+        // the gate compares the space-joined form (BPE symbols carry no
+        // spaces, so the join is invertible) — the q44 array discipline
+        .select(col("doc_id"), concat_ws(" ", col("tl")).as("toks"),
+          (size(col("b0")) - size(col("tl"))).cast(LongType).as("n_merges"))
+    }
   }
 
   /** q106 — distributed BPE TRAINING (8 rounds): the loop whose two

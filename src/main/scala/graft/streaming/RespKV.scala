@@ -29,44 +29,85 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class RespKV(host: String, port: Int, ttlSeconds: Long = 86400L)
     extends Events.KVStore {
 
-  def push(key: String, value: String, keep: Int): Unit = {
-    val conn = RespKV.connection(host, port)
-    conn.synchronized {
+  def push(key: String, value: String, keep: Int): Unit =
+    RespKV.withConn(host, port) { conn =>
       conn.send(
         Seq("LPUSH", key, value),
         Seq("LTRIM", key, "0", (keep - 1).toString),
         Seq("EXPIRE", key, ttlSeconds.toString))
-      conn.readReply(); conn.readReply(); conn.readReply()
+      // drain ALL three pipelined replies before surfacing any -ERR:
+      // throwing on the first would leave the later replies unread and
+      // desynchronize every subsequent command on the shared connection
+      val errs = conn.readReplies(3).collect { case e: RespKV.RespProtocolError => e }
+      errs.headOption.foreach(e => throw e)
     }
-  }
 
-  def get(key: String): Seq[String] = {
-    val conn = RespKV.connection(host, port)
-    conn.synchronized {
+  def get(key: String): Seq[String] =
+    RespKV.withConn(host, port) { conn =>
       conn.send(Seq("LRANGE", key, "0", "-1"))
       conn.readReply() match {
-        case null             => Nil
-        case xs: Vector[_]    => xs.map(x => String.valueOf(x))
-        case other            => throw new IOException(s"LRANGE: unexpected reply $other")
+        case null          => Nil
+        case xs: Vector[_] => xs.map(x => String.valueOf(x))
+        case other         => throw new IOException(s"LRANGE: unexpected reply $other")
       }
     }
-  }
 }
 
 object RespKV {
+  /** An application-level `-ERR …` reply: the connection itself is
+    * still in protocol sync (the reply WAS consumed), so this must not
+    * trigger eviction/reconnect — unlike stream-level IO failures. */
+  final class RespProtocolError(msg: String) extends IOException(msg)
+
   private val conns =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Conn]()
 
   private[streaming] def connection(host: String, port: Int): Conn =
     conns.computeIfAbsent((host, port), { case (h, p) => new Conn(h, p) })
 
+  private def evict(host: String, port: Int): Unit =
+    Option(conns.remove((host, port))).foreach(_.closeQuietly())
+
+  /** Run `f` against the pooled connection; on a stream-level IO
+    * failure (EOF, socket reset, read timeout — the connection is
+    * desynced or dead) evict the corpse and retry ONCE on a fresh
+    * socket, so a Redis restart costs one failed command, not the
+    * life of the JVM. RESP `-ERR` replies pass through untouched. */
+  private[streaming] def withConn[A](host: String, port: Int)(f: Conn => A): A = {
+    def run(): A = { val c = connection(host, port); c.synchronized(f(c)) }
+    try run()
+    catch {
+      case e: RespProtocolError => throw e
+      case _: IOException =>
+        evict(host, port)
+        try run()
+        catch { case e2: IOException => evict(host, port); throw e2 }
+    }
+  }
+
   /** One RESP connection: frame encoder + reply parser. Callers hold
-    * the monitor across a send/read sequence (pipelining unit). */
+    * the monitor across a send/read sequence (pipelining unit).
+    * Bounded connect (10 s) and read (30 s) timeouts: a blackholed
+    * host fails the command instead of wedging every task queued on
+    * the monitor; the timeout surfaces as an IOException, which the
+    * withConn wrapper treats as a dead connection. */
   private[streaming] final class Conn(host: String, port: Int) {
-    private val socket = new Socket(host, port)
+    private val socket = new Socket()
+    socket.connect(new java.net.InetSocketAddress(host, port), 10000)
+    socket.setSoTimeout(30000)
     socket.setTcpNoDelay(true)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private val in = new BufferedInputStream(socket.getInputStream)
+
+    def closeQuietly(): Unit =
+      try socket.close() catch { case _: IOException => () }
+
+    /** Read exactly `n` replies, capturing application `-ERR`s as
+      * values so every pipelined reply is consumed even when an early
+      * one failed (protocol stays in sync); stream-level failures
+      * still throw immediately (the stream is unrecoverable anyway). */
+    def readReplies(n: Int): Seq[Any] =
+      Seq.fill(n)(try readReply() catch { case e: RespProtocolError => e })
 
     /** Encode each command as a RESP array of bulk strings; one write. */
     def send(cmds: Seq[String]*): Unit = {
@@ -100,7 +141,7 @@ object RespKV {
     def readReply(): Any = readLine() match {
       case l if l.startsWith("+") => l.substring(1)
       case l if l.startsWith(":") => l.substring(1).toLong
-      case l if l.startsWith("-") => throw new IOException(s"RESP error: ${l.substring(1)}")
+      case l if l.startsWith("-") => throw new RespProtocolError(s"RESP error: ${l.substring(1)}")
       case l if l.startsWith("$") =>
         val n = l.substring(1).toInt
         if (n < 0) null

@@ -56,6 +56,9 @@ class RespSpec extends SparkSpec {
         val nArgs = line().stripPrefix("*").toInt
         val args = Vector.fill(nArgs)(bulk())
         args.head.toUpperCase match {
+          case "LPUSH" if args(1).startsWith("badtype:") =>
+            // simulate Redis WRONGTYPE (key holds a non-list value)
+            reply("-WRONGTYPE Operation against a key holding the wrong kind of value\r\n")
           case "LPUSH" =>
             val n = lists.merge(args(1), List(args(2)), (old, nw) => nw ++ old).size
             reply(s":$n\r\n")
@@ -90,6 +93,19 @@ class RespSpec extends SparkSpec {
       assert(kv.get("user:absent").isEmpty)
       assert(srv.ttls.get("user:u1:views") === 86400L) // EXPIRE reached the wire
       assert(srv.lists.get("user:u1:views") === List("p3", "p2")) // server-side state bounded
+    } finally srv.close()
+  }
+
+  test("an -ERR reply mid-pipeline surfaces as RespProtocolError WITHOUT desyncing the shared connection") {
+    val srv = new MiniResp
+    try {
+      val kv = new RespKV("127.0.0.1", srv.port)
+      // LPUSH fails but LTRIM/EXPIRE replies are still drained, so...
+      intercept[RespKV.RespProtocolError] { kv.push("badtype:k", "v", keep = 2) }
+      // ...the very next commands on the SAME pooled connection parse cleanly
+      kv.push("user:u9:views", "p1", keep = 2)
+      assert(kv.get("user:u9:views") === Seq("p1"))
+      assert(kv.get("badtype:k").isEmpty)
     } finally srv.close()
   }
 
