@@ -649,6 +649,48 @@ object TrainingQueries {
       .toDF("rank", "a", "b", "n")
   }
 
+  /** q107 — per-document keyword extraction: top-5 terms by tf·idf,
+    * the document-tagging/labeling pass of a curation pipeline (q69
+    * ranks the corpus vocabulary globally; this ranks each doc's own
+    * terms). Exactness discipline: integer tf/df/N aggregates, score
+    * = (tf·N)/df as ONE per-row double expression (no libm log — the
+    * q102 rational-idf rule; the log reshapes monotonically within a
+    * fixed df, and the tie-break pins the order), and the rank window
+    * partitions by doc_id — its input is |per-doc vocab| rows, fully
+    * partition-parallel, never a global sort. The df table broadcasts
+    * (⌈vocab⌉ ≪ corpus — the q75 note; Spark demotes to a shuffle
+    * join on token past the threshold, the same key tf already
+    * shuffled on). */
+  val q107 = Q("q107_keyword_extract",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, score, rank FROM (
+      |  SELECT t.doc_id, t.token, t.tf,
+      |         CAST(t.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(f.df AS DOUBLE) AS score,
+      |         row_number() OVER (
+      |           PARTITION BY t.doc_id
+      |           ORDER BY CAST(t.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(f.df AS DOUBLE) DESC,
+      |                    t.token) AS rank
+      |  FROM tf t JOIN dfs f USING (token) CROSS JOIN n)
+      |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType) /
+      col("df").cast(DoubleType)
+    tf.join(broadcast(dfs), Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), score.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "token", "tf", "score", "rank")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105, q106)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107)
 }
