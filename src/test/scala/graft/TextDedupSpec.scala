@@ -244,6 +244,33 @@ class TextDedupSpec extends SparkSpec {
     assert(jac((1L, 2L)) === 1.0, "Jaccard must be blind to the repetition cosine sees")
   }
 
+  test("ngram cosine: randomized equivalence with a driver-side count-vector reference") {
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = Vector("a", "b", "c", "d")
+    val texts = (1L to 40L).map(i =>
+      i -> Vector.fill(3 + rnd.nextInt(12))(alpha(rnd.nextInt(4))).mkString(" "))
+    def gramsOf(t: String): Seq[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val vecs = texts.map { case (id, t) =>
+      id -> gramsOf(t).groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    }.toMap
+    val want = (for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq if ia < ib
+      dot = va.keysIterator.map(g => va(g) * vb.getOrElse(g, 0L)).sum if dot > 0
+    } yield {
+      val ss = (v: Map[String, Long]) => v.values.map(x => x * x).sum
+      (ia, ib) -> dot.toDouble / (math.sqrt(ss(va).toDouble) * math.sqrt(ss(vb).toDouble))
+    }).toMap
+    val got = Dedup.ngramCosinePairs(docs(texts: _*), "doc_id", "text",
+      n = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-12, s"pair $k: got ${got(k)}, want $w")
+  }
+
   test("ngram cosine: hot-gram df cap drops hot grams from the dot product but not the norms") {
     // gram "x y z" is in all 3 docs (df 3 > cap 2) → excluded from every
     // dot product; docs 1,2 still share "a b c" so they pair with a
