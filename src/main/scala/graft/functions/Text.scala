@@ -49,19 +49,30 @@ object Text {
   /** ONE BPE merge round applied to a token array: greedy LEFTMOST
     * non-overlapping replacement of the adjacent pair (a, b) by the
     * concatenated symbol — exactly the rewrite step between BPE
-    * training iterations. Implemented as a left fold over the array
+    * training iterations. Backed by the native codegen'd
+    * [[graft.plans.BpeMergeRound]] kernel: one O(L) pass with a single
+    * output allocation. The HOF fold twin below is O(L²) element
+    * copies per document (each `aggregate` step rebuilds the
+    * accumulator array) — invisible on 50-token docs, a real trap on
+    * 2k-token production documents; NativeSpec pins the two
+    * bit-identical on randomized arrays, nulls included. Per-row,
+    * zero shuffle, zero regex — where the SQL oracle needs explode +
+    * two windows (gaps-and-islands parity) to express the same
+    * greedy scan. */
+  def mergePair(tokens: Column, a: String, b: String): Column =
+    graft.plans.NativeExpressions.bpeMerge(tokens, lit(a), lit(b))
+
+  /** The higher-order-function twin of [[mergePair]] — a left fold
     * (`aggregate`): append each token, but when the accumulator's last
     * element is `a` and the current token is `b`, replace that last
     * element with `a+b`. The fold gives leftmost-nonoverlap for free —
     * a freshly merged `a+b` can never re-match `a` within the round
     * (that would need b = "") — including self-pair chains
-    * ("t t t" with pair (t,t) → "tt t", not "tt tt"). Pure codegen'd
-    * HOF: per-row, zero shuffle, zero regex, runs at scan speed —
-    * where the SQL oracle needs explode + two windows (gaps-and-
-    * islands parity) to express the same greedy scan.
+    * ("t t t" with pair (t,t) → "tt t", not "tt tt").
     * `try_element_at` (not `element_at`) keeps the empty-accumulator
-    * probe NULL-safe under ANSI mode. */
-  def mergePair(tokens: Column, a: String, b: String): Column =
+    * probe NULL-safe under ANSI mode. Kept as the parity reference for
+    * the native kernel (the q23/q21 discipline). */
+  def mergePairHof(tokens: Column, a: String, b: String): Column =
     aggregate(tokens, array().cast(ArrayType(StringType)),
       (acc, x) =>
         when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),

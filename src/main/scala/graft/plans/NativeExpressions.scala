@@ -137,6 +137,75 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One BPE merge round over a token array: greedy LEFTMOST
+  * non-overlapping replacement of the adjacent pair (a, b) by the
+  * concatenated symbol, in ONE pass. The HOF fold form
+  * (`Text.mergePairHof`) rebuilds the accumulator array per element —
+  * O(L²) element copies per document, invisible at 50 tokens and a
+  * real trap at 2k-token production documents; this is O(L) with a
+  * single output allocation. Semantics are IDENTICAL to the fold
+  * (NativeSpec pins it on randomized arrays, nulls included): null
+  * elements pass through and never participate in a merge; null
+  * array ⇒ NULL.
+  */
+case class BpeMergeRound(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_merge expects (array<string>, string, string), got ($t, $a, $b)")
+    }
+  override def dataType: DataType = first.dataType
+  override def prettyName: String = "graft_bpe_merge"
+
+  override def nullSafeEval(t: Any, av: Any, bv: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val xs = t.asInstanceOf[ArrayData]
+    val a = av.asInstanceOf[UTF8String]; val b = bv.asInstanceOf[UTF8String]
+    val merged = UTF8String.concat(a, b)
+    val n = xs.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (xs.isNullAt(i)) null else xs.getUTF8String(i)
+      if (i + 1 < n && cur != null && cur.equals(a) &&
+          !xs.isNullAt(i + 1) && xs.getUTF8String(i + 1).equals(b)) {
+        out.add(merged); i += 2
+      } else { out.add(cur); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val cur = ctx.freshName("cur")
+      val merged = ctx.freshName("merged")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $t.numElements();
+         |java.util.ArrayList $out = new java.util.ArrayList($n);
+         |$utf8 $merged = $utf8.concat($a, $b);
+         |int $i = 0;
+         |while ($i < $n) {
+         |  $utf8 $cur = $t.isNullAt($i) ? null : $t.getUTF8String($i);
+         |  if ($i + 1 < $n && $cur != null && $cur.equals($a)
+         |      && !$t.isNullAt($i + 1) && $t.getUTF8String($i + 1).equals($b)) {
+         |    $out.add($merged); $i += 2;
+         |  } else { $out.add($cur); $i += 1; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def dotF32(a: Column, b: Column): Column =
@@ -145,6 +214,10 @@ object NativeExpressions {
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def bpeMerge(tokens: Column, a: Column, b: Column): Column =
+    ColumnBridge.column(BpeMergeRound(ColumnBridge.expression(tokens),
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates
@@ -160,6 +233,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergeRound].getName, "graft_bpe_merge"),
+      (exprs: Seq[Expression]) => BpeMergeRound(exprs(0), exprs(1), exprs(2))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

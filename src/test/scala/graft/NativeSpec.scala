@@ -94,4 +94,34 @@ class NativeSpec extends SparkSpec {
     info(f"hof=$hof%.2fs native=$native%.2fs speedup=${hof / native}%.1fx")
     assert(native <= hof * 1.5, f"native=$native%.2fs hof=$hof%.2fs") // generous: no regression
   }
+
+  test("native bpe merge == HOF fold on randomized arrays incl. nulls; SQL form resolves") {
+    import graft.functions.Text
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val alpha = Vector("a", "b", "c")
+    val rows: Seq[(Long, Seq[String])] = (1L to 300L).map { i =>
+      i -> Vector.fill(rnd.nextInt(14))(
+        if (rnd.nextInt(10) == 0) null else alpha(rnd.nextInt(3))).toSeq
+    }
+    val df = rows.toDF("id", "toks")
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"))) {
+      val both = df.select(col("id"),
+        Text.mergePair(col("toks"), a, b).as("nat"),
+        Text.mergePairHof(col("toks"), a, b).as("hof"))
+      val diff = both.filter(not(col("nat") <=> col("hof")))
+      assert(diff.isEmpty, s"pair ($a,$b): ${diff.collect().take(3).mkString}")
+    }
+    // null array propagates; empty array round-trips
+    val edge = Seq((1L, null), (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select(col("id"), Text.mergePair(col("toks"), "a", "b").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(edge(1L).isEmpty && edge(2L).contains(Seq.empty[String]))
+    // SQL registration through GraftExtensions
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_merge(array('a','b','x'), 'a', 'b') AS m")
+      .head().getSeq[String](0)
+    assert(viaSql === Seq("ab", "x"))
+  }
 }
