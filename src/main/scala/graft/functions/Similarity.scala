@@ -326,6 +326,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** IVF-PQ top-k — the billion-scale ANN composition (FAISS
+    * IndexIVFPQ), built from the two tiers already in the engine: the
+    * IVF codebook partitions the corpus into cells (q24/q52), and
+    * product quantization encodes each vector's RESIDUAL from its
+    * cell centroid (q99/q100). Residual encoding is the point of the
+    * composition: within a cell the residuals span a fraction of the
+    * raw vectors' range, so the same m·c sub-codebook quantizes far
+    * more finely than raw-vector PQ — and the PQ sub-codebooks train
+    * on residuals accordingly.
+    *
+    * Query path: rank cells by cosine (ivfAssign's metric), probe
+    * `nprobe`, compute the query's OWN residual in each probed cell,
+    * build the per-(query, cell) asymmetric-distance table (nprobe·m·c
+    * rows per query — driver-tiny, broadcast), and score candidates
+    * with an equi-join on (centroid_id, block, code) + one sum
+    * aggregate. After the one encode pass the corpus embeddings are
+    * never read: at 100 TB the probe touches |corpus|·nprobe/c code
+    * rows of m bytes each. Approximate ⇒ no oracle; recall is
+    * spec-pinned, and both halves' exact passes are oracled (q52
+    * assign, q99 codes). */
+  def ivfPqTopK(vectors: DataFrame, cents: DataFrame, queries: DataFrame,
+                k: Int, nprobe: Int, m: Int, c: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    def resid(e: Column, ce: Column): Column = zip_with(e, ce, (x, y) => x - y)
+    val cbs = cents.select(col("centroid_id"), col("c_emb"))
+    val assigned = ivfAssign(vectors, cents)
+    val residDf = assigned.join(broadcast(cbs), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        resid(col("embedding"), col("c_emb")).as("embedding"))
+    val books = pqCodebooksTrained(
+      residDf.select(col("vec_id"), col("embedding")), m, c, dim)
+    val codes = pqAssign(residDf.select("vec_id", "embedding"), books, m, dim)
+      .join(residDf.select("vec_id", "centroid_id"), Seq("vec_id"))
+    val q = withNorm(queries, "query_id", "q_emb", "q_norm")
+    val cn = cents.select(col("centroid_id"), col("c_emb"),
+      norm(col("c_emb")).as("c_norm"))
+    val probes = Relational.topNPerGroup(
+      q.crossJoin(broadcast(cn))
+        .select(col("query_id"), col("q_emb"), col("centroid_id"), col("c_emb"),
+          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("c_sim")),
+      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        resid(col("q_emb"), col("c_emb")).as("q_resid"))
+    val lut = probes
+      .select(col("query_id"), col("centroid_id"),
+        explode(array((0 until m).map { b =>
+          struct(lit(b).as("block"),
+            slice(col("q_resid"), b * subDim + 1, subDim).as("sub"))
+        }: _*)).as("bs"))
+      .select(col("query_id"), col("centroid_id"),
+        col("bs.block").as("block"), col("bs.sub").as("sub"))
+      .join(broadcast(books), Seq("block"))
+      .select(col("query_id"), col("centroid_id"), col("block"),
+        col("code_id").as("code"), l2sq(col("sub"), col("sc_emb")).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("centroid_id", "block", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    Relational.topNPerGroup(
+        scored.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2")),
+        k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via the IVF buckets: only
     * vectors sharing a centroid are compared (equi-join on centroid_id,
     * not an O(n²) cross join), then thresholded.

@@ -934,6 +934,21 @@ object ExtensionQueries {
       bandHash = Dedup.Md5BandHash)
   }
 
+  /** q108 — IVF-PQ approximate top-10 (FAISS IndexIVFPQ shape): the
+    * trained √n IVF codebook partitions, PQ encodes per-cell RESIDUALS,
+    * queries probe c/4 cells with per-cell asymmetric-distance tables.
+    * Approximate ⇒ rows-only; recall vs the exact L2 scan is pinned in
+    * SimilaritySpec and the two exact halves are oracled (q52 assign,
+    * q99 codes). See [[Similarity.ivfPqTopK]] for the 100 TB story. */
+  val q108 = Q.noOracle("q108_ivfpq_topk") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val n = vecs.count()
+    val cents = Similarity.sharedCodebook(vecs, n, tag = d)
+    val nprobe = math.max(2, Similarity.codebookSize(n) / 4)
+    Similarity.ivfPqTopK(vecs, cents, vecs.filter(col("vec_id") < 5),
+      k = 10, nprobe = nprobe, m = 4, c = 16, dim = 64)
+  }
+
   /** q103 — count-vector cosine near-dup pairs over word 3-grams: the
     * multiplicity-aware sibling of q22 (Jaccard is blind to repeated
     * phrases — two docs with the same distinct gram set but wildly
@@ -1030,5 +1045,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104)
+    q99, q100, q101, q103, q104, q108)
 }
