@@ -19,16 +19,21 @@ class RespSpec extends SparkSpec {
 
   /** Minimal RESP2 server: LPUSH / LTRIM / EXPIRE / LRANGE over a
     * concurrent map, one thread per connection, loopback only. */
-  private final class MiniResp {
-    private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private final class MiniResp(port0: Int = 0) {
+    private val server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new java.net.InetSocketAddress(InetAddress.getLoopbackAddress, port0), 16)
     val port: Int = server.getLocalPort
     val lists = new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
     val ttls = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     @volatile private var running = true
+    private val accepted = new java.util.concurrent.ConcurrentLinkedQueue[Socket]()
     private val acceptor = new Thread(() => {
       while (running)
-        try { val s = server.accept(); val t = new Thread(() => serve(s)); t.setDaemon(true); t.start() }
-        catch { case _: Exception => () }
+        try {
+          val s = server.accept(); accepted.add(s)
+          val t = new Thread(() => serve(s)); t.setDaemon(true); t.start()
+        } catch { case _: Exception => () }
     })
     acceptor.setDaemon(true); acceptor.start()
 
@@ -78,7 +83,12 @@ class RespSpec extends SparkSpec {
         }
       } catch { case _: Exception => () } finally s.close()
     }
-    def close(): Unit = { running = false; server.close() }
+    def close(): Unit = {
+      running = false; server.close()
+      // a real shutdown severs established connections too — without
+      // this the old handler threads keep serving the "dead" server
+      accepted.forEach(s => try s.close() catch { case _: Exception => () })
+    }
   }
 
   test("RESP adapter: pipelined LPUSH+LTRIM+EXPIRE and LRANGE round-trip; parity with InMemoryKV") {
@@ -107,6 +117,23 @@ class RespSpec extends SparkSpec {
       assert(kv.get("user:u9:views") === Seq("p1"))
       assert(kv.get("badtype:k").isEmpty)
     } finally srv.close()
+  }
+
+  test("a dead pooled connection is evicted and the command retried on a fresh socket (server restart)") {
+    val srv1 = new MiniResp
+    val port = srv1.port
+    val kv = new RespKV("127.0.0.1", port)
+    kv.push("user:r:views", "p1", keep = 5) // establishes the pooled conn
+    assert(srv1.lists.get("user:r:views") === List("p1"))
+    srv1.close()
+    val srv2 = new MiniResp(port) // "Redis restarted" on the same address
+    try {
+      // the pooled conn is a corpse; withConn must evict it and land the
+      // command on the new server within this same call
+      kv.push("user:r:views", "p2", keep = 5)
+      assert(srv2.lists.get("user:r:views") === List("p2"))
+      assert(kv.get("user:r:views") === Seq("p2")) // reads follow the fresh conn
+    } finally srv2.close()
   }
 
   test("K6 over the wire: foreachBatch serving-state sink lands in the RESP server, partition-local") {
