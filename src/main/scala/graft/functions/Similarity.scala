@@ -352,9 +352,15 @@ object Similarity {
     def resid(e: Column, ce: Column): Column = zip_with(e, ce, (x, y) => x - y)
     val cbs = cents.select(col("centroid_id"), col("c_emb"))
     val assigned = ivfAssign(vectors, cents)
+    // materialize the residuals ONCE: three consumers (the PQ training
+    // sample collect, the encode pass, and the cell join) would each
+    // re-run the full IVF assign otherwise — the lloyd /
+    // cosineNearDupPairs discipline, caller-owned lifecycle as usual
+    // (Bench clears the cache between reps)
     val residDf = assigned.join(broadcast(cbs), Seq("centroid_id"))
       .select(col("vec_id"), col("centroid_id"),
         resid(col("embedding"), col("c_emb")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = pqCodebooksTrained(
       residDf.select(col("vec_id"), col("embedding")), m, c, dim)
     val codes = pqAssign(residDf.select("vec_id", "embedding"), books, m, dim)

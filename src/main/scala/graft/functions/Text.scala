@@ -59,8 +59,13 @@ object Text {
     * zero shuffle, zero regex — where the SQL oracle needs explode +
     * two windows (gaps-and-islands parity) to express the same
     * greedy scan. */
-  def mergePair(tokens: Column, a: String, b: String): Column =
+  def mergePair(tokens: Column, a: String, b: String): Column = {
+    // empty pair components are excluded from the contract: with b = ""
+    // the fold would chain-merge (a+"" re-matches a) where the one-pass
+    // scan would not, and no tokenizer emits empty symbols anyway
+    require(a.nonEmpty && b.nonEmpty, "merge pair components must be non-empty")
     graft.plans.NativeExpressions.bpeMerge(tokens, lit(a), lit(b))
+  }
 
   /** The higher-order-function twin of [[mergePair]] — a left fold
     * (`aggregate`): append each token, but when the accumulator's last
@@ -72,12 +77,14 @@ object Text {
     * `try_element_at` (not `element_at`) keeps the empty-accumulator
     * probe NULL-safe under ANSI mode. Kept as the parity reference for
     * the native kernel (the q23/q21 discipline). */
-  def mergePairHof(tokens: Column, a: String, b: String): Column =
+  def mergePairHof(tokens: Column, a: String, b: String): Column = {
+    require(a.nonEmpty && b.nonEmpty, "merge pair components must be non-empty")
     aggregate(tokens, array().cast(ArrayType(StringType)),
       (acc, x) =>
         when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
+  }
 
   /** Distributed BPE TRAINING loop — the full tokenizer-training shape
     * q76 (pair counting) and q105 (merge apply) are single rounds of.

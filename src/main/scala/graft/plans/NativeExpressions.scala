@@ -143,10 +143,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * (`Text.mergePairHof`) rebuilds the accumulator array per element —
   * O(L²) element copies per document, invisible at 50 tokens and a
   * real trap at 2k-token production documents; this is O(L) with a
-  * single output allocation. Semantics are IDENTICAL to the fold
-  * (NativeSpec pins it on randomized arrays, nulls included): null
-  * elements pass through and never participate in a merge; null
-  * array ⇒ NULL.
+  * single output allocation. Semantics are IDENTICAL to the fold for
+  * NON-EMPTY pair components (NativeSpec pins it on randomized
+  * arrays, nulls included; `Text.mergePair` enforces the non-empty
+  * precondition — with b = "" the fold would chain-merge where this
+  * scan consumes two positions per merge): null elements pass
+  * through and never participate in a merge; null array ⇒ NULL.
   */
 case class BpeMergeRound(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {

@@ -126,7 +126,13 @@ class RespSpec extends SparkSpec {
     kv.push("user:r:views", "p1", keep = 5) // establishes the pooled conn
     assert(srv1.lists.get("user:r:views") === List("p1"))
     srv1.close()
-    val srv2 = new MiniResp(port) // "Redis restarted" on the same address
+    // "Redis restarted" on the same address; rebinding a just-released
+    // ephemeral port can lose a race to another allocation, so retry
+    val srv2 = Iterator.range(0, 5).map { i =>
+      try Some(new MiniResp(port))
+      catch { case _: java.net.BindException => Thread.sleep(100L << i); None }
+    }.flatten.nextOption()
+      .getOrElse(fail(s"could not rebind port $port after 5 attempts"))
     try {
       // the pooled conn is a corpse; withConn must evict it and land the
       // command on the new server within this same call

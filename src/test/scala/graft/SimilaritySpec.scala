@@ -149,9 +149,27 @@ class SimilaritySpec extends SparkSpec {
     // than chance; the probe ALSO restricts candidates to nprobe cells,
     // which residual encoding's finer quantization compensates for
     assert(recall >= 0.2, s"recall=$recall")
-    // every neighbor must come from a probed cell of its query (the
-    // join can only produce candidates whose cell is in the probe set)
-    assert(approx.size <= 5 * 10)
+    // the probed-cell invariant, checked for real: every neighbor's
+    // assigned cell must be among its query's nprobe nearest cells
+    // (by the same cosine metric the probe uses)
+    val cellOf = Similarity.ivfAssign(vecs, cents)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centRows = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.indices.iterator.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val qEmb = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val probed = qEmb.map { case (qid, e) =>
+      qid -> centRows.toSeq.map { case (cid, ce) => (cos(e, ce), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2).toSet
+    }
+    for ((qid, nid) <- approx)
+      assert(probed(qid).contains(cellOf(nid)),
+        s"neighbor $nid of query $qid sits in unprobed cell ${cellOf(nid)}")
   }
 
   test("trained PQ codebooks: L2 Lloyd never increases quantization error; recall holds") {
