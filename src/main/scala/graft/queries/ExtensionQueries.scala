@@ -949,6 +949,46 @@ object ExtensionQueries {
       k = 10, nprobe = nprobe, m = 4, c = 16, dim = 64)
   }
 
+  /** q109 — corpus DATASHEET ("datasheets for datasets"): one rollup
+    * over (lang, source) reporting docs, tokens, low-quality docs and
+    * exact-duplicate counts per stratum, per language and corpus-wide —
+    * the release-audit artifact a curated corpus ships with. Every
+    * aggregate is integer (the quality threshold compares the q31
+    * deterministic double per row, then counts), the dup count is
+    * COUNT(*) − COUNT(DISTINCT md5), and ROLLUP(lang, source) is the
+    * exact grouping-set lattice both engines share — one scan, one
+    * Expand, one shuffle (the q34/q96 discipline). */
+  val q109 = Q("q109_corpus_datasheet", {
+    val allStops = Text.Stopwords.values.flatten.toSeq
+    val hits = hitsSql(allStops)
+    s"""WITH base AS (
+       |  SELECT lang, source,
+       |         len(string_split(trim(text), ' ')) AS n_toks,
+       |         (least(length(text) / 200.0, 1.0)
+       |          + (1.0 - least(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+       |                           / length(text) * 4.0, 1.0))
+       |          + least(CAST($hits AS DOUBLE) / len(string_split(trim(text), ' ')) * 5.0, 1.0))
+       |         / 3.0 AS score,
+       |         md5(text) AS h
+       |  FROM documents)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       |       COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups
+       |FROM base GROUP BY ROLLUP (lang, source)""".stripMargin
+  }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_toks"),
+        Text.qualityScore(col("text")).as("score"),
+        md5(col("text").cast(BinaryType)).as("h"))
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("score") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+  }
+
   /** q103 — count-vector cosine near-dup pairs over word 3-grams: the
     * multiplicity-aware sibling of q22 (Jaccard is blind to repeated
     * phrases — two docs with the same distinct gram set but wildly
@@ -1045,5 +1085,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108)
+    q99, q100, q101, q103, q104, q108, q109)
 }
