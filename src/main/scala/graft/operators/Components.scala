@@ -147,22 +147,33 @@ object Components {
         .filter(col("a") =!= col("b")).distinct()
     }
 
-    // (count, order-independent checksum) — one action per round; the
-    // hash sum goes through decimal (full-range longs overflow an ANSI
-    // long sum — same guard as the propagation loop's labelSum)
-    def fingerprint(e: DataFrame): (Long, String) = {
+    // (count, two INDEPENDENTLY-SEEDED order-independent checksums) —
+    // one action per round; the hash sums go through decimal (full-range
+    // longs overflow an ANSI long sum — same guard as the propagation
+    // loop's labelSum). Two seeds: a single-sum collision needs one
+    // 64-bit coincidence, a double-sum collision needs both at once —
+    // so the exact confirmation below fires on the genuine fixpoint
+    // round and essentially never on a false match.
+    def fingerprint(e: DataFrame): (Long, String, String) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+        sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0))),
+        sum(xxhash64(lit(0x9e3779b9L), col("a"), col("b"))
+          .cast(DecimalType(38, 0)))).head()
+      def dec(i: Int) = if (r.isNullAt(i)) "0" else r.getDecimal(i).toString
+      (r.getLong(0), dec(1), dec(2))
     }
 
     // a matching fingerprint is NECESSARY but (theoretically) not
-    // sufficient — a hash-sum collision could declare a moving edge set
-    // stable and read labels off a non-fixpoint. Confirm exactly with a
-    // set difference, paid only on the (normally one) round whose
-    // fingerprint matches: equal counts + empty difference ⇔ equal sets
+    // sufficient — a simultaneous two-sum collision could still declare
+    // a moving edge set stable and read labels off a non-fixpoint.
+    // Confirm exactly, paid only on the (normally one) round whose
+    // fingerprints match. Both sets are DISTINCT by construction (the
+    // initial canonicalization and every star() end in .distinct()), so
+    // equal counts + empty anti-join ⇔ equal sets — and the anti-join
+    // probe is take(1)-short-circuited, cheaper than exceptAll's full
+    // multiset difference.
     def sameEdges(x: DataFrame, y: DataFrame): Boolean =
-      x.exceptAll(y).isEmpty
+      x.join(y, Seq("a", "b"), "left_anti").isEmpty
 
     var e = edges.filter(ea =!= eb)
       .select(least(ea, eb).as("a"), greatest(ea, eb).as("b")).distinct()

@@ -18,10 +18,12 @@ object TrainingQueries {
   /** q69 — corpus vocabulary: token frequencies, top 1000 by (count
     * desc, token) — the tokenizer-training / coverage-audit pass. The
     * explode+groupBy is the canonical map-side-combine shape (partial
-    * counts collapse per partition before the one shuffle); the global
-    * row_number window runs over the AGGREGATED vocabulary, never the
-    * token stream — at 100 TB the window input is |vocab|, not |tokens|
-    * (same agg-first rule as W3 top-N). */
+    * counts collapse per partition before the one shuffle). The top-k
+    * is `orderBy.limit` (TakeOrderedAndProject — per-partition heaps
+    * of 1000, no global sort) and only the 1000 survivors see the
+    * rank window: at 100 TB |distinct tokens| is still hundreds of
+    * millions, so a rank window straight over the aggregated vocab
+    * would be a single-partition sort (the q102 lesson, applied). */
   val q69 = Q("q69_vocab_topk",
     """WITH toks AS (
       |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
@@ -33,9 +35,9 @@ object TrainingQueries {
     val freq = Tables.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    freq.withColumn("rank",
+    freq.orderBy(col("n").desc, col("token")).limit(1000)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))))
-      .filter(col("rank") <= 1000)
   }
 
   /** q70 — stratified per-language quota sample (50 docs per lang):
@@ -176,10 +178,14 @@ object TrainingQueries {
     * pass 1 builds the corpus unigram table, pass 2 scores each doc as
     * its mean token frequency. All-integer aggregation with ONE double
     * division at the end keeps it oracle-exact (a per-token -log p
-    * would drag libm transcendentals into the gate). The vocab side
-    * broadcasts (⌈vocab⌉ ≪ corpus; if a corpus outgrows the broadcast
-    * threshold Spark demotes to a shuffle join on token — the same key
-    * the count already shuffled on). */
+    * would drag libm transcendentals into the gate). The vocab join
+    * carries NO explicit broadcast hint — an explicit `broadcast()`
+    * is honored unconditionally, and a 100 TB corpus's distinct-token
+    * table is GBs (a driver/executor OOM). Left to the planner,
+    * auto-broadcast fires below `autoBroadcastJoinThreshold` (it does
+    * at gate scale) and past it Spark picks a shuffle join on token —
+    * the same key the count already shuffled on, so the exchange is
+    * reused. The 1-row `total` side stays hinted (always tiny). */
   val q75 = Q("q75_unigram_doc_score",
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
@@ -195,7 +201,7 @@ object TrainingQueries {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(vocab), Seq("token"), "inner")
+    toks.join(vocab, Seq("token"), "inner")
       .groupBy("doc_id").agg(sum("tf").as("tf_sum"), count(lit(1)).as("n_toks"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -205,10 +211,12 @@ object TrainingQueries {
 
   /** q76 — BPE merge candidates (the first tokenizer-training
     * iteration): count adjacent pre-token pairs corpus-wide, rank the
-    * top merges. Same agg-first discipline as q69 — the rank window
-    * sees |distinct pairs|, never the pair stream. Also pins
-    * regexp_extract_all parity between the engines (q74 pins replace;
-    * this pins extraction). */
+    * top merges. Same agg-first + TakeOrdered discipline as q69 — the
+    * `orderBy.limit` heap-selects the 500 survivors per partition and
+    * only those see the rank window, so neither the pair stream nor
+    * the |distinct pairs| table ever hits a single-partition sort.
+    * Also pins regexp_extract_all parity between the engines (q74
+    * pins replace; this pins extraction). */
   val q76 = Q("q76_bpe_merge_pairs", {
     val pat = Text.BpePattern
     s"""WITH bt AS (
@@ -228,9 +236,9 @@ object TrainingQueries {
     val freq = Tables.documents(s, d)
       .select(explode(Text.bpePairs(col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
-    freq.withColumn("rank",
+    freq.orderBy(col("n").desc, col("pair")).limit(500)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("pair"))))
-      .filter(col("rank") <= 500)
   }
 
   /** q77 — count-min-sketch heavy hitters: the approximate-frequency
@@ -385,10 +393,15 @@ object TrainingQueries {
     * q68/q83 turn pairwise evidence into canonical components; this
     * keeps exactly one representative per component (the minimum
     * doc_id, i.e. the component label itself) and drops the rest —
-    * the corpus a training run actually reads. One left-semi join
-    * against the canonical set; at 100 TB the canonical-id table is
-    * tiny relative to the corpus and broadcastable. Oracle = the q68
-    * recursive-CTE fixpoint filtered to label == id. */
+    * the corpus a training run actually reads. The join is a
+    * left-ANTI against the NON-canonical (duplicate) id set: on a
+    * real corpus the kept/canonical side is 50–90 % of all documents
+    * (billions of rows at 100 TB — never broadcastable), while the
+    * duplicate side is only the docs the dedup actually removes —
+    * the small side by construction, so that is the side that gets
+    * the broadcast hint. keep = NOT duplicate ≡ keep = canonical,
+    * so the oracle (the q68 recursive-CTE fixpoint filtered to
+    * label == id) is unchanged. */
   val q94 = Q("q94_dedup_apply",
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -418,11 +431,11 @@ object TrainingQueries {
     val docs = Tables.documents(s, d)
     val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
       maxDf = 50L, minShared = 2L)
-    val canonical = graft.operators.Components
+    val duplicates = graft.operators.Components
       .connectedComponents(edges, docs.select(col("doc_id")))
-      .filter(col("v") === col("component"))
+      .filter(col("v") =!= col("component"))
       .select(col("v").as("doc_id"))
-    docs.join(broadcast(canonical), Seq("doc_id"), "left_semi")
+    docs.join(broadcast(duplicates), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
@@ -476,7 +489,10 @@ object TrainingQueries {
     // shuffle and the offset job reuses those shuffle files.
     val rdd = sorted.rdd
     val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
+      // Long accumulator, not it.size: Iterator.size returns Int, which
+      // silently overflows past 2^31 rows per partition at corpus scale
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator(pid -> it.foldLeft(0L)((n, _) => n + 1L)))
       .collect().toMap // one pair per partition — driver-tiny
     val offsets = Array.ofDim[Long](rdd.getNumPartitions)
     var acc = 0L
@@ -657,10 +673,12 @@ object TrainingQueries {
     * q102 rational-idf rule; the log reshapes monotonically within a
     * fixed df, and the tie-break pins the order), and the rank window
     * partitions by doc_id — its input is |per-doc vocab| rows, fully
-    * partition-parallel, never a global sort. The df table broadcasts
-    * (⌈vocab⌉ ≪ corpus — the q75 note; Spark demotes to a shuffle
-    * join on token past the threshold, the same key tf already
-    * shuffled on). */
+    * partition-parallel, never a global sort. The df join carries NO
+    * explicit broadcast hint (the q75 rule: a hint is honored
+    * unconditionally, and a 100 TB distinct-token table is GBs) —
+    * auto-broadcast fires at gate scale, and past the threshold the
+    * planner's shuffle join lands on token, the same key tf already
+    * shuffled on. The 1-row count side stays hinted. */
   val q107 = Q("q107_keyword_extract",
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
@@ -683,7 +701,7 @@ object TrainingQueries {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType) /
       col("df").cast(DoubleType)
-    tf.join(broadcast(dfs), Seq("token")).crossJoin(broadcast(n))
+    tf.join(dfs, Seq("token")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), score.as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))

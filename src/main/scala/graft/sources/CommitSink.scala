@@ -87,7 +87,16 @@ object CommitSink {
     * iff THIS call published; on false the caller deletes its freshly
     * written (duplicate) task files — the committed manifest keeps
     * naming the originals. Durability matches the batch path: the temp
-    * is written with SYNC before it becomes linkable. */
+    * is written with SYNC before it becomes linkable.
+    *
+    * LOCAL-FILESYSTEM ONLY: this publish half (and the batch commit)
+    * use java.nio, whose link/ATOMIC_MOVE guarantees exist only on a
+    * local POSIX mount — deliberate asymmetry with `read()`, which
+    * goes through Hadoop FileContext and works on any filesystem. A
+    * distributed deployment would route publish through FileContext
+    * CREATE-no-overwrite + rename (the `AtomicTable.commitPointer`
+    * recipe); kept nio here because the exclusive-link fencing this
+    * sink demonstrates has no FileContext equivalent. */
   def publishEpoch(path: String, queryId: String, epochId: Long,
                    taskFiles: Seq[String]): Boolean = {
     val target = java.nio.file.Paths.get(path, s"manifest-$queryId-$epochId")

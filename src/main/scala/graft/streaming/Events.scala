@@ -384,12 +384,17 @@ object Events {
   /** Streaming NEAR-DUP gate — dedup-on-arrival, composing three tiers:
     * each micro-batch is MinHash-signed and banded ([[graft.functions
     * .Dedup.bandedIndex]]), probed against the persisted corpus index
-    * (an `AtomicTable` of banded rows — k signature longs + band hashes
-    * per doc, never the text), and split: arriving docs near-matching
-    * the corpus, and all but one representative of each within-batch
-    * near-dup COMPONENT, append to `dupDir` (quarantine with batch-id
-    * audit); the rest append to `cleanDir` and their bands MERGE into
-    * the index through the committed-version protocol.
+    * (a batch-partitioned parquet table of banded rows — k signature
+    * longs + band hashes per doc, never the text), and split: arriving
+    * docs near-matching the corpus, and all but one representative of
+    * each within-batch near-dup COMPONENT, append to `dupDir`
+    * (quarantine with batch-id audit); the rest append to `cleanDir`
+    * and their bands merge into the index via dynamic partition
+    * overwrite of the batch's own `_gate_batch=<id>/` partition (NOT
+    * the AtomicTable committed-version protocol — see the growth
+    * paragraph below; a reader racing the partition write can observe
+    * that batch's bands partially, which only delays a dup verdict by
+    * one trigger, never corrupts committed partitions).
     *
     * Within-batch policy: pairs above `threshold` form components
     * (transitive closure via [[graft.operators.Components]]) and the

@@ -30,7 +30,17 @@ final class RespKV(host: String, port: Int, ttlSeconds: Long = 86400L)
     extends Events.KVStore {
 
   def push(key: String, value: String, keep: Int): Unit =
-    RespKV.withConn(host, port) { conn =>
+    // keep <= 0 means "retain nothing": InMemoryKV's take(keep) yields
+    // an empty list, but Redis `LTRIM key 0 -1` would retain the WHOLE
+    // list (-1 is the end-of-list index) — so the wire form of "keep
+    // nothing" is DEL, which reads back as the same empty list.
+    if (keep <= 0)
+      RespKV.withConn(host, port) { conn =>
+        conn.send(Seq("DEL", key))
+        conn.readReplies(1).collect { case e: RespKV.RespProtocolError => e }
+          .headOption.foreach(e => throw e)
+      }
+    else RespKV.withConn(host, port) { conn =>
       conn.send(
         Seq("LPUSH", key, value),
         Seq("LTRIM", key, "0", (keep - 1).toString),
@@ -71,8 +81,17 @@ object RespKV {
   /** Run `f` against the pooled connection; on a stream-level IO
     * failure (EOF, socket reset, read timeout — the connection is
     * desynced or dead) evict the corpse and retry ONCE on a fresh
-    * socket, so a Redis restart costs one failed command, not the
-    * life of the JVM. RESP `-ERR` replies pass through untouched. */
+    * socket, so a Redis restart does not cost the life of the JVM.
+    * RESP `-ERR` replies pass through untouched.
+    *
+    * Delivery is AT-LEAST-ONCE across connection failures: the retry
+    * re-sends the whole pipelined batch, and if the server had already
+    * applied a prefix (e.g. the LPUSH landed but the connection died
+    * before its reply arrived) the retry duplicates that prefix. This
+    * is the same at-least-once caveat the foreachBatch replay path
+    * documents — serving-state lists are bounded by LTRIM, so a
+    * duplicated push costs one repeated head entry, not unbounded
+    * growth; exactly-once would need server-side dedup tokens. */
   private[streaming] def withConn[A](host: String, port: Int)(f: Conn => A): A = {
     def run(): A = { val c = connection(host, port); c.synchronized(f(c)) }
     try run()
