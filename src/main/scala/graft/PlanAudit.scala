@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{logical => l}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -14,24 +16,93 @@ import org.apache.spark.sql.execution.joins._
   *   nlj        BroadcastNestedLoop/Cartesian count (quadratic — only
   *              acceptable when one side is provably tiny, e.g. a
   *              scalar subquery or a ≤100-row pair block)
+  *   ubh        broadcast HINTS whose subtree is not structurally
+  *              bounded (see [[unboundedBroadcastHints]]) — each one is
+  *              a potential 100 TB OOM, because an explicit hint is
+  *              honored regardless of size
   *   scan cols  per-scan ReadSchema width (pruning check: a 2-column
   *              projection reading 16 columns is a failed prune)
   *   nofilter   scans with a Filter parent but zero pushed filters
   *   wsc        WholeStageCodegen span count (fewer, wider spans = more
   *              of the query runs fused)
   *
+  * The main EXITS NON-ZERO if any query outside [[broadcastAllowlist]]
+  * carries an unbounded broadcast hint — the mechanical form of the
+  * "never hint a corpus-scaling relation" rule.
+  *
   * Usage: runMain graft.PlanAudit [sfDir] [queryName...]
   */
 object PlanAudit {
+
+  /** Structural cardinality bound for a broadcast-hinted subtree: true
+    * iff the plan's row count is capped INDEPENDENT of input size —
+    * a limit (top-k / codebook sample), a no-grouping aggregate (one
+    * row), or driver-materialized local data. Grouped aggregates are
+    * bounded only if their CHILD is (a vocabulary groupBy over a corpus
+    * scan is |vocab| rows — GBs at 100 TB, exactly the q75 trap);
+    * generic unary nodes (Project/Filter/Window/Sort/...) pass through
+    * to their child, so a filtered corpus scan stays UNBOUNDED even
+    * when the filter is known-selective at test scale — boundedness
+    * here is a property of the PLAN SHAPE, not of the data. */
+  private[graft] def structurallyBounded(p: l.LogicalPlan): Boolean = p match {
+    case _: l.GlobalLimit | _: l.LocalLimit => true
+    case a: l.Aggregate => a.groupingExpressions.isEmpty || structurallyBounded(a.child)
+    case _: l.LocalRelation | _: l.OneRowRelation => true
+    case j: l.Join => structurallyBounded(j.left) && structurallyBounded(j.right)
+    case u: l.Union => u.children.forall(structurallyBounded)
+    case un: l.UnaryNode => structurallyBounded(un.child)
+    case _ => false // leaf relations (file scans, RDD scans): corpus-sized
+  }
+
+  /** Broadcast hints in the ANALYZED plan (where `functions.broadcast`
+    * survives as ResolvedHint, before the optimizer folds hints into
+    * Join nodes) whose subtree is not structurally bounded. Returns one
+    * short description per offender. */
+  def unboundedBroadcastHints(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: l.ResolvedHint
+          if h.hints.strategy.contains(l.BROADCAST) && !structurallyBounded(h.child) =>
+        s"broadcast(${h.child.nodeName.toLowerCase}[${h.child.output.map(_.name).mkString(",")}])"
+    }
+
+  /** Queries ALLOWED to carry a structurally-unbounded broadcast hint,
+    * each with the domain argument the classifier can't see. Anything
+    * else with a ubh > 0 fails the audit. */
+  private[graft] val broadcastAllowlist: Map[String, String] = {
+    val fixedDim = "nation/region are FIXED-domain dims (25/5 rows at EVERY " +
+      "scale factor — they do not grow with the corpus)"
+    val annQuery = "the hinted side is the ANN operator's query set (and its " +
+      "derived per-query lookup table) — small by the operator's documented " +
+      "contract ('the query side MUST be small'); a large query set is a " +
+      "different operator (a join-based batch scorer), not a bigger broadcast"
+    Map(
+      "q71_contamination" ->
+        ("the hinted side is the gram set of the BENCHMARK docs (doc_id < 25 — " +
+         "a fixed eval suite, bounded by contract, not by plan shape)"),
+      "q03_dim_enrich" -> fixedDim,
+      "q09_top_suppliers_per_nation" -> fixedDim,
+      "q44_array_agg" -> fixedDim,
+      "q43_correlated_subquery" ->
+        "the hinted aggregate groups by c_nationkey — ≤ 25 groups by schema domain",
+      "q86_curriculum_buckets_prod" ->
+        "the hinted aggregate is one quantile array per language — ≤ |langs| rows (a handful)",
+      "q23_cosine_topk" -> annQuery,
+      "q24_ivf_ann" -> annQuery,
+      "q100_pq_adc_topk" -> annQuery,
+      "q108_ivfpq_topk" -> annQuery)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sb = new StringBuilder
-    sb.append(f"${"query"}%-28s shuffles bhj smj nlj wsc  scans (cols, pushed)\n")
+    val offenders = scala.collection.mutable.ListBuffer[(String, Seq[String])]()
+    sb.append(f"${"query"}%-28s shuffles bhj smj nlj ubh wsc  scans (cols, pushed)\n")
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
+        val ubh = unboundedBroadcastHints(df)
+        if (ubh.nonEmpty && !broadcastAllowlist.contains(n)) offenders += n -> ubh
         // Audit the POST-AQE plan: finalPhysicalPlan materializes the
         // query stages, so the walk sees the exchanges, runtime join
         // demotions and per-stage codegen that actually ran (the AQE
@@ -54,13 +125,22 @@ object PlanAudit {
           val pushed = s.metadata.get("PushedFilters").exists(_ != "[]")
           s"${s.requiredSchema.size}c${if (pushed) "+f" else ""}"
         }
-        sb.append(f"$n%-28s $shuffles%8d $bhj%3d $smj%3d $nlj%3d $wsc%3d  ${scans.mkString(" ")}\n")
+        sb.append(f"$n%-28s $shuffles%8d $bhj%3d $smj%3d $nlj%3d ${ubh.size}%3d $wsc%3d  ${scans.mkString(" ")}\n")
       } catch { case e: Throwable => sb.append(f"$n%-28s FAILED: ${e.getMessage.take(80)}\n") }
+    }
+    offenders.foreach { case (n, hs) =>
+      sb.append(s"UNBOUNDED BROADCAST HINT in $n: ${hs.mkString("; ")}\n")
     }
     sys.env.get("GRAFT_EXPLAIN_OUT") match {
       case Some(f) => java.nio.file.Files.writeString(java.nio.file.Paths.get(f), sb.toString)
       case None => println(sb.toString)
     }
     spark.stop()
+    if (offenders.nonEmpty) {
+      System.err.println(s"plan audit FAILED: ${offenders.size} quer" +
+        s"${if (offenders.size == 1) "y carries" else "ies carry"} an unbounded " +
+        "broadcast hint (broadcast of a corpus-scaling relation)")
+      sys.exit(1)
+    }
   }
 }

@@ -258,29 +258,52 @@ object Similarity {
       .select(col("block"), col("code_id"), col("sub").as("sc_emb"))
   }
 
-  /** Trained PQ sub-codebooks: per block, squared-L2 Lloyd refinement
-    * ([[l2Assign]] — the classical PQ objective) from the id-sample
-    * init. Training reads the corpus ONCE: a bounded deterministic
-    * sample (≤256·c smallest-id vectors, ~1 MB at c=16·d=64) is
-    * materialized locally, and all m·iters Lloyd scans run over that
-    * local frame — the corpus's single full pass remains [[pqAssign]],
-    * the same cost discipline as [[trainedCodebook]]. Same output
-    * shape as [[pqCodebooks]] — drop-in for the assign/ADC passes. */
+  /** Trained PQ sub-codebooks: squared-L2 Lloyd refinement (the
+    * classical PQ objective) from the id-sample init. Training reads
+    * the corpus ONCE: a bounded deterministic sample (≤256·c
+    * smallest-id vectors, ~1 MB at c=16·d=64) is materialized locally,
+    * and the Lloyd scans run over that local frame — the corpus's
+    * single full pass remains [[pqAssign]], the same cost discipline
+    * as [[trainedCodebook]].
+    *
+    * All m blocks train JOINTLY, grouped by block: one assign job and
+    * one mean-aggregate per Lloyd iteration TOTAL, not per block —
+    * blocks never interact (the grouping key keeps them independent,
+    * so the result is identical to m separate per-block loops with the
+    * same init and (d2, code_id) tie-break), but a per-block loop
+    * costs m·iters sequential Spark jobs, which at m=32 is pure
+    * scheduling overhead. Same output shape as [[pqCodebooks]] —
+    * drop-in for the assign/ADC passes. */
   def pqCodebooksTrained(vectors: DataFrame, m: Int, c: Int, dim: Int,
                          iters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m equal blocks")
+    val spark = vectors.sparkSession
     val subDim = dim / m
     val sampleRows = vectors.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(256 * c)
-    val sample = vectors.sparkSession.createDataFrame(
+    val sample = spark.createDataFrame(
       java.util.Arrays.asList(sampleRows.collect(): _*), sampleRows.schema)
-    (0 until m).map { b =>
-      val sub = sample.select(col("vec_id"),
-        slice(col("embedding"), b * subDim + 1, subDim).as("embedding"))
-      lloyd(sub, centroids(sub, c), iters, subDim, l2Assign)
-        .select(lit(b).as("block"), col("centroid_id").as("code_id"),
-          col("c_emb").as("sc_emb"))
-    }.reduce(_ unionByName _)
+    val blocks = explodeBlocks(sample, "vec_id", "embedding", m, dim)
+    var books = pqCodebooks(sample, m, c, dim)
+    for (_ <- 0 until iters) {
+      val assigned = blocks.join(broadcast(books), Seq("block"))
+        .select(col("vec_id"), col("block"), col("sub"), col("code_id"),
+          l2sq(col("sub"), col("sc_emb")).as("d2"))
+        .groupBy(col("vec_id"), col("block"))
+        .agg(first(col("sub")).as("sub"),
+          min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"))
+      val means = assigned.groupBy(col("block"), col("code_id"))
+        .agg(array((0 until subDim).map(i =>
+          avg(col("sub").getItem(i)).cast("float")): _*).as("m_emb"))
+      val next = books.join(means, Seq("block", "code_id"), "left")
+        .select(col("block"), col("code_id"),
+          coalesce(col("m_emb"), col("sc_emb")).as("sc_emb"))
+      // materialize per iteration (m·c·subDim floats — driver-tiny);
+      // left lazy, iteration i+1 would re-execute iteration i's assign
+      books = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    books
   }
 
   /** PQ encode — the one full-data pass: every vector becomes m small
@@ -336,22 +359,31 @@ object Similarity {
     * more finely than raw-vector PQ — and the PQ sub-codebooks train
     * on residuals accordingly.
     *
-    * Query path: rank cells by cosine (ivfAssign's metric), probe
-    * `nprobe`, compute the query's OWN residual in each probed cell,
-    * build the per-(query, cell) asymmetric-distance table (nprobe·m·c
-    * rows per query — driver-tiny, broadcast), and score candidates
-    * with an equi-join on (centroid_id, block, code) + one sum
-    * aggregate. After the one encode pass the corpus embeddings are
-    * never read: at 100 TB the probe touches |corpus|·nprobe/c code
-    * rows of m bytes each. Approximate ⇒ no oracle; recall is
-    * spec-pinned, and both halves' exact passes are oracled (q52
-    * assign, q99 codes). */
+    * METRIC ALIGNMENT is the recall-critical design point: cell
+    * assignment, cell probing AND the ADC scoring all use squared L2
+    * ([[l2Assign]]'s metric, the classical IVFPQ objective) so they
+    * agree with the exact-L2 ground truth. A cosine cell probe over
+    * an L2 ground truth caps recall at the fraction of L2 neighbors
+    * that happen to live in cosine-near cells (~0.5 measured on the
+    * gate corpus, irrespective of code length) — the quantizer can't
+    * buy back what the probe already discarded.
+    *
+    * Query path: rank cells by L2, probe `nprobe`, compute the
+    * query's OWN residual in each probed cell, build the
+    * per-(query, cell) asymmetric-distance table (nprobe·m·c rows per
+    * query — driver-tiny, broadcast), and score candidates with an
+    * equi-join on (centroid_id, block, code) + one sum aggregate.
+    * After the one encode pass the corpus embeddings are never read:
+    * at 100 TB the probe touches |corpus|·nprobe/c code rows of m
+    * bytes each. Approximate ⇒ no oracle; recall is spec-pinned, and
+    * both halves' exact passes are oracled (q52 assign, q99 codes). */
   def ivfPqTopK(vectors: DataFrame, cents: DataFrame, queries: DataFrame,
-                k: Int, nprobe: Int, m: Int, c: Int, dim: Int): DataFrame = {
+                k: Int, nprobe: Int, m: Int, c: Int, dim: Int,
+                iters: Int = 1): DataFrame = {
     val subDim = dim / m
     def resid(e: Column, ce: Column): Column = zip_with(e, ce, (x, y) => x - y)
     val cbs = cents.select(col("centroid_id"), col("c_emb"))
-    val assigned = ivfAssign(vectors, cents)
+    val assigned = l2Assign(vectors, cents)
     // materialize the residuals ONCE: three consumers (the PQ training
     // sample collect, the encode pass, and the cell join) would each
     // re-run the full IVF assign otherwise — the lloyd /
@@ -362,17 +394,15 @@ object Similarity {
         resid(col("embedding"), col("c_emb")).as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = pqCodebooksTrained(
-      residDf.select(col("vec_id"), col("embedding")), m, c, dim)
+      residDf.select(col("vec_id"), col("embedding")), m, c, dim, iters)
     val codes = pqAssign(residDf.select("vec_id", "embedding"), books, m, dim)
       .join(residDf.select("vec_id", "centroid_id"), Seq("vec_id"))
-    val q = withNorm(queries, "query_id", "q_emb", "q_norm")
-    val cn = cents.select(col("centroid_id"), col("c_emb"),
-      norm(col("c_emb")).as("c_norm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = Relational.topNPerGroup(
-      q.crossJoin(broadcast(cn))
+      q.crossJoin(broadcast(cbs))
         .select(col("query_id"), col("q_emb"), col("centroid_id"), col("c_emb"),
-          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("c_sim")),
-      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+          l2sq(col("q_emb"), col("c_emb")).as("c_d2")),
+      nprobe, Seq(col("query_id")), -col("c_d2"), col("centroid_id"))
       .select(col("query_id"), col("centroid_id"),
         resid(col("q_emb"), col("c_emb")).as("q_resid"))
     val lut = probes

@@ -51,7 +51,11 @@ object CoreQueries {
   /** q02 — the flagship gold monthly-sales pipeline (silver fact build +
     * gold aggregate, silver_clean_transform.py:102-106 →
     * gold_transfrom.py:59-70): inner fact join, positivity guards,
-    * year/month derivation, broadcast dim enrich, multi-key aggregate. */
+    * year/month derivation, dim enrich, multi-key aggregate. The part
+    * join carries NO broadcast hint: part SCALES with the corpus
+    * (unlike nation/region's fixed 25/5 rows), so the planner decides —
+    * auto-broadcast at gate scale, shuffle join at 100 TB (the
+    * PlanAudit unbounded-hint rule). */
   val q02 = Q("q02_monthly_sales",
     """SELECT CAST(year(o.o_orderdate) AS INT) AS year,
       |       CAST(month(o.o_orderdate) AS INT) AS month,
@@ -69,7 +73,7 @@ object CoreQueries {
       .withColumn("year", year(col("o_orderdate")))
       .withColumn("month", month(col("o_orderdate")))
     fact.withColumnRenamed("l_partkey", "p_partkey")
-      .join(broadcast(Tables.part(s, d)), Seq("p_partkey"), "left")
+      .join(Tables.part(s, d), Seq("p_partkey"), "left")
       .groupBy(col("year"), col("month"), col("p_partkey").as("product_id"),
         col("p_name").as("product_name"), col("p_brand").as("brand"))
       .agg(
@@ -178,8 +182,10 @@ object CoreQueries {
   }
 
   /** q09 — top-3 suppliers per nation by discounted revenue: 3-way join
-    * (fact ⨝ broadcast supplier ⨝ broadcast nation) then per-group
-    * window on the aggregated set. */
+    * (fact ⨝ supplier ⨝ broadcast nation) then per-group window on the
+    * aggregated set. Only nation keeps the hint (25 rows at every SF);
+    * supplier SCALES with the corpus, so its join is left to the
+    * planner — the q02/q75 unbounded-hint rule. */
   val q09 = Q("q09_top_suppliers_per_nation",
     """SELECT * FROM (
       |  SELECT n.n_name AS nation_name, s.s_suppkey, s.s_name,
@@ -193,7 +199,7 @@ object CoreQueries {
       |  GROUP BY 1, 2, 3) WHERE rank <= 3""".stripMargin) { (s, d) =>
     val enriched = Tables.lineitem(s, d)
       .withColumnRenamed("l_suppkey", "s_suppkey")
-      .join(broadcast(Tables.supplier(s, d)), Seq("s_suppkey"), "inner")
+      .join(Tables.supplier(s, d), Seq("s_suppkey"), "inner")
       .withColumnRenamed("s_nationkey", "n_nationkey")
       .join(broadcast(Tables.nation(s, d)), Seq("n_nationkey"), "inner")
     val agg = enriched.groupBy(col("n_name").as("nation_name"), col("s_suppkey"), col("s_name"))

@@ -935,18 +935,24 @@ object ExtensionQueries {
   }
 
   /** q108 — IVF-PQ approximate top-10 (FAISS IndexIVFPQ shape): the
-    * trained √n IVF codebook partitions, PQ encodes per-cell RESIDUALS,
-    * queries probe c/4 cells with per-cell asymmetric-distance tables.
-    * Approximate ⇒ rows-only; recall vs the exact L2 scan is pinned in
-    * SimilaritySpec and the two exact halves are oracled (q52 assign,
-    * q99 codes). See [[Similarity.ivfPqTopK]] for the 100 TB story. */
+    * trained √n IVF codebook partitions, PQ encodes per-cell RESIDUALS
+    * as m=32 blocks against c=64 Lloyd-refined sub-codebooks (~8×
+    * compression; recall@10 ≥ 0.7 pinned in SimilaritySpec vs the
+    * flat-PQ 0.2 floor — on this concentration-regime corpus recall
+    * tracks quantization error, so code LENGTH is the lever), queries
+    * probe c/4 cells with per-cell asymmetric-distance tables, and
+    * assignment/probe/ADC share the squared-L2 metric (a cosine probe
+    * over the L2 ground truth caps recall at ~0.5 regardless of code
+    * length). Approximate ⇒ rows-only; the two exact halves are
+    * oracled (q52 assign, q99 codes). See [[Similarity.ivfPqTopK]]
+    * for the 100 TB story. */
   val q108 = Q.noOracle("q108_ivfpq_topk") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
     val n = vecs.count()
     val cents = Similarity.sharedCodebook(vecs, n, tag = d)
     val nprobe = math.max(2, Similarity.codebookSize(n) / 4)
     Similarity.ivfPqTopK(vecs, cents, vecs.filter(col("vec_id") < 5),
-      k = 10, nprobe = nprobe, m = 4, c = 16, dim = 64)
+      k = 10, nprobe = nprobe, m = 32, c = 64, dim = 64, iters = 2)
   }
 
   /** q109 — corpus DATASHEET ("datasheets for datasets"): one rollup

@@ -152,4 +152,32 @@ class PlanFeaturesSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("broadcast-hint audit: structural bound classifier, and no corpus-scaling hint in the dedup/vocab queries") {
+    import graft.queries.{TrainingQueries => T}
+    val docs = Tables.documents(spark, sf)
+    // bounded shapes: top-k limit, scalar aggregate, grouped agg over a limit
+    assert(PlanAudit.unboundedBroadcastHints(
+      docs.join(broadcast(docs.limit(10)), Seq("doc_id"), "left_semi")).isEmpty)
+    assert(PlanAudit.unboundedBroadcastHints(
+      docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))).isEmpty)
+    assert(PlanAudit.unboundedBroadcastHints(
+      docs.join(broadcast(docs.limit(10).groupBy("lang").count()), Seq("lang"))).isEmpty)
+    // unbounded shapes the fixed round-7 flaws had: a grouped aggregate
+    // over the corpus (q75's vocab), and a filtered corpus scan (q94's
+    // canonical set — filters don't bound plan-shape cardinality)
+    assert(PlanAudit.unboundedBroadcastHints(
+      docs.join(broadcast(docs.groupBy("lang").count()), Seq("lang"))).nonEmpty)
+    assert(PlanAudit.unboundedBroadcastHints(
+      docs.join(broadcast(docs.filter($"doc_id" < 25).select("doc_id")),
+        Seq("doc_id"), "left_anti")).nonEmpty)
+    // the queries the round-7 audit flagged now carry NO unbounded hint
+    for (q <- Seq(T.q94, T.q75, T.q107, T.q69, T.q76))
+      assert(PlanAudit.unboundedBroadcastHints(q.fn(spark, sf)).isEmpty,
+        s"${q.name} regressed to a corpus-scaling broadcast hint")
+    // q71's bench-gram broadcast is structurally unbounded (a filtered
+    // corpus scan) but domain-bounded — the documented allowlist case
+    assert(PlanAudit.unboundedBroadcastHints(T.q71.fn(spark, sf)).nonEmpty)
+    assert(PlanAudit.broadcastAllowlist.contains("q71_contamination"))
+  }
 }

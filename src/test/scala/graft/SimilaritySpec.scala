@@ -140,32 +140,35 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.sharedCodebook(vecs, n, tag = sf)
     val nprobe = math.max(2, Similarity.codebookSize(n) / 4)
     val approx = Similarity.ivfPqTopK(vecs, cents, queries, k = 10,
-      nprobe = nprobe, m = 4, c = 16, dim = 64)
+      nprobe = nprobe, m = 32, c = 64, dim = 64, iters = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"IVF-PQ recall@10 = $recall%.2f (nprobe=$nprobe, m=4, c=16)")
-    // same documented floor as the flat-PQ ADC pin: meaningfully better
-    // than chance; the probe ALSO restricts candidates to nprobe cells,
-    // which residual encoding's finer quantization compensates for
-    assert(recall >= 0.2, s"recall=$recall")
+    info(f"IVF-PQ recall@10 = $recall%.2f (nprobe=$nprobe, m=32, c=64, iters=2)")
+    // This corpus sits in the distance-concentration regime (the
+    // 10th→11th neighbor gap is ~1e-3 of the distance scale), so
+    // recall tracks quantization error almost linearly: m=32 blocks ×
+    // c=64 Lloyd-refined RESIDUAL sub-codebooks push mean qerr ~10×
+    // below the m=8 form and land ≥ 0.7 under the SAME nprobe cell
+    // restriction (whose own exact-scoring ceiling is ~0.88 here).
+    // The flat-PQ m=4/c=16 baseline pin stays at 0.2.
+    assert(recall >= 0.7, s"recall=$recall")
     // the probed-cell invariant, checked for real: every neighbor's
     // assigned cell must be among its query's nprobe nearest cells
-    // (by the same cosine metric the probe uses)
-    val cellOf = Similarity.ivfAssign(vecs, cents)
+    // (by the same squared-L2 metric assignment, probe and ADC share —
+    // the metric-alignment contract of ivfPqTopK)
+    val cellOf = Similarity.l2Assign(vecs, cents)
       .select(col("vec_id"), col("centroid_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val centRows = cents.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    def cos(x: Array[Double], y: Array[Double]): Double = {
-      val d = x.indices.iterator.map(i => x(i) * y(i)).sum
-      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
-    }
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.indices.iterator.map(i => (x(i) - y(i)) * (x(i) - y(i))).sum
     val qEmb = queries.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val probed = qEmb.map { case (qid, e) =>
-      qid -> centRows.toSeq.map { case (cid, ce) => (cos(e, ce), cid) }
-        .sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2).toSet
+      qid -> centRows.toSeq.map { case (cid, ce) => (l2(e, ce), cid) }
+        .sortBy { case (s, cid) => (s, cid) }.take(nprobe).map(_._2).toSet
     }
     for ((qid, nid) <- approx)
       assert(probed(qid).contains(cellOf(nid)),
