@@ -237,6 +237,50 @@ object Events {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
 
+  /** S4 WIRE twin — consume (topic, partition) from `fromOffset` over
+    * the actual Kafka v0 wire protocol ([[KafkaWire]]) into a
+    * DataFrame with the connector's column contract (key, value,
+    * topic, partition, offset), so the parse chain downstream is
+    * byte-for-byte the one `kafkaSource` feeds. Returns the frame and
+    * the partition high-watermark: the caller commits the watermark
+    * and passes it back as the next `fromOffset` — the offset-tracked
+    * at-least-once micro-batch loop the real source runs per trigger
+    * (startingOffsets/resume semantics; `KafkaWireSpec` drives two
+    * rounds and a broker restart through it). */
+  def kafkaWireReplayBatch(spark: org.apache.spark.sql.SparkSession,
+                           host: String, port: Int, topic: String,
+                           partition: Int = 0, fromOffset: Long = 0L): (DataFrame, Long) = {
+    import spark.implicits._
+    val (recs, hw) = KafkaWire.fetch(host, port, topic, partition, fromOffset)
+    val rows = recs.map { r =>
+      (Option(r.key).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull,
+        Option(r.value).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull,
+        topic, partition, r.offset)
+    }
+    (rows.toDF("key", "value", "topic", "partition", "offset"), hw)
+  }
+
+  /** K7 WIRE twin — foreachBatch producer: each task produces its
+    * partition's (key, value) payload rows to the loopback broker in
+    * ONE wire call (the batched-send the reference's producer config
+    * aims at with linger.ms). Input is [[toKafkaPayload]]'s (key,
+    * value) shape, so `stream → toKafkaPayload → this` is the exact
+    * egress path `kafkaSink` runs against a real cluster. Delivery is
+    * at-least-once on replay/retry, like every plain-append
+    * foreachBatch sink here (and like the wire client's documented
+    * retry-once caveat). */
+  def kafkaWireSinkBatch(host: String, port: Int, topic: String,
+                         partition: Int = 0)(batch: DataFrame, batchId: Long): Unit =
+    batch.select(col("key").cast("string"), col("value").cast("string"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val recs = rows.map { r =>
+          def b(i: Int) = if (r.isNullAt(i)) null
+            else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (b(0), b(1))
+        }.toSeq
+        if (recs.nonEmpty) { KafkaWire.produce(host, port, topic, partition, recs); () }
+      }
+
   // ------------------------------------------------------------- rerank U1
 
   /** The reference's rerank_simple (streaming_flow.py:68-84): priority

@@ -1,0 +1,423 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
+  DataOutputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+/** Kafka WIRE-protocol adapter — the Derby/RespKV treatment applied to
+  * the last external seam: the reference's event bus
+  * (`streaming_flow.py:180-185` consumes topic `user_events`;
+  * `:228-235` produces rerank payloads back). The sandbox has no
+  * broker and no kafka-clients jar, so the protocol itself is spoken
+  * here: the LEGACY v0 wire format (the original Kafka protocol —
+  * fixed request header, Produce/Fetch/Metadata, CRC32-checksummed
+  * MessageSets), verified in `KafkaWireSpec` against an in-process
+  * loopback broker the same way `RespSpec` pins RESP2.
+  *
+  * What this closes and what it doesn't: the SEMANTICS of S4/K7
+  * (offset-tracked at-least-once consumption, keyed payload
+  * production, resume-from-offset) plus an actual binary wire
+  * contract with per-message CRC integrity — i.e. everything testable
+  * without the vendor jar. The `Events.kafkaSource/kafkaSink`
+  * builders remain the one-line swap to the official connector when a
+  * real cluster exists; this module is the offline twin, not a
+  * replacement.
+  *
+  * Wire format (all big-endian; STRING = int16 len + UTF-8 bytes,
+  * BYTES = int32 len + bytes, len −1 = null, ARRAY = int32 count):
+  *
+  *   request  := size:int32, api_key:int16, api_version:int16,
+  *               correlation_id:int32, client_id:STRING, body
+  *   response := size:int32, correlation_id:int32, body
+  *
+  *   message-set := *(offset:int64, size:int32, message)
+  *   message     := crc:uint32, magic:int8(0), attrs:int8(0),
+  *                  key:BYTES, value:BYTES       — crc covers magic..value
+  *
+  *   Produce v0 (key 0):  acks:int16, timeout:int32,
+  *     [topic, [partition:int32, set_size:int32, message-set]]
+  *     → [topic, [partition:int32, error:int16, base_offset:int64]]
+  *   Fetch v0 (key 1):    replica:int32(−1), max_wait:int32, min_bytes:int32,
+  *     [topic, [partition:int32, offset:int64, max_bytes:int32]]
+  *     → [topic, [partition:int32, error:int16, high_watermark:int64,
+  *                set_size:int32, message-set]]
+  *   Metadata v0 (key 3): [topic] (empty = all)
+  *     → [broker:(id,host,port)], [err:int16, topic,
+  *        [err:int16, partition:int32, leader:int32, replicas, isr]]
+  *
+  * The broker VALIDATES every produced message's CRC (error 2,
+  * CORRUPT_MESSAGE, rejects the whole partition append — the real
+  * broker's behavior), assigns dense offsets, and serves fetches from
+  * any committed offset. The log lives OUTSIDE the server instance,
+  * so a restarted broker on the same log resumes serving committed
+  * offsets — the durability seam `KafkaWireSpec` exercises.
+  */
+object KafkaWire {
+
+  final case class Record(offset: Long, key: Array[Byte], value: Array[Byte])
+
+  object ApiKeys { val Produce = 0: Short; val Fetch = 1: Short; val Metadata = 3: Short }
+  object Errors {
+    val None = 0: Short
+    val OffsetOutOfRange = 1: Short
+    val CorruptMessage = 2: Short
+    val UnknownTopicOrPartition = 3: Short
+  }
+
+  // ------------------------------------------------------- binary helpers
+
+  private def crcOf(bytes: Array[Byte], from: Int): Long = {
+    val c = new CRC32; c.update(bytes, from, bytes.length - from); c.getValue
+  }
+
+  private[streaming] def writeString(o: DataOutputStream, s: String): Unit =
+    if (s == null) o.writeShort(-1)
+    else { val b = s.getBytes(UTF_8); o.writeShort(b.length); o.write(b) }
+
+  private[streaming] def readString(i: DataInputStream): String = {
+    val n = i.readShort()
+    if (n < 0) null
+    else { val b = new Array[Byte](n); i.readFully(b); new String(b, UTF_8) }
+  }
+
+  private def writeBytes(o: DataOutputStream, b: Array[Byte]): Unit =
+    if (b == null) o.writeInt(-1) else { o.writeInt(b.length); o.write(b) }
+
+  private def readBytes(i: DataInputStream): Array[Byte] = {
+    val n = i.readInt()
+    if (n < 0) null else { val b = new Array[Byte](n); i.readFully(b); b }
+  }
+
+  /** One v0 message WITHOUT the [offset, size] set framing. */
+  private def encodeMessage(key: Array[Byte], value: Array[Byte]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    val bo = new DataOutputStream(body)
+    bo.writeByte(0); bo.writeByte(0) // magic 0, no compression
+    writeBytes(bo, key); writeBytes(bo, value)
+    val payload = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    val oo = new DataOutputStream(out)
+    val c = new CRC32; c.update(payload)
+    oo.writeInt(c.getValue.toInt)
+    oo.write(payload)
+    out.toByteArray
+  }
+
+  private[graft] def encodeMessageSet(
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val o = new DataOutputStream(out)
+    records.foreach { case (offset, k, v) =>
+      val m = encodeMessage(k, v)
+      o.writeLong(offset); o.writeInt(m.length); o.write(m)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a message set, VERIFYING each message's CRC. Tolerates a
+    * trailing partial message (the protocol allows fetch responses cut
+    * at max_bytes; the partial is simply dropped). */
+  private[graft] def decodeMessageSet(bytes: Array[Byte]): Seq[Record] = {
+    val recs = ArrayBuffer[Record]()
+    val i = new DataInputStream(new ByteArrayInputStream(bytes))
+    var remaining = bytes.length
+    var done = false
+    while (!done && remaining >= 12) {
+      val offset = i.readLong()
+      val size = i.readInt()
+      if (size < 0 || size > remaining - 12) done = true // trailing partial
+      else {
+        val m = new Array[Byte](size); i.readFully(m)
+        remaining -= 12 + size
+        val mi = new DataInputStream(new ByteArrayInputStream(m))
+        val crc = mi.readInt() & 0xffffffffL
+        if (crc != crcOf(m, 4))
+          throw new IOException(s"kafka-wire: CRC mismatch at offset $offset")
+        mi.readByte(); mi.readByte() // magic, attributes
+        recs += Record(offset, readBytes(mi), readBytes(mi))
+      }
+    }
+    recs.toSeq
+  }
+
+  // ------------------------------------------------------------------ log
+
+  /** The broker's partition logs — a plain in-memory append log with
+    * dense offsets. Held OUTSIDE the Server so a broker restart on the
+    * same Log resumes exactly (the spec's kill/restart seam). */
+  final class Log {
+    private val parts = TrieMap[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]()
+    private def part(t: String, p: Int) =
+      parts.getOrElseUpdate((t, p), ArrayBuffer())
+
+    /** Append; returns the BASE offset of the appended batch. */
+    def append(t: String, p: Int, recs: Seq[(Array[Byte], Array[Byte])]): Long = {
+      val log = part(t, p)
+      log.synchronized { val base = log.length.toLong; log ++= recs; base }
+    }
+    def read(t: String, p: Int, from: Long, maxCount: Int): Seq[(Long, Array[Byte], Array[Byte])] = {
+      val log = part(t, p)
+      log.synchronized {
+        log.iterator.zipWithIndex.drop(from.toInt).take(maxCount)
+          .map { case ((k, v), ix) => (ix.toLong, k, v) }.toSeq
+      }
+    }
+    def highWatermark(t: String, p: Int): Long = {
+      val log = part(t, p); log.synchronized(log.length.toLong)
+    }
+    def topics: Seq[(String, Int)] = parts.keySet.toSeq.sorted
+  }
+
+  // --------------------------------------------------------------- server
+
+  /** In-process loopback broker: one accept thread, one thread per
+    * connection, serving Produce/Fetch/Metadata v0 over `log`. */
+  final class Server(val log: Log, port0: Int = 0) {
+    private val server = new ServerSocket()
+    server.setReuseAddress(true) // restart on the same port (the spec's seam)
+    server.bind(new InetSocketAddress("127.0.0.1", port0))
+    def port: Int = server.getLocalPort
+    @volatile private var running = true
+
+    private val acceptor = new Thread(() => {
+      while (running)
+        try {
+          val s = server.accept()
+          val t = new Thread(() => serve(s))
+          t.setDaemon(true); t.start()
+        } catch { case _: IOException => () } // closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    def close(): Unit = { running = false; try server.close() catch { case _: IOException => () } }
+
+    private def serve(s: Socket): Unit =
+      try {
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        while (running) {
+          val size = in.readInt()
+          val req = new Array[Byte](size); in.readFully(req)
+          val ri = new DataInputStream(new ByteArrayInputStream(req))
+          val apiKey = ri.readShort(); val apiVersion = ri.readShort()
+          val correlationId = ri.readInt(); readString(ri) // client_id
+          if (apiVersion != 0)
+            throw new IOException(s"kafka-wire broker speaks v0 only, got v$apiVersion")
+          val body = apiKey match {
+            case ApiKeys.Produce => handleProduce(ri)
+            case ApiKeys.Fetch => handleFetch(ri)
+            case ApiKeys.Metadata => handleMetadata(ri)
+            case k => throw new IOException(s"kafka-wire: unsupported api_key $k")
+          }
+          val resp = new ByteArrayOutputStream()
+          val ro = new DataOutputStream(resp)
+          ro.writeInt(4 + body.length); ro.writeInt(correlationId); ro.write(body)
+          out.write(resp.toByteArray); out.flush()
+        }
+      } catch { case _: IOException => () } // connection closed
+      finally { try s.close() catch { case _: IOException => () } }
+
+    private def handleProduce(ri: DataInputStream): Array[Byte] = {
+      ri.readShort(); ri.readInt() // acks, timeout — loopback always acks all
+      val nTopics = ri.readInt()
+      val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+      o.writeInt(nTopics)
+      for (_ <- 0 until nTopics) {
+        val topic = readString(ri)
+        val nParts = ri.readInt()
+        writeString(o, topic); o.writeInt(nParts)
+        for (_ <- 0 until nParts) {
+          val p = ri.readInt()
+          val set = readBytes(ri)
+          val (err, base) =
+            try {
+              val recs = decodeMessageSet(set) // CRC-verifies every message
+              (Errors.None, log.append(topic, p, recs.map(r => (r.key, r.value))))
+            } catch { case _: IOException => (Errors.CorruptMessage, -1L) }
+          o.writeInt(p); o.writeShort(err); o.writeLong(base)
+        }
+      }
+      out.toByteArray
+    }
+
+    private def handleFetch(ri: DataInputStream): Array[Byte] = {
+      ri.readInt(); ri.readInt(); ri.readInt() // replica, max_wait, min_bytes
+      val nTopics = ri.readInt()
+      val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+      o.writeInt(nTopics)
+      for (_ <- 0 until nTopics) {
+        val topic = readString(ri)
+        val nParts = ri.readInt()
+        writeString(o, topic); o.writeInt(nParts)
+        for (_ <- 0 until nParts) {
+          val p = ri.readInt(); val from = ri.readLong(); val maxBytes = ri.readInt()
+          val hw = log.highWatermark(topic, p)
+          o.writeInt(p)
+          if (from > hw) { // == hw is a legal empty fetch at the head
+            o.writeShort(Errors.OffsetOutOfRange); o.writeLong(hw); o.writeInt(0)
+          } else {
+            // bound the batch by maxBytes AFTER encoding — the v0
+            // contract allows a short (even partially cut) set
+            val recs = log.read(topic, p, from, maxCount = Int.MaxValue)
+            val encoded = encodeMessageSet(recs)
+            val cut = math.min(encoded.length, math.max(0, maxBytes))
+            o.writeShort(Errors.None); o.writeLong(hw)
+            o.writeInt(cut); o.write(encoded, 0, cut)
+          }
+        }
+      }
+      out.toByteArray
+    }
+
+    private def handleMetadata(ri: DataInputStream): Array[Byte] = {
+      val n = ri.readInt()
+      val asked = (0 until n).map(_ => readString(ri))
+      val known = log.topics
+      val names =
+        if (asked.isEmpty) known.map(_._1).distinct
+        else asked
+      val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+      o.writeInt(1) // brokers
+      o.writeInt(0); writeString(o, "127.0.0.1"); o.writeInt(port)
+      o.writeInt(names.size)
+      names.foreach { t =>
+        val parts = known.collect { case (`t`, p) => p }
+        o.writeShort(if (parts.nonEmpty) Errors.None else Errors.UnknownTopicOrPartition)
+        writeString(o, t)
+        o.writeInt(parts.size)
+        parts.foreach { p =>
+          o.writeShort(Errors.None); o.writeInt(p); o.writeInt(0) // leader = broker 0
+          o.writeInt(1); o.writeInt(0) // replicas [0]
+          o.writeInt(1); o.writeInt(0) // isr [0]
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  // --------------------------------------------------------------- client
+
+  /** JVM-scoped connection pool, one socket per (host, port) shared by
+    * every task — the RespKV connection model, including the
+    * evict-and-retry-once recovery: a broker restart costs one failed
+    * call, and the retry of a PRODUCE is at-least-once (the same
+    * caveat RespKV.withConn documents — a replayed batch re-appends). */
+  private val conns = new java.util.concurrent.ConcurrentHashMap[(String, Int), Conn]()
+
+  private def connection(host: String, port: Int): Conn =
+    conns.computeIfAbsent((host, port), { case (h, p) => new Conn(h, p) })
+
+  private def evict(host: String, port: Int): Unit =
+    Option(conns.remove((host, port))).foreach(_.closeQuietly())
+
+  private def withConn[A](host: String, port: Int)(f: Conn => A): A = {
+    def run(): A = { val c = connection(host, port); c.synchronized(f(c)) }
+    try run()
+    catch {
+      case _: IOException =>
+        evict(host, port)
+        try run()
+        catch { case e2: IOException => evict(host, port); throw e2 }
+    }
+  }
+
+  private[streaming] final class Conn(host: String, port: Int) {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), 10000)
+    socket.setSoTimeout(30000)
+    socket.setTcpNoDelay(true)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    private val in = new DataInputStream(socket.getInputStream)
+    private var correlation = 0
+
+    def closeQuietly(): Unit = try socket.close() catch { case _: IOException => () }
+
+    def call(apiKey: Short, body: Array[Byte]): DataInputStream = {
+      correlation += 1
+      val req = new ByteArrayOutputStream(); val o = new DataOutputStream(req)
+      o.writeShort(apiKey); o.writeShort(0); o.writeInt(correlation)
+      writeString(o, "graft")
+      o.write(body)
+      val framed = req.toByteArray
+      out.writeInt(framed.length); out.write(framed); out.flush()
+      val size = in.readInt()
+      val resp = new Array[Byte](size); in.readFully(resp)
+      val ri = new DataInputStream(new ByteArrayInputStream(resp))
+      val cid = ri.readInt()
+      if (cid != correlation)
+        throw new IOException(s"kafka-wire: correlation $cid != $correlation (desync)")
+      ri
+    }
+  }
+
+  /** Produce `records` to (topic, partition); returns the base offset
+    * the broker assigned. Throws on any broker error code. */
+  def produce(host: String, port: Int, topic: String, partition: Int,
+              records: Seq[(Array[Byte], Array[Byte])]): Long =
+    withConn(host, port) { conn =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      o.writeShort(-1); o.writeInt(10000) // acks=all, timeout
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(1); o.writeInt(partition)
+      val set = encodeMessageSet(records.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) })
+      o.writeInt(set.length); o.write(set)
+      val ri = conn.call(ApiKeys.Produce, body.toByteArray)
+      ri.readInt(); readString(ri); ri.readInt(); ri.readInt() // 1 topic, name, 1 part, part id
+      val err = ri.readShort(); val base = ri.readLong()
+      if (err != Errors.None) throw new IOException(s"kafka-wire produce error $err")
+      base
+    }
+
+  /** Fetch from (topic, partition) starting at `offset`; returns the
+    * CRC-verified records plus the partition high-watermark (so the
+    * caller can tell "caught up" from "more to read" — the offset-
+    * tracking loop every consumer runs). */
+  def fetch(host: String, port: Int, topic: String, partition: Int,
+            offset: Long, maxBytes: Int = 1 << 22): (Seq[Record], Long) =
+    withConn(host, port) { conn =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      o.writeInt(-1); o.writeInt(0); o.writeInt(0)
+      o.writeInt(1); writeString(o, topic)
+      o.writeInt(1); o.writeInt(partition); o.writeLong(offset); o.writeInt(maxBytes)
+      val ri = conn.call(ApiKeys.Fetch, body.toByteArray)
+      ri.readInt(); readString(ri); ri.readInt(); ri.readInt()
+      val err = ri.readShort(); val hw = ri.readLong()
+      val set = { val n = ri.readInt(); val b = new Array[Byte](n); ri.readFully(b); b }
+      if (err == Errors.OffsetOutOfRange)
+        throw new IOException(s"kafka-wire fetch offset $offset out of range (hw $hw)")
+      if (err != Errors.None) throw new IOException(s"kafka-wire fetch error $err")
+      (decodeMessageSet(set), hw)
+    }
+
+  /** Topic → partition ids, from the broker's Metadata v0 answer. */
+  def metadata(host: String, port: Int, topics: Seq[String] = Nil): Map[String, Seq[Int]] =
+    withConn(host, port) { conn =>
+      val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      o.writeInt(topics.size); topics.foreach(writeString(o, _))
+      val ri = conn.call(ApiKeys.Metadata, body.toByteArray)
+      val nBrokers = ri.readInt()
+      for (_ <- 0 until nBrokers) { ri.readInt(); readString(ri); ri.readInt() }
+      val nTopics = ri.readInt()
+      (0 until nTopics).map { _ =>
+        ri.readShort()
+        val name = readString(ri)
+        val nParts = ri.readInt()
+        val parts = (0 until nParts).map { _ =>
+          ri.readShort(); val p = ri.readInt(); ri.readInt()
+          val nr = ri.readInt(); for (_ <- 0 until nr) ri.readInt()
+          val ni = ri.readInt(); for (_ <- 0 until ni) ri.readInt()
+          p
+        }
+        name -> parts
+      }.toMap
+    }
+
+  /** Drop the pooled connection (test hook for the restart seam). */
+  private[graft] def resetPool(): Unit = {
+    conns.values().forEach(_.closeQuietly()); conns.clear()
+  }
+}
