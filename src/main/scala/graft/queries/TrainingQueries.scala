@@ -398,10 +398,12 @@ object TrainingQueries {
     * real corpus the kept/canonical side is 50–90 % of all documents
     * (billions of rows at 100 TB — never broadcastable), while the
     * duplicate side is only the docs the dedup actually removes —
-    * the small side by construction, so that is the side that gets
-    * the broadcast hint. keep = NOT duplicate ≡ keep = canonical,
-    * so the oracle (the q68 recursive-CTE fixpoint filtered to
-    * label == id) is unchanged. */
+    * usually the small side, but its size is a DATA property, not a
+    * plan-shape bound (a pathological corpus could be 99 % dups), so
+    * it carries NO broadcast hint: AQE sees the built side's actual
+    * size at runtime and picks broadcast vs shuffle accordingly.
+    * keep = NOT duplicate ≡ keep = canonical, so the oracle (the q68
+    * recursive-CTE fixpoint filtered to label == id) is unchanged. */
   val q94 = Q("q94_dedup_apply",
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -435,7 +437,7 @@ object TrainingQueries {
       .connectedComponents(edges, docs.select(col("doc_id")))
       .filter(col("v") =!= col("component"))
       .select(col("v").as("doc_id"))
-    docs.join(broadcast(duplicates), Seq("doc_id"), "left_anti")
+    docs.join(duplicates, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
