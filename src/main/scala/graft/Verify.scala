@@ -8,7 +8,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=<regex>: dump only matching queries (local
+    // iteration on one operator — same contract as Bench's _ONLY knob).
+    // The driver never sets it, so the per-round dump is always complete.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

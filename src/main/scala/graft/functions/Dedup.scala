@@ -559,4 +559,64 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** MAXIMAL duplicated token spans between document pairs — the
+    * gaps-and-islands sibling of [[duplicateSpanPairs]]. Winnowing
+    * (q89) answers "which pairs share SOME span"; this answers "WHERE
+    * are the spans and HOW LONG" — the Lee et al. 2022 exact-substring
+    * view a span-stripping pipeline needs before it can cut the bytes.
+    *
+    * Shape: positional `n`-token grams (one row per (doc, pos), linear
+    * in corpus tokens), a df-cap [2, maxDf] that both drops
+    * corpus-wide boilerplate grams and bounds the self-join fan-out
+    * (≤ maxDf·(maxDf−1)/2 matches per gram, so matches stay LINEAR in
+    * gram rows — never O(n²) in docs), then pure integer
+    * gaps-and-islands: a match (a, b, pa, pb) lies on diagonal
+    * d = pa − pb, and consecutive positions on one diagonal are one
+    * duplicated run — `pa − row_number()` is constant exactly on such
+    * a run. A run of c consecutive matching grams is a shared span of
+    * c + n − 1 tokens. Every stage is a keyed shuffle (gram, then
+    * (a,b,diag)); the islands window partitions by PAIR+diagonal, so
+    * no partition exceeds one document's positions — no global sort
+    * anywhere.
+    *
+    * Maximality caveat (mirrored by the oracle, deterministic in both
+    * engines): a hot gram INSIDE a long shared span whose df exceeds
+    * `maxDf` splits that island in two — the price of the fan-out
+    * bound. Docs shorter than `n` tokens emit no grams.
+    *
+    * Output: (a, b, start_a, start_b, span_tokens), 1-based starts,
+    * span_tokens ≥ `minSpanTokens`. */
+  def maximalDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, maxDf: Long = 100L,
+                            minSpanTokens: Int = 8): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => struct(i.cast(LongType).as("pos"),
+        concat_ws(" ", slice(toks, i, lit(n))).as("gram")))
+    val pg = df.filter(size(Text.tokens(col(textCol))) >= n)
+      .select(col(idCol), explode(grams).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = pg.join(
+      pg.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        .filter(col("gram_df").between(2, maxDf))
+        .select("gram"),
+      Seq("gram"), "left_semi")
+    val matches = kept.select(col(idCol).as("a"), col("pos").as("pa"), col("gram"))
+      .join(kept.select(col(idCol).as("b"), col("pos").as("pb"), col("gram")),
+        Seq("gram"), "inner")
+      .filter(col("a") < col("b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a", "b", "diag").orderBy("pa")
+    matches
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "diag", "isl")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("a", "b", "start_a", "start_b", "span_tokens")
+  }
 }

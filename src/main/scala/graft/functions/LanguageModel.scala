@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-trained character n-gram language model scoring — the
+  * CCNet-style quality signal: documents whose character statistics are
+  * improbable under a model trained on the corpus itself (mojibake,
+  * encoding damage, key-mash spam) score poorly and can be bucketed or
+  * cut. The reference has no LM; this extends the quality-filter family
+  * (q31/q90) with the one signal those rule batteries can't express —
+  * likelihood under the corpus distribution.
+  *
+  * Model: add-one-smoothed trigram conditionals
+  * P(c₃ | c₁c₂) = (count₃(c₁c₂c₃) + 1) / (count₂(c₁c₂) + V), where
+  * count₂ counts the bigram AS A TRIGRAM PREFIX (so numerators sum to
+  * the denominator over the vocabulary, the textbook identity) and V is
+  * the distinct-trigram vocabulary size.
+  *
+  * Two scoring forms:
+  *  - [[fixedPointScores]] — ORACLE-EXACT: each occurrence scores the
+  *    fixed-point integer (scale·(c₃+1)) div (c₂+V); per-doc sum and
+  *    mean stay integers end-to-end, so DuckDB (`//`) reproduces every
+  *    value bit-for-bit. No logs: transcendentals differ by 1 ulp
+  *    between libm builds (the q41/BM25 rule), and integer mean-of-
+  *    probability ranks docs for bucketing just as a mean-log would at
+  *    gate tolerances. `scale`=10⁶ keeps (c₃+1)·scale inside Long for
+  *    any trigram occurring ≤ ~9.2·10¹² times — a single trigram would
+  *    need a ~10 PB monoculture corpus to overflow; raise awareness,
+  *    not the scale.
+  *  - [[bitsPerChar]] — the PRODUCTION form: mean −log₂P per
+  *    occurrence (bits per char, the familiar LM unit). Double log
+  *    summation is order-sensitive under a grouped aggregate, so this
+  *    form is spec-pinned against a driver-computed reference with an
+  *    ε-tolerance instead of hash-oracled.
+  *
+  * Scale shape: one per-char explode (linear in corpus bytes), two
+  * grouped integer counts (trigram, prefix — both |vocab|-sized), a
+  * scalar V, then two keyed equi-joins back to occurrences and one
+  * per-doc aggregate. The count tables are NOT broadcast-hinted — a
+  * character-trigram vocab is small, but the same code serves token
+  * n-grams where it is not (the q75 lesson); AQE broadcasts when the
+  * built side is actually small. Docs shorter than 3 chars have no
+  * occurrences: n_pos = 0, null score.
+  */
+object LanguageModel {
+
+  /** (doc_id from `idCol`, g3, g2) — one row per trigram occurrence,
+    * with the bigram-prefix context. */
+  private def occurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = trim(col(textCol))
+    // docs shorter than 3 chars are filtered BEFORE the sequence:
+    // Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty
+    val g3s = transform(sequence(lit(1), length(text) - 2),
+      i => text.substr(i, lit(3)))
+    df.filter(length(text) >= 3)
+      .select(col(idCol), explode(g3s).as("g3"))
+      .select(col(idCol), col("g3"), col("g3").substr(1, 2).as("g2"))
+  }
+
+  private def counts(occ: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    occ.groupBy("g3").agg(count(lit(1)).as("c3")),
+    occ.groupBy("g2").agg(count(lit(1)).as("c2")),
+    occ.agg(countDistinct(col("g3")).as("v")))
+
+  /** Oracle-exact fixed-point scoring: (doc_id, n_pos, avg_p_fp) where
+    * avg_p_fp = (Σ_occ (scale·(c3+1)) div (c2+V)) div n_pos — all
+    * integer. Higher = more probable under the corpus model. */
+  def fixedPointScores(df: DataFrame, idCol: String, textCol: String,
+                       scale: Long = 1000000L): DataFrame = {
+    val occ = occurrences(df, idCol, textCol)
+    val (c3, c2, v) = counts(occ)
+    val scored = occ
+      .join(c3, Seq("g3"))
+      .join(c2, Seq("g2"))
+      .crossJoin(v)
+      .select(col(idCol), expr(s"($scale * (c3 + 1)) div (c2 + v)").as("p_fp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pos"), sum(col("p_fp")).as("sum_p_fp"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        // null for 0-occurrence docs (sum_p_fp is already null there;
+        // the explicit guard keeps the oracle's `//` off a zero divisor)
+        when(col("n_pos").isNotNull, expr("sum_p_fp div n_pos")).as("avg_p_fp"))
+  }
+
+  /** Production scoring: (doc_id, n_pos, bits_per_char) — mean −log₂P
+    * over the doc's trigram occurrences. Spec-pinned, not oracled (see
+    * the object note on double summation). */
+  def bitsPerChar(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = occurrences(df, idCol, textCol)
+    val (c3, c2, v) = counts(occ)
+    val scored = occ
+      .join(c3, Seq("g3"))
+      .join(c2, Seq("g2"))
+      .crossJoin(v)
+      .select(col(idCol),
+        (lit(0.0) - log2((col("c3") + 1).cast(DoubleType) /
+          (col("c2") + col("v")).cast(DoubleType))).as("bits"))
+    df.select(col(idCol))
+      .join(scored.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_pos"), sum(col("bits")).as("sum_bits")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        (col("sum_bits") / col("n_pos")).as("bits_per_char"))
+  }
+}

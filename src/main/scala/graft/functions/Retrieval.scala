@@ -56,4 +56,45 @@ object Retrieval {
     perDoc.crossJoin(broadcast(stats))
       .select(col(idCol), terms.map(termScore).reduce(_ + _).as("score"))
   }
+
+  /** IMPACT-ORDERED inverted index: one row per distinct token with its
+    * full document frequency and the top-`topK` postings by term
+    * frequency — the static-pruning index shape (Anh & Moffat) that
+    * keeps every posting row BOUNDED regardless of corpus size, where
+    * a full posting list for a stopword would be O(corpus docs) in one
+    * cell.
+    *
+    * Shape: one token explode → integer (token, doc) tf aggregate →
+    * per-token row_number window (tf desc, doc_id tiebreak) → one
+    * grouped aggregate that counts df over ALL postings while folding
+    * only rank ≤ topK into the postings cell (collect_list skips the
+    * nulls the `when` leaves for pruned rows). The window partitions
+    * by token, so the sort is distributed across the vocabulary; a
+    * stopword key is the skew ceiling — its partition is O(its df) —
+    * which a production variant caps the same way q54 salts joins:
+    * pre-aggregate a per-salt partial top-k, then re-rank the
+    * topK·salts survivors (shape documented, not needed at gate
+    * scale). Postings serialize as "doc:tf,…" — list-valued cells
+    * don't sort/hash portably in the compare harness (the q44 rule).
+    *
+    * Output: (token, df, postings), postings ordered tf desc then
+    * doc_id asc. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 16): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= topK,
+              struct((-col("tf")).as("neg_tf"), col("doc_id").as("doc_id"))))),
+            s => concat_ws(":", s.getField("doc_id"), -s.getField("neg_tf"))),
+          ",").as("postings"))
+  }
 }

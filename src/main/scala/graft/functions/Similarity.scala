@@ -220,6 +220,42 @@ object Similarity {
       col("cos_sim"), col("neighbor_id"))
   }
 
+  /** ANN for a LARGE query set — the join-based batch scorer that
+    * [[ivfTopK]]'s contract explicitly is NOT ("the query side MUST be
+    * small"): here EVERY vector is a query (all-corpus k-NN — the
+    * SemDeDup / near-dup-graph workload), so the probe table is
+    * corpus-sized and must never be broadcast. Probes meet inverted
+    * lists through a plain SHUFFLE equi-join on centroid_id — no hint;
+    * both sides hash-partition by cell, and each cell's work is
+    * |cell|·(queries probing it), bounded by the √n codebook. The only
+    * broadcast is the codebook itself (c·d floats, limit-bounded —
+    * ~16 MB at c=√10⁹). Per-query top-k is a window partitioned by
+    * query — distributed across queries, never global.
+    *
+    * Same metric/tie-break discipline as [[ivfTopK]] (cosine desc,
+    * neighbor_id asc; deterministic id-sample codebooks reproduce in
+    * SQL), so with the same codebook the two agree exactly on any
+    * query in both — spec-pinned. Output: (query_id, neighbor_id,
+    * cos_sim, rank ≤ k). */
+  def ivfBatchTopK(vectors: DataFrame, cents: DataFrame,
+                   k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, cents)
+    val c = cents.select(col("centroid_id"), col("c_emb"), norm(col("c_emb")).as("c_norm"))
+    val q = withNorm(vectors, "query_id", "q_emb", "q_norm")
+    val probes = Relational.topNPerGroup(
+      q.crossJoin(broadcast(c))
+        .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"),
+          (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("c_sim")),
+      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
+    val scored = assigned.join(probes, Seq("centroid_id"), "inner")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("v_norm"))).as("cos_sim"))
+    Relational.topNPerGroup(scored, k, Seq(col("query_id")),
+      col("cos_sim"), col("neighbor_id"))
+  }
+
   // ------------- Product quantization (IVF-PQ's compression half) -------
 
   /** Squared L2 distance of two float-array columns — double precision,

@@ -242,4 +242,37 @@ object Text {
                   tokenHash: Column => Column = t => crc32(t.cast(BinaryType))): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + tokenHash(t), lit(1L << 40)))
+
+  /** Sliding-window CHUNKING — the retrieval/context-window prep step:
+    * each document becomes ⌈max(n−C,0)/S⌉+1 overlapping chunks of up
+    * to `chunkTokens` (C) tokens starting every `stride` (S) tokens,
+    * so consecutive chunks share C−S tokens of context and every token
+    * is covered (the last chunk truncates at the end of the doc; a doc
+    * of ≤ C tokens is exactly one chunk).
+    *
+    * Pure per-row expression work — one `transform` over an integer
+    * `sequence` then one explode, zero shuffle, scan-speed at 100 TB;
+    * output size is corpus tokens × C/S. All arithmetic is integer
+    * (the chunk count uses `div`), so the oracle reproduces every
+    * boundary exactly.
+    *
+    * Output: (doc_id from `idCol`, chunk_id 0-based, start_tok 1-based,
+    * n_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("x", greatest(size(col("t")) - chunkTokens, lit(0)))
+      .withColumn("extra", expr(s"(x + ${stride - 1}) div $stride"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0L), col("extra").cast(LongType))).as("chunk_id"))
+      .withColumn("c",
+        slice(col("t"), (col("chunk_id") * stride + 1).cast(IntegerType),
+          lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_tok"),
+        size(col("c")).cast(LongType).as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+  }
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, LanguageModel, Retrieval, Similarity, Text}
+
+/** Round-8 corpus-operator batch: maximal duplicate-span extraction,
+  * impact-ordered inverted indexing, sliding-window chunking, a
+  * corpus-trained character-LM quality signal, and the join-based
+  * batch ANN scorer for corpus-sized query sets. Everything exact is
+  * oracle-gated; the two double-valued production forms (LM bits, ANN)
+  * are spec-pinned.
+  */
+object CorpusQueries {
+  import ExtensionQueries.{dotSql, ivfAssignCteSql}
+
+  /** q110 — MAXIMAL duplicated token spans per doc pair (where q89's
+    * winnowing only says "a span exists"): positional 5-gram matches
+    * merged along diagonals by gaps-and-islands — see
+    * [[graft.functions.Dedup.maximalDuplicateSpans]] for the scale
+    * shape (df-capped gram join, pair+diagonal-partitioned window —
+    * never O(n²), no global sort). */
+  val q110 = Q("q110_max_dup_spans",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
+      |      FROM toks WHERE len(t) >= 5),
+      |pg AS (SELECT doc_id, pos,
+      |              t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+      |              t[pos+3] || ' ' || t[pos+4] AS gram
+      |       FROM p),
+      |keptg AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+      |kept AS (SELECT pg.doc_id, pg.pos, pg.gram FROM pg JOIN keptg USING (gram)),
+      |m AS (SELECT ka.doc_id AS a, kb.doc_id AS b, ka.pos AS pa, kb.pos AS pb
+      |      FROM kept ka JOIN kept kb
+      |        ON ka.gram = kb.gram AND ka.doc_id < kb.doc_id),
+      |i AS (SELECT a, b, pa, pb, pa - pb AS diag,
+      |             pa - row_number() OVER (PARTITION BY a, b, pa - pb
+      |                                     ORDER BY pa) AS isl
+      |      FROM m)
+      |SELECT a, b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+      |       COUNT(*) + 4 AS span_tokens
+      |FROM i GROUP BY a, b, diag, isl
+      |HAVING COUNT(*) + 4 >= 8""".stripMargin) { (s, d) =>
+    Dedup.maximalDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 5, maxDf = 100L, minSpanTokens = 8)
+  }
+
+  /** q111 — impact-ordered inverted index: full df per token, top-16
+    * postings by tf. Postings serialize as "doc:tf,…" (the q44
+    * list-cell rule). See
+    * [[graft.functions.Retrieval.invertedIndex]]. */
+  val q111 = Q("q111_inverted_index",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |r AS (SELECT token, doc_id, tf,
+      |             row_number() OVER (PARTITION BY token
+      |                                ORDER BY tf DESC, doc_id) AS rn
+      |      FROM tf)
+      |SELECT token, COUNT(*) AS df,
+      |       array_to_string(list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
+      |                         FILTER (WHERE rn <= 16), ',') AS postings
+      |FROM r GROUP BY token""".stripMargin) { (s, d) =>
+    Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text", topK = 16)
+  }
+
+  /** q112 — sliding-window chunking (64-token chunks, stride 48):
+    * scan-speed per-row expression work, integer boundaries — see
+    * [[graft.functions.Text.chunkWindows]]. */
+  val q112 = Q("q112_chunk_windows",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |d AS (SELECT doc_id, t, greatest(len(t) - 64, 0) AS x FROM toks),
+      |c AS (SELECT doc_id, t, unnest(range(0, (x + 47) // 48 + 1)) AS chunk_id FROM d)
+      |SELECT doc_id, chunk_id,
+      |       1 + chunk_id * 48 AS start_tok,
+      |       len(t[1 + chunk_id*48 : chunk_id*48 + 64]) AS n_tokens,
+      |       array_to_string(t[1 + chunk_id*48 : chunk_id*48 + 64], ' ') AS chunk_text
+      |FROM c""".stripMargin) { (s, d) =>
+    Text.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+      chunkTokens = 64, stride = 48)
+  }
+
+  /** q113 — corpus-trained char-trigram LM score, ORACLE-EXACT
+    * fixed-point form (add-one smoothing, integer `div` end-to-end) —
+    * see [[graft.functions.LanguageModel]] for the no-transcendentals
+    * rationale. Higher avg_p_fp = more probable under the corpus
+    * model. */
+  val q113 = Q("q113_charlm",
+    """WITH occ AS (
+      |  SELECT doc_id, g3, substr(g3, 1, 2) AS g2 FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, length(trim(text)) - 1),
+      |                                 i -> substr(trim(text), CAST(i AS INT), 3))) AS g3
+      |    FROM documents WHERE length(trim(text)) >= 3)),
+      |c3 AS (SELECT g3, COUNT(*) AS c3 FROM occ GROUP BY 1),
+      |c2 AS (SELECT g2, COUNT(*) AS c2 FROM occ GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT g3) AS v FROM occ),
+      |sc AS (SELECT occ.doc_id, (1000000 * (c3.c3 + 1)) // (c2.c2 + vv.v) AS p_fp
+      |       FROM occ JOIN c3 USING (g3) JOIN c2 USING (g2) CROSS JOIN vv),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_pos, SUM(p_fp) AS sum_p_fp FROM sc GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(pd.n_pos, 0) AS n_pos,
+      |       CAST(CASE WHEN pd.n_pos IS NULL THEN NULL
+      |                 ELSE pd.sum_p_fp // pd.n_pos END AS BIGINT) AS avg_p_fp
+      |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+    LanguageModel.fixedPointScores(Tables.documents(s, d), "doc_id", "text",
+      scale = 1000000L)
+  }
+
+  /** q113_prod — the production bits-per-char form (mean −log₂P):
+    * double log summation is grouped-aggregate order-sensitive, so no
+    * hash oracle; CorpusOpsSpec pins it against a driver-computed
+    * reference with ε-tolerance, and Bench times THIS form (the
+    * oracle twin is skipped by the `_prod` rule). */
+  val q113p = Q.noOracle("q113_charlm_prod") { (s, d) =>
+    LanguageModel.bitsPerChar(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** q114 — join-based batch ANN: EVERY vector is a query (all-corpus
+    * k-NN), candidates met through a shuffle equi-join on IVF cell —
+    * the corpus-sized-query-set operator the q23/q24 broadcast
+    * allowlist note names. Deterministic id-sample codebook ⇒ fully
+    * oracled (probe set, candidate set, cosines, ranks all reproduce
+    * in SQL). See [[graft.functions.Similarity.ivfBatchTopK]]. */
+  val q114 = Q("q114_ann_batch_join",
+    s"""$ivfAssignCteSql,
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS pr
+       |    FROM scored)
+       |  WHERE pr <= 4),
+       |av AS (
+       |  SELECT a.vec_id, a.centroid_id, v.e, sqrt(${dotSql("v.e", "v.e")}) AS nrm
+       |  FROM assigned a JOIN v ON v.vec_id = a.vec_id),
+       |cand AS (
+       |  SELECT p.query_id, av.vec_id AS neighbor_id,
+       |         ${dotSql("qv.e", "av.e")} / (qv.nrm * av.nrm) AS cos_sim
+       |  FROM probes p
+       |  JOIN av ON av.centroid_id = p.centroid_id
+       |  JOIN av qv ON qv.vec_id = p.query_id
+       |  WHERE av.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val c = Similarity.codebookSize(vecs.count())
+    Similarity.ivfBatchTopK(vecs, Similarity.centroids(vecs, c), k = 10, nprobe = 4)
+  }
+
+  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114)
+}

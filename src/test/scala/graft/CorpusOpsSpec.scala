@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, LanguageModel, Retrieval, Similarity, Text}
+
+/** Round-8 corpus operators: maximal duplicate spans, inverted index,
+  * chunking, char-trigram LM, and the join-based batch ANN scorer. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---------------------------------------------- maximalDuplicateSpans
+
+  test("max dup spans: one shared run merges to one maximal span with exact bounds") {
+    // docs share tokens s1..s10 (10 tokens) at positions 6..15 in A and
+    // 3..12 in B; all other tokens are unique → one island on one diagonal
+    val a = (1 to 5).map(i => s"ua$i") ++ (1 to 10).map(i => s"s$i") ++ (1 to 5).map(i => s"va$i")
+    val b = (1 to 2).map(i => s"ub$i") ++ (1 to 10).map(i => s"s$i") ++ (1 to 6).map(i => s"vb$i")
+    val out = Dedup.maximalDuplicateSpans(
+      docs(1L -> a.mkString(" "), 2L -> b.mkString(" ")),
+      "doc_id", "text", n = 5, maxDf = 100L, minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 6L, 3L, 10L)))
+  }
+
+  test("max dup spans: disjoint shared runs stay separate; short spans filtered") {
+    // two shared runs: 8 tokens (kept) and 7 tokens (< minSpan, dropped)
+    val r1 = (1 to 8).map(i => s"x$i"); val r2 = (1 to 7).map(i => s"y$i")
+    val a = r1 ++ (1 to 6).map(i => s"fa$i") ++ r2
+    val b = (1 to 3).map(i => s"fb$i") ++ r1 ++ (1 to 4).map(i => s"gb$i") ++ r2
+    val out = Dedup.maximalDuplicateSpans(
+      docs(1L -> a.mkString(" "), 2L -> b.mkString(" ")),
+      "doc_id", "text", n = 5, maxDf = 100L, minSpanTokens = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 4L, 8L)))
+  }
+
+  test("max dup spans: docs shorter than the gram width emit nothing") {
+    val out = Dedup.maximalDuplicateSpans(
+      docs(1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", n = 5)
+    assert(out.isEmpty)
+  }
+
+  // --------------------------------------------------------- chunking
+
+  test("chunking: boundary lengths produce the exact chunk count and full coverage") {
+    // n -> expected chunks for C=64, S=48: ceil(max(n-64,0)/48)+1
+    val cases = Seq(1 -> 1, 47 -> 1, 48 -> 1, 64 -> 1, 65 -> 2, 112 -> 2, 113 -> 3, 160 -> 3)
+    val rows = cases.zipWithIndex.map { case ((n, _), i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }
+    val out = Text.chunkWindows(docs(rows: _*), "doc_id", "text",
+      chunkTokens = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    cases.zipWithIndex.foreach { case ((n, expChunks), i) =>
+      val mine = out.filter(_._1 == i.toLong).sortBy(_._2)
+      assert(mine.length === expChunks, s"n=$n")
+      // starts advance by the stride; every token is covered; the
+      // chunks reassemble (with the overlap stripped) to the original
+      mine.zipWithIndex.foreach { case ((_, cid, start, _, _), j) =>
+        assert(cid === j.toLong && start === 1L + j * 48L)
+      }
+      assert(mine.map(c => c._3 + c._4 - 1).max === n.toLong, s"n=$n tail covered")
+      val reassembled = mine.flatMap { case (_, cid, _, _, txt) =>
+        val toks = txt.split(" ")
+        if (cid == 0L) toks else toks.drop(64 - 48)
+      }
+      assert(reassembled.toSeq === (1 to n).map(t => s"t$t"), s"n=$n reassembly")
+    }
+  }
+
+  // --------------------------------------------------- inverted index
+
+  test("inverted index: df over all postings, impact-ordered truncated cell") {
+    val d = docs(
+      1L -> "w w w q",
+      2L -> "w w q q",
+      3L -> "w q q q",
+      4L -> "only here")
+    val out = Retrieval.invertedIndex(d, "doc_id", "text", topK = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // w: tfs 3,2,1 → df 3, top-2 postings "1:3,2:2"
+    assert(out("w") === (3L, "1:3,2:2"))
+    // q: tfs 1,2,3 → df 3, top-2 "3:3,2:2"
+    assert(out("q") === (3L, "3:3,2:2"))
+    assert(out("only") === (1L, "4:1"))
+    // tf tie → doc_id ascending breaks it
+    val tie = Retrieval.invertedIndex(docs(7L -> "z", 5L -> "z", 6L -> "z"),
+      "doc_id", "text", topK = 2)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(tie("z") === "5:1,6:1")
+  }
+
+  // ------------------------------------------------- char-trigram LM
+
+  /** Driver-side reference model over a collected corpus. */
+  private def refModel(texts: Seq[(Long, String)]): (Map[String, Long], Map[String, Long], Long) = {
+    val occ = texts.flatMap { case (_, t) =>
+      val s = t.trim
+      (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    val c3 = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = occ.map(_.substring(0, 2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (c3, c2, c3.size.toLong)
+  }
+
+  test("char LM: fixed-point scores match a driver-computed reference exactly") {
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (c3, c2, v) = refModel(texts)
+    val expected = texts.map { case (id, t) =>
+      val s = t.trim
+      val ps = (0 to s.length - 3).map { i =>
+        val g3 = s.substring(i, i + 3)
+        (1000000L * (c3(g3) + 1)) / (c2(g3.substring(0, 2)) + v)
+      }
+      id -> (if (ps.isEmpty) (0L, None) else (ps.size.toLong, Some(ps.sum / ps.size)))
+    }.toMap
+    val got = LanguageModel.fixedPointScores(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("char LM: bits-per-char matches the driver reference within 1e-9") {
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (c3, c2, v) = refModel(texts)
+    val expected = texts.map { case (id, t) =>
+      val s = t.trim
+      val bits = (0 to s.length - 3).map { i =>
+        val g3 = s.substring(i, i + 3)
+        -math.log((c3(g3) + 1.0) / (c2(g3.substring(0, 2)) + v)) / math.log(2.0)
+      }
+      id -> (if (bits.isEmpty) None else Some(bits.sum / bits.size))
+    }.toMap
+    val got = LanguageModel.bitsPerChar(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, b) =>
+      (b, expected(id)) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"doc $id: $x vs $y")
+        case (x, y) => assert(x === y, s"doc $id")
+      }
+    }
+    // sanity: damaged text (rare trigrams) scores more bits than modal text
+    val scores = got.collect { case (id, Some(x)) => id -> x }
+    assert(scores.nonEmpty)
+  }
+
+  // ---------------------------------------------------- batch ANN join
+
+  test("batch ANN ≡ small-query ivfTopK on the shared codebook; recall floor holds") {
+    val vecs = Tables.embeddings(spark, sf)
+    val c = Similarity.codebookSize(vecs.count())
+    val cents = Similarity.centroids(vecs, c)
+    val batch = Similarity.ivfBatchTopK(vecs, cents, k = 10, nprobe = 4)
+      .filter(col("query_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val small = Similarity.ivfTopK(Similarity.ivfAssign(vecs, cents), cents,
+      vecs.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(batch === small,
+      "join-based batch scorer must agree exactly with the broadcast probe form")
+    // recall floor vs brute force for the same 5 queries
+    val exact = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = batch.map(t => (t._1, t._2)).count(exact.contains)
+    assert(hits >= (exact.size * 0.4).toInt, s"recall ${hits.toDouble / exact.size}")
+  }
+}
