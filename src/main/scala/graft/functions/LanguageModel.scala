@@ -35,10 +35,12 @@ import org.apache.spark.sql.types._
   *    form is spec-pinned against a driver-computed reference with an
   *    ε-tolerance instead of hash-oracled.
   *
-  * Scale shape: one per-char explode (linear in corpus bytes), two
-  * grouped integer counts (trigram, prefix — both |vocab|-sized), a
-  * scalar V, then two keyed equi-joins back to occurrences and one
-  * per-doc aggregate. The count tables are NOT broadcast-hinted — a
+  * Scale shape: one per-char explode (linear in corpus bytes) folded
+  * immediately to (doc, trigram) counts with map-side combine, model
+  * counts and V derived from |vocab|-sized tables, then ONE keyed
+  * equi-join of per-doc gram counts against the per-trigram score
+  * table and one per-doc aggregate. The count tables are NOT
+  * broadcast-hinted — a
   * character-trigram vocab is small, but the same code serves token
   * n-grams where it is not (the q75 lesson); AQE broadcasts when the
   * built side is actually small. Docs shorter than 3 chars have no
@@ -59,25 +61,42 @@ object LanguageModel {
       .select(col(idCol), col("g3"), col("g3").substr(1, 2).as("g2"))
   }
 
-  private def counts(occ: DataFrame): (DataFrame, DataFrame, DataFrame) = (
-    occ.groupBy("g3").agg(count(lit(1)).as("c3")),
-    occ.groupBy("g2").agg(count(lit(1)).as("c2")),
-    occ.agg(countDistinct(col("g3")).as("v")))
+  /** The per-trigram model table, built at VOCAB scale: (g3, g2, c3,
+    * c2, v). The key cost discipline: occurrences reduce to (doc, g3)
+    * counts FIRST (map-side combine collapses repeats before any
+    * shuffle), the trigram/prefix counts and V then derive from
+    * |vocab|-sized tables, and each scoring join touches |doc×distinct-
+    * trigram| rows, never raw positions (a per-occurrence form joins
+    * every position TWICE — against c3 and c2 — and shuffles corpus-
+    * position rows through both; this regrouping is the difference
+    * between shuffling corpus bytes and shuffling the vocab). */
+  private def model(occ: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    val docG3 = occ.groupBy(col(idCol), col("g3")).agg(count(lit(1)).as("tf"))
+    val c3 = docG3.groupBy("g3").agg(sum(col("tf")).as("c3"))
+    val c2 = c3.select(col("g3").substr(1, 2).as("g2"), col("c3"))
+      .groupBy("g2").agg(sum(col("c3")).as("c2"))
+    val v = c3.agg(count(lit(1)).as("v"))
+    val byGram = c3.select(col("g3"), col("g3").substr(1, 2).as("g2"), col("c3"))
+      .join(c2, Seq("g2"))
+      .crossJoin(v)
+    (docG3, byGram)
+  }
 
   /** Oracle-exact fixed-point scoring: (doc_id, n_pos, avg_p_fp) where
     * avg_p_fp = (Σ_occ (scale·(c3+1)) div (c2+V)) div n_pos — all
-    * integer. Higher = more probable under the corpus model. */
+    * integer (tf-weighted per distinct trigram: integer addition is
+    * commutative, so the grouped sum equals the per-occurrence sum
+    * EXACTLY — this is why the fixed-point form tolerates the
+    * vocab-scale regrouping the double form only approximates within
+    * ε). Higher = more probable under the corpus model. */
   def fixedPointScores(df: DataFrame, idCol: String, textCol: String,
                        scale: Long = 1000000L): DataFrame = {
-    val occ = occurrences(df, idCol, textCol)
-    val (c3, c2, v) = counts(occ)
-    val scored = occ
-      .join(c3, Seq("g3"))
-      .join(c2, Seq("g2"))
-      .crossJoin(v)
-      .select(col(idCol), expr(s"($scale * (c3 + 1)) div (c2 + v)").as("p_fp"))
-    val perDoc = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_pos"), sum(col("p_fp")).as("sum_p_fp"))
+    val (docG3, byGram) = model(occurrences(df, idCol, textCol), idCol)
+    val perDoc = docG3
+      .join(byGram.select(col("g3"),
+        expr(s"($scale * (c3 + 1)) div (c2 + v)").as("p_fp")), Seq("g3"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_pos"), sum(col("tf") * col("p_fp")).as("sum_p_fp"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -91,19 +110,16 @@ object LanguageModel {
     * over the doc's trigram occurrences. Spec-pinned, not oracled (see
     * the object note on double summation). */
   def bitsPerChar(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val occ = occurrences(df, idCol, textCol)
-    val (c3, c2, v) = counts(occ)
-    val scored = occ
-      .join(c3, Seq("g3"))
-      .join(c2, Seq("g2"))
-      .crossJoin(v)
-      .select(col(idCol),
+    val (docG3, byGram) = model(occurrences(df, idCol, textCol), idCol)
+    val perDoc = docG3
+      .join(byGram.select(col("g3"),
         (lit(0.0) - log2((col("c3") + 1).cast(DoubleType) /
-          (col("c2") + col("v")).cast(DoubleType))).as("bits"))
+          (col("c2") + col("v")).cast(DoubleType))).as("bits")), Seq("g3"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_pos"),
+        sum(col("tf").cast(DoubleType) * col("bits")).as("sum_bits"))
     df.select(col(idCol))
-      .join(scored.groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_pos"), sum(col("bits")).as("sum_bits")),
-        Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         (col("sum_bits") / col("n_pos")).as("bits_per_char"))
