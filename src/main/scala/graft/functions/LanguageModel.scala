@@ -106,22 +106,45 @@ object LanguageModel {
         when(col("n_pos").isNotNull, expr("sum_p_fp div n_pos")).as("avg_p_fp"))
   }
 
-  /** Production scoring: (doc_id, n_pos, bits_per_char) — mean −log₂P
-    * over the doc's trigram occurrences. Spec-pinned, not oracled (see
-    * the object note on double summation). */
-  def bitsPerChar(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (docG3, byGram) = model(occurrences(df, idCol, textCol), idCol)
+  /** The FROZEN per-trigram model: (g3, bits) with bits = −log₂P — the
+    * artifact an offline training pass persists and an online scorer
+    * (streaming gate, new-corpus triage) joins against. |trigram
+    * vocab| rows — small enough to broadcast at score time, derived
+    * without ever shuffling raw positions twice. */
+  def modelTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (_, byGram) = model(occurrences(df, idCol, textCol), idCol)
+    byGram.select(col("g3"),
+      (lit(0.0) - log2((col("c3") + 1).cast(DoubleType) /
+        (col("c2") + col("v")).cast(DoubleType))).as("bits"))
+  }
+
+  /** Score documents against a frozen [[modelTable]]: trigrams the
+    * model has never seen cost `oovBits` each (an out-of-distribution
+    * penalty the self-trained form never needs — new data CAN contain
+    * novel trigrams). Docs with no trigram occurrences (< 3 chars)
+    * return null bits_per_char: they cannot be assessed, and the
+    * caller decides the policy (the streaming gate quarantines them). */
+  def scoreAgainst(df: DataFrame, idCol: String, textCol: String,
+                   modelTbl: DataFrame, oovBits: Double): DataFrame = {
+    val docG3 = occurrences(df, idCol, textCol)
+      .groupBy(col(idCol), col("g3")).agg(count(lit(1)).as("tf"))
     val perDoc = docG3
-      .join(byGram.select(col("g3"),
-        (lit(0.0) - log2((col("c3") + 1).cast(DoubleType) /
-          (col("c2") + col("v")).cast(DoubleType))).as("bits")), Seq("g3"))
+      .join(modelTbl, Seq("g3"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_pos"),
-        sum(col("tf").cast(DoubleType) * col("bits")).as("sum_bits"))
+        sum(col("tf").cast(DoubleType) * coalesce(col("bits"), lit(oovBits)))
+          .as("sum_bits"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         (col("sum_bits") / col("n_pos")).as("bits_per_char"))
   }
+
+  /** Production scoring: (doc_id, n_pos, bits_per_char) — mean −log₂P
+    * over the doc's trigram occurrences, self-trained (score the
+    * corpus under its own model, so OOV cannot occur). Spec-pinned,
+    * not oracled (see the object note on double summation). */
+  def bitsPerChar(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainst(df, idCol, textCol, modelTable(df, idCol, textCol), oovBits = 0.0)
 }

@@ -150,5 +150,35 @@ object CorpusQueries {
     Similarity.ivfBatchTopK(vecs, Similarity.centroids(vecs, c), k = 10, nprobe = 4)
   }
 
-  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114)
+  /** q115 — vocabulary coverage / OOV rate: per-doc token counts
+    * against the top-K corpus vocabulary (the q69 tokenizer-training
+    * pass turned into the audit a tokenizer change needs: which docs
+    * fall outside the vocab, and by how much). K=20 at gate scale so
+    * the fixture's ~31-token vocab actually produces OOV; production
+    * K is 10⁵ — same plan. The vocab side is LIMIT-bounded, so its
+    * broadcast hint is structurally safe (the PlanAudit classifier
+    * proves it); integer counts end-to-end. */
+  val q115 = Q("q115_oov_rate",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |vocab AS (SELECT token FROM (
+      |  SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+      |  ORDER BY n DESC, token LIMIT 20)),
+      |j AS (SELECT t.doc_id, v.token AS vt
+      |      FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM j GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .select(col("token"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115)
 }

@@ -532,6 +532,41 @@ object Events {
       .write.mode("append").parquet(quarantineDir)
   }
 
+  /** Frozen-LM quality gate — the train-offline / score-online closure
+    * of q113: an offline pass persists
+    * [[graft.functions.LanguageModel.modelTable]] (per-trigram bits,
+    * |trigram vocab| rows), and each arriving micro-batch of (doc_id,
+    * text) scores bits-per-char against that FROZEN table — trigrams
+    * the model never saw cost `oovBits` each, so out-of-distribution
+    * text (mojibake, key-mash, wrong language) scores high and fails
+    * the `maxBits` ceiling. Passing docs append to `passDir` with
+    * their score; failing docs (including un-assessable < 3-char docs,
+    * whose score is null) append to `failDir` with batch id for audit.
+    * The model is re-read per batch — small, and a model refresh lands
+    * without restarting the stream (the same latest-wins read
+    * discipline as the rerank payload). Same at-least-once append
+    * caveat as [[constraintGateBatch]]. */
+  def lmQualityGateBatch(modelDir: String, passDir: String, failDir: String,
+                         maxBits: Double, oovBits: Double = 20.0)(
+      batch: DataFrame, id: Long): Unit = {
+    if (batch.isEmpty) return
+    val model = batch.sparkSession.read.parquet(modelDir)
+    val scored = graft.functions.LanguageModel
+      .scoreAgainst(batch, "doc_id", "text", model, oovBits)
+      .select(col("doc_id"), col("bits_per_char"))
+    val joined = batch.join(scored, Seq("doc_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      joined.filter(col("bits_per_char") <= maxBits)
+        .write.mode("append").parquet(passDir)
+      // null-safe complement: score null (no trigrams) also quarantines
+      joined.filter(!(col("bits_per_char") <= maxBits) ||
+          col("bits_per_char").isNull)
+        .withColumn("_batch_id", lit(id))
+        .write.mode("append").parquet(failDir)
+    } finally joined.unpersist()
+  }
+
   /** Gold → serving-DB export per micro-batch: the dashboard tier the
     * reference reads through Dremio/Superset, as a foreachBatch that
     * OVERWRITES the serving table with each batch's aggregate snapshot.

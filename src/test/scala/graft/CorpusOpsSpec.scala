@@ -153,6 +153,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores.nonEmpty)
   }
 
+  test("frozen-LM streaming gate: in-distribution passes, OOV garbage and unassessable quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lmgate").toString
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    LanguageModel.modelTable(corpus, "doc_id", "text").write.parquet(s"$dir/model")
+    // the modal doc scores EXACTLY its self-trained bits (same model);
+    // threshold = that + 1, and the all-OOV doc must land above it
+    val modal = corpus.orderBy("doc_id").first()
+    val modalBits = LanguageModel.bitsPerChar(corpus, "doc_id", "text")
+      .filter(col("doc_id") === modal.getLong(0)).first().getDouble(2)
+    val maxBits = modalBits + 1.0
+    assert(maxBits < 20.0, s"fixture modal doc unexpectedly improbable: $modalBits")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, modal.getString(1)), (2L, "éèç" * 40), (3L, "ab"))
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.Events.lmQualityGateBatch(
+        s"$dir/model", s"$dir/pass", s"$dir/fail", maxBits = maxBits) _)
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pass = spark.read.parquet(s"$dir/pass")
+    assert(pass.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(math.abs(pass.first().getAs[Double]("bits_per_char") - modalBits) < 1e-9,
+      "frozen-model score must equal the self-trained score for training text")
+    val fail = spark.read.parquet(s"$dir/fail").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("bits_per_char"))).toMap
+    assert(fail.keySet === Set(2L, 3L))
+    assert(fail(2L).exists(_ > maxBits), "all-OOV text must exceed the ceiling")
+    assert(fail(3L).isEmpty, "unassessable (< 3 chars) doc carries a null score")
+  }
+
   // ---------------------------------------------------- batch ANN join
 
   test("batch ANN ≡ small-query ivfTopK on the shared codebook; recall floor holds") {
