@@ -24,7 +24,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  /** Events, with `ts` normalized to epoch-nanos long regardless of how
+    * the producer wrote it. The engine-internal contract is int64
+    * epoch-nanos (exact ordering/diff arithmetic, oracle-comparable via
+    * DuckDB's `epoch_ns`), but the incoming parquet layout is not ours
+    * to dictate: generators have shipped `ts` both as physical
+    * timestamp[ns] (read as long under `legacy.parquet.nanosAsLong`)
+    * and as timestamp[us] (read as TIMESTAMP_NTZ). The reference reads
+    * whatever schema the footer declares (`bronze_batch_load.py:65,111`)
+    * and so must we — a hard-coded layout assumption breaks the whole
+    * session-window/as-of/range-join tier when the upstream writer
+    * changes. Normalizing at the single read boundary keeps every
+    * downstream plan layout-agnostic at zero cost (a scan-local
+    * projection, fused into whole-stage codegen; pushdown on the other
+    * columns is unaffected).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        // µs-precision timestamp → exact ns long. unix_micros needs
+        // TimestampType; NTZ→TZ cast is identity under the UTC session
+        // timezone (Sessions.scala).
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other (expected int64 epoch-nanos or timestamp)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }
