@@ -1,7 +1,9 @@
 package graft
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query wall-clock seconds.
+  * prints a human summary line followed by ONE bounded JSON line (total,
+  * slowest-30 + errored queries); the complete per-query/per-rep record
+  * is written to target/bench_last.json.
   *
   * The action is a `noop`-format write: every output column is fully
   * computed and serialized into the sink's row iterator, but nothing
@@ -82,17 +84,32 @@ object Bench {
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => best(r._2)).filter(_ >= 0).sum
     val nErrors = results.count(r => best(r._2) < 0)
+    // The driver keeps only the last ~2 KB of stdout; the full 120-query
+    // map (~4 KB) no longer fits, which is how round 8 lost its total.
+    // stdout therefore carries a BOUNDED line — the slowest TOP_N queries
+    // plus every error, with the omission count stated (no silent caps) —
+    // and the complete record (all queries + per-rep arrays) goes to
+    // target/bench_last.json. `total_sec` is repeated as the LAST field
+    // so even a head-clipped capture still ends with the headline number.
+    val TopN = 30
+    val top = results
+      .filter { case (_, ts) => best(ts) >= 0 }
+      .sortBy { case (_, ts) => -best(ts) }
+      .take(TopN)
+    val withErrs = (top ++ results.filter { case (_, ts) => best(ts) < 0 })
+      .sortBy(_._1)
+    val qsTop = withErrs.map { case (k, ts) => "\"" + k + "\":" + r4(best(ts)) }
+      .mkString("{", ",", "}")
+    val outFile = java.nio.file.Paths.get("target/bench_last.json").toAbsolutePath
     // n_errors travels next to the total so a round-over-round total
     // comparison can't silently absorb a newly failing (excluded) query
-    val head = s""""metric":"total","value":${r4(total)},"unit":"sec","queries":$qs"""
+    val head = s""""metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size}"""
     val tail = s""""oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir""""
-    // stdout gets the COMPACT line (no per-rep arrays, 4-dp values) so it
-    // fits the driver's bounded stdout tail and parses; the file keeps
-    // the full record including reps for variance audit
-    println(s"""{$head,$tail}""")
+    println(s"BENCH total=${r4(total)} sec n_queries=${results.size} n_errors=$nErrors full_record=$outFile")
+    println(s"""{$head,"queries":$qsTop,"queries_omitted":${results.size - withErrs.size},"file":"$outFile",$tail,"total_sec":${r4(total)}}""")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-      (s"""{$head,"reps":$repsJson,$tail}""" + "\n").getBytes("UTF-8"))
+      (s"""{$head,"queries":$qs,"reps":$repsJson,$tail,"total_sec":${r4(total)}}""" + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
