@@ -26,9 +26,12 @@ import org.apache.spark.sql.execution.joins._
   *   wsc        WholeStageCodegen span count (fewer, wider spans = more
   *              of the query runs fused)
   *
-  * The main EXITS NON-ZERO if any query outside [[broadcastAllowlist]]
-  * carries an unbounded broadcast hint — the mechanical form of the
-  * "never hint a corpus-scaling relation" rule.
+  * The main EXITS NON-ZERO if (a) any query outside
+  * [[broadcastAllowlist]] carries an unbounded broadcast hint — the
+  * mechanical form of the "never hint a corpus-scaling relation" rule —
+  * or (b) the last bench record shows a query >2x its committed
+  * per-query baseline (see [[benchBudgetRegressions]]), so a wall-time
+  * regression fails at build time instead of surfacing a round later.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [queryName...]
   */
@@ -91,6 +94,48 @@ object PlanAudit {
       "q100_pq_adc_topk" -> annQuery,
       "q108_ivfpq_topk" -> annQuery)
   }
+  /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
+    * record (`target/bench_last.json`, written by [[Bench]]) against the
+    * committed reference (`bench_baseline.json`, refreshed each round
+    * from a trusted quiet-box run). A query is flagged when it runs
+    * > [[BudgetFactor]]× its baseline AND above an absolute floor (sub-
+    * second queries flap on box noise alone). Records at different scale
+    * factors are never compared. Returns one line per offender. */
+  private val BudgetFactor = 2.0
+  private val BudgetFloorSec = 1.0
+  private[graft] def benchBudgetRegressions(
+      basePath: String = "bench_baseline.json",
+      lastPath: String = "target/bench_last.json"): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val bp = java.nio.file.Paths.get(basePath)
+    val lp = java.nio.file.Paths.get(lastPath)
+    if (!java.nio.file.Files.exists(bp) || !java.nio.file.Files.exists(lp)) return Nil
+    def parse(p: java.nio.file.Path): (String, Map[String, Double]) = {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      val qs = j \ "queries" match {
+        case JObject(fs) => fs.collect {
+          case JField(k, JDouble(v)) => k -> v
+          case JField(k, JInt(v))    => k -> v.toDouble
+          case JField(k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      (sf, qs)
+    }
+    val (bsf, base) = parse(bp)
+    val (lsf, last) = parse(lp)
+    if (bsf != lsf) return Nil
+    (for {
+      (q, t) <- last.toSeq.sortBy(_._1)
+      b <- base.get(q)
+      if b > 0 && t > BudgetFloorSec && t > BudgetFactor * b
+    } yield f"$q: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx, budget ${BudgetFactor}x)") ++
+      last.toSeq.filter { case (q, t) => t < 0 && base.get(q).exists(_ >= 0) }
+        .map { case (q, _) => s"$q: ERRORED (baseline had it green)" }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
@@ -131,6 +176,8 @@ object PlanAudit {
     offenders.foreach { case (n, hs) =>
       sb.append(s"UNBOUNDED BROADCAST HINT in $n: ${hs.mkString("; ")}\n")
     }
+    val budget = benchBudgetRegressions()
+    budget.foreach { line => sb.append(s"WALL-TIME BUDGET EXCEEDED: $line\n") }
     sys.env.get("GRAFT_EXPLAIN_OUT") match {
       case Some(f) => java.nio.file.Files.writeString(java.nio.file.Paths.get(f), sb.toString)
       case None => println(sb.toString)
@@ -140,6 +187,12 @@ object PlanAudit {
       System.err.println(s"plan audit FAILED: ${offenders.size} quer" +
         s"${if (offenders.size == 1) "y carries" else "ies carry"} an unbounded " +
         "broadcast hint (broadcast of a corpus-scaling relation)")
+      sys.exit(1)
+    }
+    if (budget.nonEmpty) {
+      System.err.println(s"plan audit FAILED: ${budget.size} quer" +
+        s"${if (budget.size == 1) "y exceeds" else "ies exceed"} the wall-time " +
+        "budget vs bench_baseline.json (>2x or newly erroring)")
       sys.exit(1)
     }
   }
