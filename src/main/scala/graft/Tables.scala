@@ -54,7 +54,26 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Embeddings, with `embedding` normalized to `array<float>` — the
+    * same footer-driven robustness as [[events]]: the ANN tier's native
+    * kernel (`plans.DotProductF32`) and every cosine plan assume f32,
+    * and a generator switching to float64 parquet must not break them.
+    * A float64→float32 cast of values that ARE f32 (the usual case — a
+    * writer that widened on output) is lossless; genuinely-f64
+    * embeddings quantize to the engine's documented f32 contract, which
+    * is what an ANN index does anyway. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding: unsupported type $other (expected array<float> or array<double>)")
+    }
+  }
 }
 
 /** Column helpers shared by every query.

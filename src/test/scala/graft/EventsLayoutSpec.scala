@@ -129,4 +129,25 @@ class EventsLayoutSpec extends SparkSpec {
       }
     }
   }
+
+  test("embeddings.embedding normalizes array<double> parquet to the f32 contract") {
+    val d = Files.createTempDirectory("emb-layout-f64")
+    d.toFile.deleteOnExit()
+    Files.list(Paths.get(sf)).forEach { p =>
+      if (!p.getFileName.toString.startsWith("embeddings"))
+        Files.copy(p, d.resolve(p.getFileName))
+    }
+    Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .coalesce(1)
+      .write.parquet(d.resolve("embeddings.parquet").toString)
+    val got = Tables.embeddings(spark, d.toString)
+    assert(got.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    // f32→f64→f32 is a lossless round trip, so the ANN tier must agree
+    // bit-for-bit; q23 exercises the native f32 dot-product kernel
+    val want = checksum(SparkEntry.queries("q23_cosine_topk")(spark, sf))
+    assert(checksum(SparkEntry.queries("q23_cosine_topk")(spark, d.toString)) == want,
+      "q23 differs on the float64 embedding layout")
+  }
 }
