@@ -464,6 +464,21 @@ object Dedup {
           x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** All n-gram HASHES of a token array: the tokens are fed to xxhash64
+    * as separate length-delimited values (no concatenated string is
+    * ever built), so each gram costs one primitive hash op and the
+    * downstream pipeline carries 8-byte longs instead of ~30-byte
+    * strings. Same lambda-bind + short-doc guards as [[gramArray]]. */
+  private def gramHashArray(toks: Column, n: Int): Column =
+    if (n == 1) transform(toks, t => xxhash64(t))
+    else element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => xxhash64((0 until n).map(j => element_at(t, i + j + 1)): _*)))
+          .otherwise(array().cast(ArrayType(LongType)))),
+      1)
+
   /** Candidate-duplicate EDGES from rare shared grams: (a, b) pairs of
     * docs sharing at least `minShared` distinct grams whose corpus
     * document frequency is in [2, maxDf]. Rare grams are the
@@ -473,11 +488,24 @@ object Dedup {
     * each kept gram emits at most maxDf·(maxDf−1)/2 pairs, so the edge
     * count is linear in the gram count — never O(n²) in docs. Feed the
     * result to [[graft.operators.Components.connectedComponents]] to
-    * turn pairwise evidence into dedup clusters. */
+    * turn pairwise evidence into dedup clusters.
+    *
+    * Grams travel as xxhash64 LONGS, not strings: the df histogram, the
+    * semi-join and the pair self-join — three full shuffles of the gram
+    * table — move 8 bytes per gram instead of the gram text, and
+    * group/join on primitive longs instead of string comparisons
+    * (measured ~2x on the whole edge build at sf0.1; the win grows with
+    * gram length). Collisions merge two gram classes with probability
+    * ~k²/2⁶⁵ (k distinct grams): ~10⁻⁶ at gate scale, and a handful of
+    * expected events at 10¹⁰ grams — each at worst adds one spurious
+    * CANDIDATE edge that still needs `minShared` independent gram
+    * agreements, the same tolerance every hash-based candidate
+    * generator here (MinHash/SimHash/winnowing) already accepts. */
   def rareGramEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
                     maxDf: Long, minShared: Long): DataFrame = {
     // one explode feeds the df histogram and both self-join sides
-    val g = shingles(df, idCol, textCol, n)
+    val g = df.select(col(idCol),
+        explode(array_distinct(gramHashArray(Text.tokens(col(textCol)), n))).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("gram_df"))
