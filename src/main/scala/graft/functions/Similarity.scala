@@ -261,7 +261,12 @@ object Similarity {
   /** Squared L2 distance of two float-array columns — double precision,
     * left-to-right summation (the same oracle-stable discipline as
     * [[dotHof]]; DuckDB's `list_reduce` fold reproduces it exactly). */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sq(a: Column, b: Column): Column = graft.plans.NativeExpressions.l2sqF32(a, b)
+
+  /** The pure-built-ins L2² formulation — portability fallback and the
+    * parity reference for NativeSpec (the optimizer rewrite also maps
+    * this shape onto the native kernel). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
         (x.cast(DoubleType) - y.cast(DoubleType)) *
           (x.cast(DoubleType) - y.cast(DoubleType))),

@@ -87,6 +87,75 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance over two float arrays — the twin of
+  * [[DotProductF32]] for the IVF/PQ path, where every centroid assign,
+  * codebook-training step, encode pass and ADC lookup-table build is a
+  * `Σ (x−y)²`. Same left-to-right double accumulation as the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> (x−y)·(x−y)), 0.0, +)` —
+  * bit-identical (NativeSpec pins it) — and the same null contract:
+  * ragged pair ⇒ NULL, null element ⇒ NULL, null scan only emitted when
+  * the type says `containsNull`.
+  */
+case class L2SqF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq_f32 expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq_f32"
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val nullScan = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullScan
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** SimHash-64 over an array of 64-bit token hashes: per-bit majority
   * vote, one pass, no per-bit re-traversal (the HOF form in
   * graft.functions.Dedup walks the hash array 64 times). Bit-identical
@@ -214,6 +283,10 @@ object NativeExpressions {
     ColumnBridge.column(DotProductF32(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def l2sqF32(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqF32(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 
@@ -231,6 +304,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32"),
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2sq_f32"),
+      new ExpressionInfo(classOf[L2SqF32].getName, "graft_l2sq_f32"),
+      (exprs: Seq[Expression]) => L2SqF32(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),

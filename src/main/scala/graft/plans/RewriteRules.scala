@@ -41,6 +41,20 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) -> (cast(x)−cast(y)) * (cast(x)−cast(y)), args in order —
+    * the squared-difference lambda of the HOF L2² form. */
+  private def isCastDiffSquare(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(
+          Subtract(Cast(x1: NamedLambdaVariable, DoubleType, _, _),
+                   Cast(y1: NamedLambdaVariable, DoubleType, _, _), _),
+          Subtract(Cast(x2: NamedLambdaVariable, DoubleType, _, _),
+                   Cast(y2: NamedLambdaVariable, DoubleType, _, _), _), _),
+        Seq(ax: NamedLambdaVariable, ay: NamedLambdaVariable), _) =>
+      x1.exprId == ax.exprId && y1.exprId == ay.exprId &&
+        x2.exprId == ax.exprId && y2.exprId == ay.exprId
+    case _ => false
+  }
+
   /** (acc, v) -> acc + v */
   private def isSum(f: Expression): Boolean = f match {
     case LambdaFunction(Add(a: NamedLambdaVariable, v: NamedLambdaVariable, _),
@@ -61,5 +75,9 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
         if zero == 0.0 && isFloatArray(zw.left) && isFloatArray(zw.right) &&
           isCastMultiply(zw.function) && isSum(merge) && isIdentity(finish) =>
       DotProductF32(zw.left, zw.right)
+    case ArrayAggregate(zw: ZipWith, Literal(zero, DoubleType), merge, finish)
+        if zero == 0.0 && isFloatArray(zw.left) && isFloatArray(zw.right) &&
+          isCastDiffSquare(zw.function) && isSum(merge) && isIdentity(finish) =>
+      L2SqF32(zw.left, zw.right)
   }
 }

@@ -65,6 +65,46 @@ class NativeSpec extends SparkSpec {
     assert(df.select(NativeExpressions.dotF32(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("native l2sq == HOF l2sq, bit-exact, on the real embeddings") { withoutRewrite {
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select((col("vec_id") + 1).as("vec_id"), col("embedding").as("eb"))
+    val both = a.join(b, "vec_id").limit(200).select(
+      Similarity.l2sqHof(col("ea"), col("eb")).as("hof"),
+      NativeExpressions.l2sqF32(col("ea"), col("eb")).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).isEmpty)
+    assert(both.count() === 200)
+  } }
+
+  test("optimizer rule: the HOF L2-squared pattern rewrites to graft_l2sq_f32") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.select(Similarity.l2sqHof(col("embedding"), reverse(col("embedding"))).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_l2sq_f32"),
+      "expected RewriteHofDotProduct to fire on the squared-difference pattern")
+    val rewritten = q.collect().map(_.getDouble(0))
+    val plain = withoutRewrite {
+      val p = e.select(Similarity.l2sqHof(col("embedding"), reverse(col("embedding"))).as("d"))
+      assert(!p.queryExecution.optimizedPlan.toString.contains("graft_l2sq_f32"))
+      p.collect().map(_.getDouble(0))
+    }
+    assert(rewritten.toSeq === plain.toSeq)
+  }
+
+  test("graft_l2sq_f32: nulls/ragged propagate; SQL form resolves") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f)), Option.empty[Array[Float]]),   // null side
+      (Some(Array(1f, 2f)), Some(Array(1f)))               // ragged pair
+    ).toDF("a", "b")
+    val r = df.select(NativeExpressions.l2sqF32(col("a"), col("b")).as("d")).collect()
+    assert(r.forall(_.isNullAt(0)))
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_l2_v")
+    val s = spark.sql(
+      """SELECT graft_l2sq_f32(a.embedding, b.embedding) AS d
+        |FROM emb_l2_v a JOIN emb_l2_v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+    assert(!s.isNullAt(0) && s.getDouble(0) > 0.0)
+  }
+
   test("native simhash == HOF simhash on the corpus; SQL form resolves") {
     val d = Tables.documents(spark, sf)
     val both = d.select(
