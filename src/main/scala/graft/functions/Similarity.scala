@@ -324,7 +324,15 @@ object Similarity {
       .orderBy(col("vec_id")).limit(256 * c)
     val sample = spark.createDataFrame(
       java.util.Arrays.asList(sampleRows.collect(): _*), sampleRows.schema)
-    val blocks = explodeBlocks(sample, "vec_id", "embedding", m, dim)
+    // The Lloyd scans expand the sample to |sample|·m·c scored rows per
+    // iteration — but a LocalRelation plans as a single partition, so
+    // without redistribution all of it runs on ONE task (measured: 5 s
+    // of q108's 8.6 s at sf0.1). One tiny shuffle of the bounded sample
+    // spreads the expansion across the cluster; hash partitioning by
+    // vec_id keeps per-run determinism (fixed row order per partition).
+    val blocks = explodeBlocks(sample.repartition(col("vec_id")),
+      "vec_id", "embedding", m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var books = pqCodebooks(sample, m, c, dim)
     for (_ <- 0 until iters) {
       val assigned = blocks.join(broadcast(books), Seq("block"))
@@ -344,6 +352,7 @@ object Similarity {
       books = spark.createDataFrame(
         java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
+    blocks.unpersist(false)
     books
   }
 
