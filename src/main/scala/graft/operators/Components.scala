@@ -57,8 +57,13 @@ object Components {
                           maxIters: Int = 100): DataFrame = {
     val Seq(ea, eb) = edges.columns.toSeq.map(col)
     val v = col(vertices.columns.head)
+    // hash-partition the static edge list by the probe key ONCE before
+    // caching (the PageRank treatment): every round joins labels on s,
+    // and a cache that already carries HashPartitioning(s) feeds every
+    // round's join without re-shuffling the (large) edge side
     val sym = edges.select(ea.as("s"), eb.as("d"))
       .union(edges.select(eb.as("s"), ea.as("d")))
+      .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(v.as("v"), v.cast("long").as("label"))
       .localCheckpoint()
