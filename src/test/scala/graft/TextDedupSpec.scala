@@ -33,6 +33,34 @@ class TextDedupSpec extends SparkSpec {
       3L -> "plate here three"))
   }
 
+  test("hashed-gram edges == string-gram edges on randomized corpora") {
+    // rareGramEdges carries xxhash64 gram hashes through its shuffles;
+    // absent 64-bit collisions (certain at this scale) the edge set must
+    // be IDENTICAL to the definitional string-gram formulation. Random
+    // corpora with forced sharing: token soup from a small vocabulary.
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def text(): String = Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = docs((0L until 30L).map(i => i -> text()): _*)
+      val hashed = Dedup.rareGramEdges(corpus, "doc_id", "text", n = 3,
+        maxDf = 10L, minShared = 2L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // definitional form: string grams, same df window and shared floor
+      val g = corpus.select(col("doc_id"),
+        explode(array_distinct(Text.ngrams(col("text"), 3))).as("gram"))
+      val rare = g.join(
+        g.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df").between(2, 10))
+          .select("gram"), Seq("gram"), "left_semi")
+      val want = rare.select(col("doc_id").as("a"), col("gram"))
+        .join(rare.select(col("doc_id").as("b"), col("gram")), Seq("gram"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hashed == want, s"trial $trial: hashed-gram edges diverge from string-gram edges")
+    }
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y"), "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
