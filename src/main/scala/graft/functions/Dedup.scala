@@ -464,6 +464,28 @@ object Dedup {
           x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** INTRA-document segment dedup — the complement of
+    * [[removeBoilerplate]]: that cuts segments hot ACROSS the corpus;
+    * this collapses repeats WITHIN one document (looping templates,
+    * scraper stutter, copy-pasted paragraphs — the CCNet
+    * paragraph-dedup step applied doc-locally). Keeps the FIRST
+    * occurrence of each distinct segment, in order.
+    *
+    * Scale shape: the whole operator is ONE map-side projection —
+    * `array_distinct` preserves first-occurrence order, so segmenting,
+    * deduping and reassembly all happen inside a single codegen'd
+    * per-row expression. Zero shuffles, zero explode: at 100 TB this is
+    * a pure pass over the corpus at scan speed (PlanAudit shows 0
+    * exchanges for q116). */
+  def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                     segLen: Int): DataFrame = {
+    val t = Text.tokens(col(textCol))
+    val segs = transform(
+      sequence(lit(0), ceil(size(t) / lit(segLen.toDouble)).cast(IntegerType) - 1),
+      j => concat_ws(" ", slice(t, j * segLen + 1, lit(segLen))))
+    df.select(col(idCol), concat_ws(" ", array_distinct(segs)).as("clean_text"))
+  }
+
   /** All n-gram HASHES of a token array: the tokens are fed to xxhash64
     * as separate length-delimited values (no concatenated string is
     * ever built), so each gram costs one primitive hash op and the

@@ -180,5 +180,29 @@ object CorpusQueries {
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
-  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115)
+  /** q116 — intra-document segment dedup (first occurrence wins, order
+    * preserved): the doc-LOCAL half of the dedup family — q72 cuts
+    * segments hot across the corpus, this collapses repeats inside one
+    * document (looping templates, scraper stutter). The Spark side is a
+    * single map-side `array_distinct` projection — zero shuffles, the
+    * one dedup operator that runs at scan speed at 100 TB; the oracle
+    * reproduces first-occurrence-in-order via min(pos) + ordered
+    * string_agg. segLen=2 so the gate corpus actually exercises
+    * in-doc repeats. */
+  val q116 = Q("q116_intradoc_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |segs0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT)),
+      |           j -> {'pos': j, 'seg': array_to_string(t[(j*2+1):(j*2+2)], ' ')})) AS u
+      |  FROM toks),
+      |segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM segs0),
+      |firsts AS (SELECT doc_id, seg, MIN(pos) AS pos FROM segs GROUP BY 1, 2)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |FROM firsts GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupWithinDoc(Tables.documents(s, d), "doc_id", "text", segLen = 2)
+  }
+
+  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116)
 }

@@ -33,6 +33,22 @@ class TextDedupSpec extends SparkSpec {
       3L -> "plate here three"))
   }
 
+  test("intra-doc dedup: first occurrence wins, order preserved, zero shuffles") {
+    val corpus = docs(
+      1L -> "a b c d a b e f",   // segs(2): "a b","c d","a b","e f" -> repeat collapses
+      2L -> "x y x y x y",       // pure stutter -> one segment survives
+      3L -> "p q r s")           // no repeats -> identity
+    val out = Dedup.dedupWithinDoc(corpus, "doc_id", "text", segLen = 2)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "a b c d e f")
+    assert(m(2L) == "x y")
+    assert(m(3L) == "p q r s")
+    // the scale claim is structural: a map-only projection, no exchange
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, "intra-doc dedup must stay shuffle-free")
+  }
+
   test("hashed-gram edges == string-gram edges on randomized corpora") {
     // rareGramEdges carries xxhash64 gram hashes through its shuffles;
     // absent 64-bit collisions (certain at this scale) the edge set must
