@@ -669,4 +669,49 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select("a", "b", "start_a", "start_b", "span_tokens")
   }
+
+  /** Span-dedup APPLY — the Lee et al. 2022 ExactSubstr REMOVAL step
+    * that [[maximalDuplicateSpans]] finds the coordinates for: every
+    * detected span is cut from the HIGHER-id document of its pair (the
+    * earlier doc keeps the canonical copy — the q94 min-id-wins policy
+    * at span granularity), overlapping cuts are merged, and each doc's
+    * text is rebuilt from its surviving tokens in order. Documents
+    * untouched by any span pass through unchanged; a document whose
+    * every token is covered disappears (nothing left to emit — the
+    * oracle agrees).
+    *
+    * Scale shape: interval merge is the classic gaps-and-islands pair
+    * of windows PARTITIONED BY DOCUMENT (running max of span end →
+    * new-island flag → running island id) — no partition ever exceeds
+    * one document's span count, no global sort. Coverage positions are
+    * exploded from the MERGED islands (linear in cut bytes, disjoint
+    * by construction), the cut itself is one left-anti join on
+    * (doc, pos), and reassembly sorts inside the per-doc aggregate.
+    * Every stage is keyed by doc — the whole apply is corpus-linear. */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, maxDf: Long = 100L,
+                        minSpanTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = maximalDuplicateSpans(df, idCol, textCol, n, maxDf, minSpanTokens)
+      .select(col("b").as(idCol), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens") - 1L).as("e"))
+      .distinct()
+    val wOrd = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("ni", when(col("s") > coalesce(prevMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val covered = islands.select(col(idCol),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val tp = df.select(col(idCol),
+        posexplode(Text.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast(LongType).as("pos"), col("tok"))
+    tp.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
 }

@@ -204,5 +204,61 @@ object CorpusQueries {
     Dedup.dedupWithinDoc(Tables.documents(s, d), "doc_id", "text", segLen = 2)
   }
 
-  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116)
+  /** q117 — span-dedup APPLY (Lee et al. ExactSubstr removal): q110's
+    * spans cut from the higher-id doc of each pair, overlapping cuts
+    * merged by doc-partitioned gaps-and-islands windows, text rebuilt
+    * from surviving tokens. The oracle replays the identical algebra:
+    * the q110 span CTE → running-max interval merge → covered-position
+    * anti-join → ordered string_agg. Fully-covered docs drop in both
+    * engines. See [[graft.functions.Dedup.cutDuplicateSpans]] for the
+    * corpus-linear scale shape. */
+  val q117 = Q("q117_span_dedup_apply",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos
+      |      FROM toks WHERE len(t) >= 5),
+      |pg AS (SELECT doc_id, pos,
+      |              t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+      |              t[pos+3] || ' ' || t[pos+4] AS gram
+      |       FROM p),
+      |keptg AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+      |kept AS (SELECT pg.doc_id, pg.pos, pg.gram FROM pg JOIN keptg USING (gram)),
+      |m AS (SELECT ka.doc_id AS a, kb.doc_id AS b, ka.pos AS pa, kb.pos AS pb
+      |      FROM kept ka JOIN kept kb
+      |        ON ka.gram = kb.gram AND ka.doc_id < kb.doc_id),
+      |i AS (SELECT a, b, pa, pb, pa - pb AS diag,
+      |             pa - row_number() OVER (PARTITION BY a, b, pa - pb
+      |                                     ORDER BY pa) AS isl
+      |      FROM m),
+      |sp AS (SELECT a, b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+      |              COUNT(*) + 4 AS span_tokens
+      |       FROM i GROUP BY a, b, diag, isl
+      |       HAVING COUNT(*) + 4 >= 8),
+      |cut AS (SELECT DISTINCT b AS doc_id, start_b AS s,
+      |               start_b + span_tokens - 1 AS e FROM sp),
+      |m0 AS (SELECT doc_id, s, e,
+      |              MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |       FROM cut),
+      |m1 AS (SELECT doc_id, s, e,
+      |              CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ni
+      |       FROM m0),
+      |m2 AS (SELECT doc_id, s, e,
+      |              SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                            ROWS UNBOUNDED PRECEDING) AS isl
+      |       FROM m1),
+      |mi AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM m2 GROUP BY doc_id, isl),
+      |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM mi),
+      |tp AS (SELECT doc_id, unnest(t) AS tok,
+      |              generate_subscripts(t, 1) AS pos FROM toks),
+      |keep AS (SELECT tp.doc_id, tp.pos, tp.tok
+      |         FROM tp LEFT JOIN cov
+      |           ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+      |         WHERE cov.pos IS NULL)
+      |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |FROM keep GROUP BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.cutDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 5, maxDf = 100L, minSpanTokens = 8)
+  }
+
+  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117)
 }

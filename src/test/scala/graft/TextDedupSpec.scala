@@ -49,6 +49,30 @@ class TextDedupSpec extends SparkSpec {
     assert(exchanges == 0, "intra-doc dedup must stay shuffle-free")
   }
 
+  test("span-dedup apply: cut from the higher id, overlaps merged, untouched docs intact") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // 10-token shared span
+    val corpus = docs(
+      1L -> s"$shared a1 a2 a3",         // canonical copy, kept whole
+      2L -> s"$shared b1 b2 b3 b4 b5",   // later doc: span cut, tail survives
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8")   // no duplication, identity
+    val out = Dedup.cutDuplicateSpans(corpus, "doc_id", "text",
+      n = 5, maxDf = 100L, minSpanTokens = 8)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == s"$shared a1 a2 a3")
+    assert(m(2L) == "b1 b2 b3 b4 b5")
+    assert(m(3L) == "c1 c2 c3 c4 c5 c6 c7 c8")
+  }
+
+  test("span-dedup apply: fully-covered doc disappears") {
+    val span = (1 to 12).map(i => s"t$i").mkString(" ")
+    val corpus = docs(1L -> s"$span x y z", 2L -> span) // doc2 IS the span
+    val out = Dedup.cutDuplicateSpans(corpus, "doc_id", "text",
+      n = 5, maxDf = 100L, minSpanTokens = 8)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == s"$span x y z")
+    assert(!m.contains(2L), "a doc whose every token is covered must drop")
+  }
+
   test("hashed-gram edges == string-gram edges on randomized corpora") {
     // rareGramEdges carries xxhash64 gram hashes through its shuffles;
     // absent 64-bit collisions (certain at this scale) the edge set must
