@@ -641,10 +641,22 @@ object Dedup {
                             n: Int = 5, maxDf: Long = 100L,
                             minSpanTokens: Int = 8): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => struct(i.cast(LongType).as("pos"),
-        concat_ws(" ", slice(toks, i, lit(n))).as("gram")))
+    // grams travel as xxhash64 longs (the rareGramEdges discipline):
+    // the df histogram and the positional self-join shuffle 8 bytes per
+    // gram instead of the n-token text, and the output carries only
+    // positions/counts, so the hash is invisible to the oracle —
+    // identical spans absent 64-bit collisions (same budget as every
+    // hash-based candidate generator here). The token array is
+    // LAMBDA-BOUND once (transform(array(toks), t => ...)) — element_at
+    // on the raw `toks` expression would re-run the split PER ELEMENT
+    // (the gramArray trap; measured 2x on this operator).
+    val grams = element_at(
+      transform(array(toks), t =>
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            xxhash64((0 until n).map(j => element_at(t, i + j)): _*).as("gram")))),
+      1)
     val pg = df.filter(size(Text.tokens(col(textCol))) >= n)
       .select(col(idCol), explode(grams).as("pg"))
       .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
