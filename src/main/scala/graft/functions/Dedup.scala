@@ -315,8 +315,9 @@ object Dedup {
     val cand = minhashCandidates(sigs, idCol, k, bands, estThreshold, bandHash)
       .select(col("a"), col("b"))
     // the gram table feeds sizes AND both intersection joins — persist
-    // the one explode instead of shingling the corpus three times
-    val g = shingles(df, idCol, textCol, n)
+    // the one explode instead of shingling the corpus three times;
+    // hashed grams (output carries only pair scores)
+    val g = hashedShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val inter = cand
@@ -354,8 +355,9 @@ object Dedup {
     // sf0.1/local[32] (3 reps): persist 2.29 s vs recompute 2.34 s —
     // a wash at gate scale (the round-3 13 s reading was single-rep
     // machine noise); kept because at 100 TB recomputing the explode
-    // four times dwarfs one serialization pass
-    val g0 = shingles(df, idCol, textCol, n)
+    // four times dwarfs one serialization pass. Grams travel hashed —
+    // the output is (a, b, jaccard), gram values never leave.
+    val g0 = hashedShingles(df, idCol, textCol, n)
     val g = if (persistGrams)
       g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else g0
@@ -409,7 +411,8 @@ object Dedup {
                        n: Int, threshold: Double,
                        maxGramDf: Long = 1000L,
                        persistTf: Boolean = true): DataFrame = {
-    val tf0 = gramCounts(df, idCol, textCol, n)
+    // hashed gram identities — the output is (a, b, cosine) only
+    val tf0 = hashedGramCounts(df, idCol, textCol, n)
     val tf = if (persistTf)
       tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else tf0
@@ -501,6 +504,25 @@ object Dedup {
           .otherwise(array().cast(ArrayType(LongType)))),
       1)
 
+  /** [[shingles]] with grams as xxhash64 longs — for every consumer
+    * whose OUTPUT never carries a gram value (pair scores, shared
+    * counts, edges): three-to-four full shuffles of the gram table move
+    * 8 bytes per gram instead of the gram text, and group/join on
+    * primitive longs. Collision budget as documented on
+    * [[rareGramEdges]]. Consumers that must re-emit or md5-oracle the
+    * gram text (MinHash signatures, boilerplate reassembly, keyword
+    * extraction) stay on the string form. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(gramHashArray(Text.tokens(col(textCol)), n))).as("gram"))
+
+  /** [[gramCounts]] over hashed grams — same contract as
+    * [[hashedShingles]], with multiplicity. */
+  def hashedGramCounts(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(gramHashArray(Text.tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+
   /** Candidate-duplicate EDGES from rare shared grams: (a, b) pairs of
     * docs sharing at least `minShared` distinct grams whose corpus
     * document frequency is in [2, maxDf]. Rare grams are the
@@ -526,8 +548,7 @@ object Dedup {
   def rareGramEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
                     maxDf: Long, minShared: Long): DataFrame = {
     // one explode feeds the df histogram and both self-join sides
-    val g = df.select(col(idCol),
-        explode(array_distinct(gramHashArray(Text.tokens(col(textCol)), n))).as("gram"))
+    val g = hashedShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("gram_df"))

@@ -83,7 +83,10 @@ object TrainingQueries {
       |FROM grams g JOIN bench b USING (gram)
       |WHERE g.doc_id >= 25
       |GROUP BY 1""".stripMargin) { (s, d) =>
-    val grams = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
+    // hashed grams: the broadcast benchmark set carries 8-byte longs
+    // (4x smaller than the gram text) and the scan-side probe compares
+    // primitives; output is (doc_id, n_shared) — hash-transparent
+    val grams = Dedup.hashedShingles(Tables.documents(s, d), "doc_id", "text", 5)
     val bench = grams.filter(col("doc_id") < 25).select("gram").distinct()
     grams.filter(col("doc_id") >= 25)
       .join(broadcast(bench), Seq("gram"), "inner")
