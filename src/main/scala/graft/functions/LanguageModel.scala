@@ -53,9 +53,15 @@ object LanguageModel {
   private def occurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = trim(col(textCol))
     // docs shorter than 3 chars are filtered BEFORE the sequence:
-    // Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty
-    val g3s = transform(sequence(lit(1), length(text) - 2),
-      i => text.substr(i, lit(3)))
+    // Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty.
+    // The trimmed text is lambda-bound once (the gramArray discipline;
+    // measured neutral here — codegen already amortizes the trim — but
+    // the bound form can't regress if the expression above it grows).
+    val g3s = element_at(
+      transform(array(text), s =>
+        transform(sequence(lit(1), length(s) - 2),
+          i => s.substr(i, lit(3)))),
+      1)
     df.filter(length(text) >= 3)
       .select(col(idCol), explode(g3s).as("g3"))
       .select(col(idCol), col("g3"), col("g3").substr(1, 2).as("g2"))
