@@ -197,8 +197,10 @@ object Components {
       // per round — see the propagation loop). The large-star subtree
       // appears twice inside small-star's plan, but its shuffles are
       // deduplicated by exchange reuse (canonicalized-plan matching),
-      // so an explicit mid-round materialization only adds cost
-      // (measured: +10 % at sf0.1).
+      // so an explicit mid-round materialization buys nothing
+      // (measured +10 % at sf0.1 in round 8, a wash re-measured in
+      // round 9 after the hashed-gram edge build) and would add a
+      // block-lifecycle obligation per round.
       val next = star(star(e, large = true), large = false).localCheckpoint(false)
       val nfp = fingerprint(next)
       stable = nfp == fp && sameEdges(next, e)
