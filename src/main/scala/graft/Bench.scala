@@ -104,7 +104,17 @@ object Bench {
     // n_errors travels next to the total so a round-over-round total
     // comparison can't silently absorb a newly failing (excluded) query
     val head = s""""metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size}"""
-    val tail = s""""oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir""""
+    // provenance stamp: git HEAD + any subset filter. PlanAudit's budget
+    // gate refuses to compare a record from different code or a partial
+    // sweep (skip-with-reason instead of a spurious pass/fail).
+    val stamp = {
+      val h = PlanAudit.gitHead()
+      val o = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(f => s""","bench_only":"${f.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        .getOrElse("")
+      (if (h.nonEmpty) s""""git_head":"$h",""" else "") + s""""reps_per_query":$reps$o"""
+    }
+    val tail = s"""$stamp,"oracle_twins_skipped":$skippedJson,"errors":$errors,"n_errors":$nErrors,"sf":"$sfDir""""
     println(s"BENCH total=${r4(total)} sec n_queries=${results.size} n_errors=$nErrors full_record=$outFile")
     println(s"""{$head,"queries":$qsTop,"queries_omitted":${results.size - withErrs.size},"file":"$outFile",$tail,"total_sec":${r4(total)}}""")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

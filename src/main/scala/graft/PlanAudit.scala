@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.{logical => l}
 import org.apache.spark.sql.execution._
@@ -99,21 +101,35 @@ object PlanAudit {
     * committed reference (`bench_baseline.json`, refreshed each round
     * from a trusted quiet-box run). A query is flagged when it runs
     * > [[BudgetFactor]]× its baseline AND above an absolute floor (sub-
-    * second queries flap on box noise alone). Records at different scale
-    * factors are never compared. Returns one line per offender. */
+    * second queries flap on box noise alone).
+    *
+    * Returns (skipReason, offenders). The gate SKIPS — with the reason
+    * printed by the caller, never silently — when the last record is not
+    * a comparable full-sweep run: missing files, a different scale
+    * factor, a `SPARK_GRAFT_BENCH_ONLY` subset run, or a record stamped
+    * with a different git HEAD than the code under audit (a stale
+    * artifact from older code must not fail — or pass — today's build).
+    * Unstamped records (hand-edited baselines, pre-stamp benches)
+    * compare as before. */
   private val BudgetFactor = 2.0
   private val BudgetFloorSec = 1.0
   private[graft] def benchBudgetRegressions(
       basePath: String = "bench_baseline.json",
-      lastPath: String = "target/bench_last.json"): Seq[String] = {
+      lastPath: String = "target/bench_last.json"): (Option[String], Seq[String]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val bp = java.nio.file.Paths.get(basePath)
     val lp = java.nio.file.Paths.get(lastPath)
-    if (!java.nio.file.Files.exists(bp) || !java.nio.file.Files.exists(lp)) return Nil
-    def parse(p: java.nio.file.Path): (String, Map[String, Double]) = {
+    if (!java.nio.file.Files.exists(bp))
+      return (Some(s"no committed baseline at $basePath"), Nil)
+    if (!java.nio.file.Files.exists(lp))
+      return (Some(s"no bench record at $lastPath (run graft.Bench first)"), Nil)
+    def parse(p: java.nio.file.Path): (Map[String, String], Map[String, Double]) = {
       val j = JsonMethods.parse(java.nio.file.Files.readString(p))
-      val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      def str(field: String): Option[(String, String)] = j \ field match {
+        case JString(s) if s.nonEmpty => Some(field -> s); case _ => None
+      }
+      val meta = Seq("sf", "git_head", "bench_only").flatMap(str).toMap
       val qs = j \ "queries" match {
         case JObject(fs) => fs.collect {
           case JField(k, JDouble(v)) => k -> v
@@ -122,19 +138,51 @@ object PlanAudit {
         }.toMap
         case _ => Map.empty[String, Double]
       }
-      (sf, qs)
+      (meta, qs)
     }
-    val (bsf, base) = parse(bp)
-    val (lsf, last) = parse(lp)
-    if (bsf != lsf) return Nil
-    (for {
-      (q, t) <- last.toSeq.sortBy(_._1)
-      b <- base.get(q)
-      if b > 0 && t > BudgetFloorSec && t > BudgetFactor * b
-    } yield f"$q: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx, budget ${BudgetFactor}x)") ++
-      last.toSeq.filter { case (q, t) => t < 0 && base.get(q).exists(_ >= 0) }
-        .map { case (q, _) => s"$q: ERRORED (baseline had it green)" }
+    val (bmeta, base) = parse(bp)
+    val (lmeta, last) = parse(lp)
+    if (lmeta.contains("bench_only"))
+      return (Some(s"last bench was a SPARK_GRAFT_BENCH_ONLY='${lmeta("bench_only")}' " +
+        "subset run, not a full sweep"), Nil)
+    if (bmeta.getOrElse("sf", "") != lmeta.getOrElse("sf", ""))
+      return (Some(s"scale-factor mismatch: baseline '${bmeta.getOrElse("sf", "?")}' vs " +
+        s"last '${lmeta.getOrElse("sf", "?")}'"), Nil)
+    val head = gitHead()
+    for (lh <- lmeta.get("git_head") if head.nonEmpty && lh != head)
+      return (Some(s"bench_last.json is from git ${lh.take(12)} but HEAD is " +
+        s"${head.take(12)} — stale record; re-run graft.Bench"), Nil)
+    (None,
+      (for {
+        (q, t) <- last.toSeq.sortBy(_._1)
+        b <- base.get(q)
+        if b > 0 && t > BudgetFloorSec && t > BudgetFactor * b
+      } yield f"$q: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx, budget ${BudgetFactor}x)") ++
+        last.toSeq.filter { case (q, t) => t < 0 && base.get(q).exists(_ >= 0) }
+          .map { case (q, _) => s"$q: ERRORED (baseline had it green)" })
   }
+
+  /** Commit hash of the working tree's HEAD, read from `.git` directly
+    * (no subprocess — the audit must behave identically under sbt and
+    * bare JVM). Empty string when not resolvable; callers treat that as
+    * "don't know", not as a mismatch. */
+  private[graft] def gitHead(gitDir: String = ".git"): String = try {
+    val headPath = java.nio.file.Paths.get(gitDir, "HEAD")
+    if (!java.nio.file.Files.exists(headPath)) return ""
+    val head = java.nio.file.Files.readString(headPath).trim
+    if (!head.startsWith("ref: ")) return head
+    val ref = head.stripPrefix("ref: ").trim
+    val refPath = java.nio.file.Paths.get(gitDir).resolve(ref)
+    if (java.nio.file.Files.exists(refPath))
+      java.nio.file.Files.readString(refPath).trim
+    else {
+      val packed = java.nio.file.Paths.get(gitDir, "packed-refs")
+      if (!java.nio.file.Files.exists(packed)) return ""
+      java.nio.file.Files.readAllLines(packed).asScala
+        .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
+        .getOrElse("")
+    }
+  } catch { case _: Throwable => "" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -176,7 +224,10 @@ object PlanAudit {
     offenders.foreach { case (n, hs) =>
       sb.append(s"UNBOUNDED BROADCAST HINT in $n: ${hs.mkString("; ")}\n")
     }
-    val budget = benchBudgetRegressions()
+    val (budgetSkip, budget) = benchBudgetRegressions()
+    // fail-open must be VISIBLE: a skipped gate prints why, so "audit
+    // green" can never be mistaken for "budget checked" when it wasn't
+    budgetSkip.foreach { why => sb.append(s"WALL-TIME BUDGET GATE SKIPPED: $why\n") }
     budget.foreach { line => sb.append(s"WALL-TIME BUDGET EXCEEDED: $line\n") }
     sys.env.get("GRAFT_EXPLAIN_OUT") match {
       case Some(f) => java.nio.file.Files.writeString(java.nio.file.Paths.get(f), sb.toString)

@@ -45,8 +45,14 @@ object Tables {
       case LongType => raw
       case TimestampType | TimestampNTZType =>
         // µs-precision timestamp → exact ns long. unix_micros needs
-        // TimestampType; NTZ→TZ cast is identity under the UTC session
-        // timezone (Sessions.scala).
+        // TimestampType; NTZ→TZ cast is identity ONLY under a UTC
+        // session timezone (Sessions.scala sets it) — on any other
+        // session the cast would silently shift every ts by the local
+        // offset, so fail loudly instead of corrupting the column.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts timestamp→nanos normalization requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'); build the session via graft.Sessions or set the conf")
         raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other =>
         throw new IllegalArgumentException(

@@ -486,7 +486,12 @@ object Dedup {
     val segs = transform(
       sequence(lit(0), ceil(size(t) / lit(segLen.toDouble)).cast(IntegerType) - 1),
       j => concat_ws(" ", slice(t, j * segLen + 1, lit(segLen))))
-    df.select(col(idCol), concat_ws(" ", array_distinct(segs)).as("clean_text"))
+    // NULL-text docs DROP (not "", which concat_ws would fabricate) —
+    // matches the relational semantics of the oracle's unnest-of-NULL
+    // and of every other per-doc text operator here (a null corpus row
+    // has no segments, hence no output row)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), concat_ws(" ", array_distinct(segs)).as("clean_text"))
   }
 
   /** All n-gram HASHES of a token array: the tokens are fed to xxhash64
@@ -508,10 +513,19 @@ object Dedup {
     * whose OUTPUT never carries a gram value (pair scores, shared
     * counts, edges): three-to-four full shuffles of the gram table move
     * 8 bytes per gram instead of the gram text, and group/join on
-    * primitive longs. Collision budget as documented on
-    * [[rareGramEdges]]. Consumers that must re-emit or md5-oracle the
-    * gram text (MinHash signatures, boilerplate reassembly, keyword
-    * extraction) stay on the string form. */
+    * primitive longs. Collision budget: [[rareGramEdges]]' minShared
+    * gating only backstops the EDGE consumers; the score-emitting
+    * consumers (q22 jaccard, q71 shared-gram counts, q110/q117 span
+    * coordinates) feed oracle-compared final outputs with NO downstream
+    * exact verify, so they accept the RAW ~k²/2⁶⁵ probability that a
+    * collision inflates a score or fabricates a positional match —
+    * negligible at gate scale (~10⁻⁶) and a handful of expected
+    * per-pair events at 10¹⁰ grams, each perturbing one score by one
+    * gram's weight, which is the standard fingerprinting trade (Broder
+    * '97 accepts the same for shingle hashes). Consumers that must
+    * re-emit or md5-oracle the gram text (MinHash signatures,
+    * boilerplate reassembly, keyword extraction) stay on the string
+    * form. */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol),
       explode(array_distinct(gramHashArray(Text.tokens(col(textCol)), n))).as("gram"))

@@ -49,6 +49,18 @@ class TextDedupSpec extends SparkSpec {
     assert(exchanges == 0, "intra-doc dedup must stay shuffle-free")
   }
 
+  test("intra-doc dedup: NULL text drops the doc (oracle parity, not an empty string)") {
+    // DuckDB's unnest over a NULL token range emits zero rows, so the
+    // q116 oracle drops NULL-text docs entirely; the Spark side must
+    // not resurrect them as (doc_id, "") via concat_ws's null-eating
+    import spark.implicits._
+    val corpus = Seq((1L, Option("a b a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val m = Dedup.dedupWithinDoc(corpus, "doc_id", "text", segLen = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "a b"))
+  }
+
   test("span-dedup apply: cut from the higher id, overlaps merged, untouched docs intact") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // 10-token shared span
     val corpus = docs(
