@@ -1,0 +1,22 @@
+#!/bin/bash
+# Scaling sweep for the heavy dedup/ANN/components tier (VERDICT r9 #1):
+# bench the 15 heavy queries at sf0.1 (driver data) and at the ScaleUp-
+# replicated sf0.5/sf1.0, 3 reps each (Bench reports the per-query MIN),
+# collecting one bench_last.json per scale point under target/scale/.
+# Fit exponents + render SCALING.md with scripts/scaling_fit.py.
+#
+# Usage: scripts/scaling_sweep.sh   (from /root/repo, after
+#        `runMain graft.ScaleUp /root/testdata/sf0.1 target/scale/sfX k`)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+REGEX='^(q15|q20|q22|q51|q68|q83|q94|q103|q104|q108|q110|q113|q114|q116|q117)_'
+mkdir -p target/scale
+for sf in 0.1 0.5 1.0; do
+  if [ "$sf" = "0.1" ]; then DIR=/root/testdata/sf0.1; else DIR="target/scale/sf$sf"; fi
+  echo "=== scaling sweep sf=$sf dir=$DIR"
+  SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_BENCH_ONLY="$REGEX" SPARK_GRAFT_BENCH_REPS=3 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -E "^BENCH|Nonzero" || true
+  cp target/bench_last.json "target/scale/bench_sf$sf.json"
+done
+echo "=== sweep complete: target/scale/bench_sf{0.1,0.5,1.0}.json"
