@@ -269,24 +269,37 @@ object Dedup {
     * `ngramJaccardPairs`' hot gram, bounded here by band width. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int, bands: Int = 4,
-                          tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
+                          tokenHash: Column => Column = t => xxhash64(t)): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol), simhash(col(textCol), tokenHash).as("simhash")),
+      idCol, "simhash", maxHamming, bands)
+
+  /** Banded Hamming-distance pairs over ANY 64-bit hash column — the
+    * blocking engine shared by [[simhashNearDupPairs]] (text) and
+    * [[graft.functions.Multimodal.perceptualHash]] (images): rows
+    * agreeing on any contiguous 64/bands-bit band become candidates
+    * (equi-join on (band, band-bits) — never O(n²)), then the exact
+    * Hamming distance gates `<= maxHamming`. Recall is EXACT for
+    * maxHamming < bands by pigeonhole; scale/banding trade-offs as
+    * documented on [[simhashNearDupPairs]]. Output: (a, b, hamming)
+    * with a < b. */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands,
       s"exact recall needs maxHamming=$maxHamming < bands=$bands (pigeonhole)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df.select(col(idCol),
-      simhash(col(textCol), tokenHash).as("simhash"))
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded = hashes.select(col(idCol), col(hashCol),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
-          shiftrightunsigned(col("simhash"), bnd * width)
+          shiftrightunsigned(col(hashCol), bnd * width)
             .bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("u"))
-      .select(col(idCol), col("simhash"), col("u.band"), col("u.bh"))
-    val a = banded.select(col(idCol).as("a"), col("simhash").as("sh_a"),
+      .select(col(idCol), col(hashCol), col("u.band"), col("u.bh"))
+    val a = banded.select(col(idCol).as("a"), col(hashCol).as("sh_a"),
       col("band"), col("bh"))
-    val b = banded.select(col(idCol).as("b"), col("simhash").as("sh_b"),
+    val b = banded.select(col(idCol).as("b"), col(hashCol).as("sh_b"),
       col("band"), col("bh"))
     a.join(b, Seq("band", "bh"), "inner")
       .filter(col("a") < col("b"))

@@ -78,6 +78,58 @@ object Multimodal {
     }
   }
 
+  /** A perceptual-hash row: id + 64-bit dHash. */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** 64-bit perceptual hash (dHash) of each media row: the decoder
+    * yields a deterministic 9×8 grayscale grid (72 bytes — with a real
+    * codec this is the decode→downscale-to-9×8 luminance step; the stub
+    * derives the grid bytes from the payload checksum via the same LCG
+    * as [[resizeStub]]), and bit b = (row b/8, col b%8) is set when the
+    * pixel's right neighbor is brighter — the classic
+    * difference-hash construction (horizontal gradient signs), which
+    * for real images is stable under re-encode/resize/brightness
+    * shifts.
+    *
+    * Scale shape: one map-side pass in the `mapPartitions` batch path
+    * (same as [[featurize]]) — no shuffle, runs at scan parallelism.
+    * Feed the result to
+    * [[graft.functions.Dedup.bandedHammingPairs]] for banded
+    * near-duplicate candidate pairs (never O(n²)).
+    *
+    * HONEST LIMIT of the stub: a real decoder maps visually-near images
+    * to near grids, so near phashes ⇔ near images; the stub's grid is
+    * hash-chaotic in the payload, so only byte-identical payloads give
+    * Hamming-0 collisions and nothing sits "near" — the dedup the stub
+    * can demonstrate end-to-end is exact-payload dedup, and the banded
+    * pair recall at Hamming 1..3 is pinned at the hash level in specs
+    * instead. */
+  def perceptualHash(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, checksum) = decoder.decode(r.payload)
+        val px = new Array[Int](72) // 9 wide x 8 high
+        var st = checksum
+        var i = 0
+        while (i < 72) {
+          st = st * 6364136223846793005L + 1442695040888963407L
+          px(i) = ((st >>> 56) & 0xff).toInt
+          i += 1
+        }
+        var ph = 0L
+        var b = 0
+        while (b < 64) {
+          val row = b >> 3; val c = b & 7
+          if (px(row * 9 + c) < px(row * 9 + c + 1)) ph |= (1L << b)
+          b += 1
+        }
+        MediaHash(r.doc_id, ph)
+      }
+    }.toDF()
+  }
+
   /** Resize stub: a production decoder would decode → scale → re-encode;
     * the stub derives a new deterministic payload of the target
     * "resolution" (w·h bytes, content seeded from the original checksum)

@@ -138,6 +138,37 @@ object Text {
     merges.result()
   }
 
+  /** BPE ENCODE — apply a TRAINED merge list (from [[bpeTrainMerges]])
+    * to every document, in rank order: tokenize, then rewrite with
+    * merge 1, then merge 2, … exactly the inference-time counterpart
+    * of the training loop (train emits the ranked pair table; encode
+    * replays it), completing the tokenizer family train→encode.
+    *
+    * Plan shape: a FOLD of the native [[mergePair]] kernel — M nested
+    * codegen'd rewrites inside ONE projection, so the whole encode is a
+    * single corpus scan (not M passes: the fold composes expressions,
+    * not jobs; `.explain` shows one WholeStageCodegen Project). Per-doc
+    * cost is O(M·L). That beats a per-doc priority-queue encoder
+    * (O(L log L) with heap + linked-list bookkeeping, non-codegen) for
+    * the bounded merge budgets a corpus pipeline trains here (M ≲ 10²,
+    * the q106 `rounds` knob): the kernels fuse into the scan and touch
+    * each token array sequentially. At full-vocabulary scale (M ~ 3·10⁴)
+    * the fold's M·L term AND the JVM's 64 KB codegen method limit both
+    * give out — that regime wants the heap-based per-doc loop as one
+    * native expression taking the merge TABLE as input, a different
+    * operator contract (ranked-vocab lookup, not ranked replay), out of
+    * scope for the trained-M-rounds path registered here.
+    *
+    * Returns (idCol, tokens array). Empty merge list = plain
+    * tokenization. */
+  def encodeBpe(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(bpeTokens(col(textCol))) {
+      case (toks, (a, b)) => mergePair(toks, a, b)
+    }
+    docs.select(col(idCol), encoded.as("tokens"))
+  }
+
   /** Characters that are neither lowercase letters nor spaces, as a
     * ratio of total length (punctuation/symbol density). */
   def nonAlphaRatio(text: Column): Column =

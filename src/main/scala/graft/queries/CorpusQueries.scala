@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, LanguageModel, Retrieval, Similarity, Text}
+import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Retrieval, Similarity, Text}
 
 /** Round-8 corpus-operator batch: maximal duplicate-span extraction,
   * impact-ordered inverted indexing, sliding-window chunking, a
@@ -260,5 +260,85 @@ object CorpusQueries {
       n = 5, maxDf = 100L, minSpanTokens = 8)
   }
 
-  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117)
+  /** DuckDB CTE replaying [[Multimodal.perceptualHash]] over the
+    * Md5Decoder in closed form: the JVM side iterates the grid LCG
+    * (st ← a·st + c mod 2⁶⁴, pixel = top byte) 72 times from the
+    * payload's h60 checksum; mod-2⁶⁴ power sums give pixel i directly
+    * as (a^(i+1)·chk + c·Σa^j) mod 2⁶⁴ ≫ 56, so the oracle inlines the
+    * 72 precomputed (A, C) constant pairs and needs no recursion. All
+    * intermediates ride HUGEINT (64×64-bit products are 128-bit; BIGINT
+    * would overflow-error), and the final 64-bit sum wraps back to the
+    * SIGNED BIGINT the JVM long carries. */
+  private val phashCteSql: String = {
+    val M = BigInt(1) << 64
+    val a = BigInt(6364136223846793005L)
+    val c = BigInt(1442695040888963407L)
+    val consts = Iterator.iterate((BigInt(1), BigInt(0))) { case (an, cn) =>
+      ((an * a) % M, (cn * a + c) % M)
+    }.drop(1).take(72).toSeq
+    val pairs = consts.map { case (an, cn) => s"[$an::HUGEINT,$cn::HUGEINT]" }
+      .mkString("[", ",", "]")
+    val h = Hashes.h60Sql("text")
+    s"""chk AS (SELECT doc_id, $h AS chk FROM documents),
+       |px AS (SELECT doc_id, list_transform($pairs,
+       |         gp -> CAST(((gp[1] * chk::HUGEINT + gp[2]) % 18446744073709551616::HUGEINT)
+       |                    // 72057594037927936 AS BIGINT)) AS px FROM chk),
+       |bits AS (SELECT doc_id, list_sum(list_transform(range(0, 64),
+       |           gb -> CASE WHEN px[(gb // 8) * 9 + (gb % 8) + 1] <
+       |                           px[(gb // 8) * 9 + (gb % 8) + 2]
+       |                      THEN CAST(1 AS HUGEINT) << gb ELSE 0::HUGEINT END)) AS s
+       |         FROM px),
+       |ph AS (SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |                                THEN s - 18446744073709551616::HUGEINT
+       |                                ELSE s END AS BIGINT) AS phash
+       |       FROM bits)""".stripMargin
+  }
+
+  /** q118 — perceptual image hash (dHash) over the media table's
+    * decoder grid, through the multimodal mapPartitions batch path.
+    * Registered with the md5 stub decoder so the DuckDB oracle replays
+    * every bit (closed-form LCG, [[phashCteSql]]); the FNV production
+    * decoder twin is benched instead (q26/q28 house pattern). */
+  val q118 = Q("q118_phash",
+    s"WITH $phashCteSql SELECT doc_id, phash FROM ph") { (s, d) =>
+    Multimodal.perceptualHash(
+      Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.Md5Decoder)
+  }
+
+  val q118p = Q.noOracle("q118_phash_prod") { (s, d) =>
+    Multimodal.perceptualHash(
+      Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubDecoder)
+  }
+
+  /** q119 — perceptual near-duplicate image pairs: q118's hashes,
+    * banded into 4×16-bit blocks and Hamming-gated ≤ 3 (recall exact by
+    * pigeonhole — [[Dedup.bandedHammingPairs]], the machinery SimHash
+    * q84 uses). The oracle brute-forces all O(n²) pairs — affordable
+    * only at gate scale, which is exactly why the registered plan
+    * blocks by band instead. On the driver corpus the surviving pairs
+    * are the byte-identical payload groups (the stub decoder is
+    * hash-chaotic — see [[Multimodal.perceptualHash]]'s honest-limit
+    * note; sf0.01 has none, sf0.1 has its exact-dup texts); Hamming
+    * 1–3 recall is pinned at the hash level in `MultimodalSpec`. */
+  val q119 = Q("q119_phash_neardup",
+    s"""WITH $phashCteSql
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+       |FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin) { (s, d) =>
+    Dedup.bandedHammingPairs(
+      Multimodal.perceptualHash(
+        Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.Md5Decoder),
+      "doc_id", "phash", maxHamming = 3, bands = 4)
+  }
+
+  val q119p = Q.noOracle("q119_phash_neardup_prod") { (s, d) =>
+    Dedup.bandedHammingPairs(
+      Multimodal.perceptualHash(
+        Multimodal.mediaTable(Tables.documents(s, d)), Multimodal.StubDecoder),
+      "doc_id", "phash", maxHamming = 3, bands = 4)
+  }
+
+  val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
+    q118, q118p, q119, q119p)
 }

@@ -714,6 +714,90 @@ object TrainingQueries {
       .select("doc_id", "token", "tf", "score", "rank")
   }
 
+  /** The q105 merge-round parity algebra ITERATED `rounds` times as one
+    * generated CTE chain — round k re-derives that round's top pair
+    * from round k−1's rewritten corpus (exactly what
+    * [[Text.bpeTrainMerges]] does) and applies it with the
+    * gaps-and-islands leftmost-nonoverlap scan (exactly what
+    * [[Text.mergePair]]'s kernel does), so the WHOLE train→encode loop
+    * of q120 sits under the exact oracle, not just one round. Docs
+    * whose token array is empty drop out of the positional CTEs and are
+    * re-joined as '' at the end (q105's LEFT JOIN discipline); a round
+    * with no adjacent pairs anywhere leaves pa/pb NULL and is the
+    * identity on both engines. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val pat = Text.BpePattern
+    val sb = new StringBuilder(
+      s"""WITH bt0 AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$pat') AS b FROM documents)""".stripMargin)
+    for (k <- 1 to rounds) {
+      val p = k - 1
+      sb.append(s""",
+         |pr$k AS (
+         |  SELECT unnest(list_transform(range(1, greatest(len(b), 1)),
+         |                i -> b[i] || ' ' || b[i+1])) AS pair
+         |  FROM bt$p),
+         |top$k AS (
+         |  SELECT pair FROM (SELECT pair, COUNT(*) AS n FROM pr$k GROUP BY 1
+         |                    ORDER BY n DESC, pair LIMIT 1)),
+         |pp$k AS (
+         |  SELECT (SELECT string_split(pair, ' ')[1] FROM top$k) AS pa,
+         |         (SELECT string_split(pair, ' ')[2] FROM top$k) AS pb),
+         |pos$k AS (
+         |  SELECT doc_id, unnest(range(1, len(b) + 1)) AS i, b FROM bt$p),
+         |flags$k AS (
+         |  SELECT doc_id, i, b[i] AS tok,
+         |         CASE WHEN i < len(b) AND b[i] = pa AND b[i + 1] = pb
+         |              THEN 1 ELSE 0 END AS cand,
+         |         pa, pb
+         |  FROM pos$k CROSS JOIN pp$k),
+         |isl$k AS (
+         |  SELECT *, CASE WHEN cand = 1
+         |                 THEN i - row_number() OVER (PARTITION BY doc_id, cand ORDER BY i)
+         |                 ELSE NULL END AS grp
+         |  FROM flags$k),
+         |starts$k AS (
+         |  SELECT *, cand = 1
+         |              AND ((i - MIN(i) OVER (PARTITION BY doc_id, grp)) % 2 = 0) AS strt
+         |  FROM isl$k),
+         |pruned$k AS (
+         |  SELECT doc_id, i, tok, strt, pa, pb
+         |  FROM (SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY doc_id ORDER BY i),
+         |                           false) AS prev_strt
+         |        FROM starts$k)
+         |  WHERE NOT prev_strt),
+         |bt$k AS (
+         |  SELECT doc_id, list(CASE WHEN strt THEN pa || pb ELSE tok END
+         |                      ORDER BY i) AS b
+         |  FROM pruned$k GROUP BY doc_id)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT d.doc_id, COALESCE(array_to_string(f.b, ' '), '') AS toks,
+       |       CAST(COALESCE(len(f.b), 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN bt$rounds f ON f.doc_id = d.doc_id""".stripMargin)
+    sb.toString
+  }
+
+  private val BpeEncodeRounds = 6
+
+  /** q120 — BPE ENCODE: train the merge table ([[Text.bpeTrainMerges]],
+    * the q106 loop) and APPLY it in rank order to every document
+    * ([[Text.encodeBpe]]) — the tokenizer family's inference half,
+    * completing train→encode. The encode itself is ONE codegen'd scan
+    * (a fold of 6 native merge kernels inside a single projection — see
+    * `encodeBpe`'s scale note on why that beats per-doc heaps at
+    * trained-M scale); training cost is the q106 per-round aggregate.
+    * Fully oracled: the [[bpeEncodeOracleSql]] chain re-derives AND
+    * re-applies every round in DuckDB. */
+  val q120 = Q("q120_bpe_encode", bpeEncodeOracleSql(BpeEncodeRounds)) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = Text.bpeTrainMerges(docs, "text", rounds = BpeEncodeRounds)
+      .map(m => (m._2, m._3))
+    Text.encodeBpe(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("toks"),
+        size(col("tokens")).cast(LongType).as("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Multimodal, Similarity}
+import graft.functions.{Dedup, Multimodal, Similarity}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -245,5 +245,73 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     val bad = frames.filter(col("byte_offset") =!= col("frame_idx") * 16)
     assert(bad.isEmpty && frames.count() >= 5)
+  }
+
+  /** Driver-side replay of [[Multimodal.perceptualHash]]'s dHash: same
+    * LCG grid from the decoder checksum, same gradient-sign bits. */
+  private def refPhash(payload: Array[Byte], decoder: Multimodal.Decoder): Long = {
+    val (_, _, chk) = decoder.decode(payload)
+    val px = new Array[Int](72)
+    var st = chk
+    for (i <- 0 until 72) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      px(i) = ((st >>> 56) & 0xff).toInt
+    }
+    (0 until 64).foldLeft(0L) { (ph, b) =>
+      if (px((b >> 3) * 9 + (b & 7)) < px((b >> 3) * 9 + (b & 7) + 1)) ph | (1L << b) else ph
+    }
+  }
+
+  test("perceptual hash: deterministic, bit-equal to the driver-side dHash reference, both decoders") {
+    val docs = Tables.documents(spark, sf).limit(20).cache()
+    for (dec <- Seq(Multimodal.StubDecoder, Multimodal.Md5Decoder)) {
+      val got = Multimodal.perceptualHash(Multimodal.mediaTable(docs), dec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> refPhash(r.getString(1).getBytes("UTF-8"), dec)).toMap
+      assert(got === want, s"decoder $dec")
+    }
+  }
+
+  test("banded Hamming pairs: exact recall at h<=3 with 4 bands, h=4 excluded (pigeonhole edge)") {
+    import spark.implicits._
+    // constructed hashes: base + deterministic 1/2/3-bit flips across
+    // every band alignment, plus one 4-bit flip that must NOT pair with
+    // the base (all four bands touched) — recall at <=3 is exact, so
+    // every qualifying pair must appear with its true distance
+    val base = 0x0123456789abcdefL
+    val rnd = new scala.util.Random(7)
+    val variants = (1 to 3).flatMap { h =>
+      (0 until 8).map { i =>
+        val bits = rnd.shuffle((0 until 64).toList).take(h)
+        (100L * h + i, bits.foldLeft(base)((x, b) => x ^ (1L << b)), h)
+      }
+    }
+    val far = (900L, base ^ 1L ^ (1L << 17) ^ (1L << 33) ^ (1L << 49), 4)
+    val df = ((0L, base, 0) +: variants :+ far)
+      .map { case (id, h, _) => (id, h) }.toDF("doc_id", "phash")
+    val pairs = Dedup.bandedHammingPairs(df, "doc_id", "phash", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    variants.foreach { case (id, _, h) =>
+      assert(pairs.get((0L, id)).contains(h), s"pair (0,$id) at hamming $h missing")
+    }
+    assert(!pairs.contains((0L, 900L)), "4-bit flip with all bands touched must not pair")
+  }
+
+  test("perceptual near-dup e2e: byte-identical payloads collide at hamming 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same bytes same image", "en", "t"),
+      (2L, "same bytes same image", "en", "t"), // exact payload dup of 1
+      (3L, "different bytes entirely", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.bandedHammingPairs(
+      Multimodal.perceptualHash(Multimodal.mediaTable(docs)),
+      "doc_id", "phash", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated payload must not near-collide (hash-chaotic stub)")
   }
 }

@@ -79,6 +79,28 @@ class TokenizerSpec extends SparkSpec {
       Seq((1, "a", "b", 1L)))
   }
 
+  test("encodeBpe: train->encode replay equals the reference encoder; one projection, no shuffle") {
+    val corpus = Seq("a b a b c d", "b c b c b c a b", "a b c a b c", "d d d d", "x")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Text.bpeTrainMerges(df, "text", rounds = 5).map(m => (m._2, m._3))
+    val out = Text.encodeBpe(df, "doc_id", "text", merges)
+    val got = out.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val want = merges.foldLeft(t.split(" ").toList) { case (ts, (a, b)) => refMerge(ts, a, b) }
+      assert(got(i.toLong) === want, s"doc $i")
+      assert(got(i.toLong).mkString === t.split(" ").mkString, "character mass conserved")
+    }
+    // scale claim: the M-merge fold is ONE map-side projection — the
+    // encode pass itself adds zero exchanges over the scan
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, "encode must stay a single scan-speed projection")
+    // empty merge list degrades to plain tokenization
+    val plain = Text.encodeBpe(df, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(plain(0L) === List("a", "b", "a", "b", "c", "d"))
+  }
+
   test("merge round: randomized equivalence with the reference scan; character mass conserved") {
     val rnd = new scala.util.Random(20260813L)
     val alpha = Vector("a", "b", "c")
