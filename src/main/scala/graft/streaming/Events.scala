@@ -249,9 +249,10 @@ object Events {
     * rounds and a broker restart through it). */
   def kafkaWireReplayBatch(spark: org.apache.spark.sql.SparkSession,
                            host: String, port: Int, topic: String,
-                           partition: Int = 0, fromOffset: Long = 0L): (DataFrame, Long) = {
+                           partition: Int = 0, fromOffset: Long = 0L,
+                           wire: KafkaWire.Wire = KafkaWire.LegacyWire): (DataFrame, Long) = {
     import spark.implicits._
-    val (recs, hw) = KafkaWire.fetch(host, port, topic, partition, fromOffset)
+    val (recs, hw) = KafkaWire.fetch(host, port, topic, partition, fromOffset, wire = wire)
     val rows = recs.map { r =>
       (Option(r.key).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull,
         Option(r.value).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull,
@@ -270,7 +271,9 @@ object Events {
     * foreachBatch sink here (and like the wire client's documented
     * retry-once caveat). */
   def kafkaWireSinkBatch(host: String, port: Int, topic: String,
-                         partition: Int = 0)(batch: DataFrame, batchId: Long): Unit =
+                         partition: Int = 0,
+                         wire: KafkaWire.Wire = KafkaWire.LegacyWire)(
+                         batch: DataFrame, batchId: Long): Unit =
     batch.select(col("key").cast("string"), col("value").cast("string"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val recs = rows.map { r =>
@@ -278,7 +281,7 @@ object Events {
             else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (b(0), b(1))
         }.toSeq
-        if (recs.nonEmpty) { KafkaWire.produce(host, port, topic, partition, recs); () }
+        if (recs.nonEmpty) { KafkaWire.produce(host, port, topic, partition, recs, wire); () }
       }
 
   // ------------------------------------------------------------- rerank U1

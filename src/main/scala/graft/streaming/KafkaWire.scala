@@ -13,10 +13,15 @@ import scala.collection.mutable.ArrayBuffer
   * (`streaming_flow.py:180-185` consumes topic `user_events`;
   * `:228-235` produces rerank payloads back). The sandbox has no
   * broker and no kafka-clients jar, so the protocol itself is spoken
-  * here: the LEGACY v0 wire format (the original Kafka protocol —
-  * fixed request header, Produce/Fetch/Metadata, CRC32-checksummed
-  * MessageSets), verified in `KafkaWireSpec` against an in-process
-  * loopback broker the same way `RespSpec` pins RESP2.
+  * here, in BOTH wire generations: the LEGACY v0 format (fixed request
+  * header, Produce/Fetch/Metadata v0, CRC32-checksummed MessageSets)
+  * and the CURRENT magic-2 RecordBatch format (Produce v3 / Fetch v4 —
+  * zigzag-varint delta-encoded records, one CRC32C per batch, the
+  * idempotent-producer/txn fields at their null sentinels). Both are
+  * verified in `KafkaWireSpec` against an in-process loopback broker
+  * the same way `RespSpec` pins RESP2; the broker magic-sniffs
+  * produced sets at byte 16 (the real broker-upgrade behavior) so
+  * mixed-codec producers share one log.
   *
   * What this closes and what it doesn't: the SEMANTICS of S4/K7
   * (offset-tracked at-least-once consumption, keyed payload
@@ -118,6 +123,148 @@ object KafkaWire {
     out.toByteArray
   }
 
+  // ------------------------------------------------- v2 record batches
+
+  /** Unsigned varint (the protobuf encoding Kafka v2 records use). */
+  private[graft] def writeUnsignedVarint(o: DataOutputStream, v0: Int): Unit = {
+    var v = v0
+    while ((v & 0xffffff80) != 0) { o.writeByte((v & 0x7f) | 0x80); v >>>= 7 }
+    o.writeByte(v)
+  }
+
+  private[graft] def readUnsignedVarint(i: DataInputStream): Int = {
+    var value = 0; var shift = 0
+    var b = i.readByte() & 0xff
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7f) << shift; shift += 7
+      if (shift > 28) throw new IOException("kafka-wire: varint longer than 5 bytes")
+      b = i.readByte() & 0xff
+    }
+    value | (b << shift)
+  }
+
+  /** Zigzag-encoded signed varint/varlong (negative lengths = null). */
+  private[graft] def writeVarint(o: DataOutputStream, v: Int): Unit =
+    writeUnsignedVarint(o, (v << 1) ^ (v >> 31))
+
+  private[graft] def readVarint(i: DataInputStream): Int = {
+    val u = readUnsignedVarint(i)
+    (u >>> 1) ^ -(u & 1)
+  }
+
+  private[graft] def writeVarlong(o: DataOutputStream, v0: Long): Unit = {
+    var v = (v0 << 1) ^ (v0 >> 63)
+    while ((v & 0xffffffffffffff80L) != 0) { o.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    o.writeByte(v.toInt)
+  }
+
+  private[graft] def readVarlong(i: DataInputStream): Long = {
+    var value = 0L; var shift = 0
+    var b = i.readByte() & 0xff
+    while ((b & 0x80) != 0) {
+      value |= (b & 0x7f).toLong << shift; shift += 7
+      if (shift > 63) throw new IOException("kafka-wire: varlong longer than 10 bytes")
+      b = i.readByte() & 0xff
+    }
+    val u = value | (b.toLong << shift)
+    (u >>> 1) ^ -(u & 1)
+  }
+
+  /** One v2 RecordBatch (magic 2 — the CURRENT Kafka message format:
+    * delta-encoded zigzag-varint records, ONE CRC32C per batch over
+    * attributes..end instead of a CRC32 per message). Offsets must be
+    * dense from `records.head._1`; timestamps are NO_TIMESTAMP (−1),
+    * the create-time-less shape of a producer without clocks, and the
+    * idempotent-producer fields ride their null sentinels (pid −1). */
+  private[graft] def encodeRecordBatchV2(
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    require(records.nonEmpty, "a v2 batch frames at least one record")
+    val baseOffset = records.head._1
+    val body = new ByteArrayOutputStream() // attributes..records (crc'd span)
+    val bo = new DataOutputStream(body)
+    bo.writeShort(0) // attributes: no compression, create-time, non-txn
+    bo.writeInt((records.last._1 - baseOffset).toInt) // lastOffsetDelta
+    bo.writeLong(-1L); bo.writeLong(-1L) // base/max timestamp (NO_TIMESTAMP)
+    bo.writeLong(-1L); bo.writeShort(-1); bo.writeInt(-1) // pid, epoch, seq
+    bo.writeInt(records.size)
+    records.foreach { case (off, k, v) =>
+      val rec = new ByteArrayOutputStream(); val ro = new DataOutputStream(rec)
+      ro.writeByte(0) // record attributes
+      writeVarlong(ro, 0L) // timestampDelta
+      writeVarint(ro, (off - baseOffset).toInt) // offsetDelta
+      if (k == null) writeVarint(ro, -1) else { writeVarint(ro, k.length); ro.write(k) }
+      if (v == null) writeVarint(ro, -1) else { writeVarint(ro, v.length); ro.write(v) }
+      writeVarint(ro, 0) // headers
+      val rb = rec.toByteArray
+      writeVarint(bo, rb.length); bo.write(rb)
+    }
+    val crcd = body.toByteArray
+    val crc = new java.util.zip.CRC32C; crc.update(crcd)
+    val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+    o.writeLong(baseOffset)
+    o.writeInt(4 + 1 + 4 + crcd.length) // batchLength: epoch+magic+crc+body
+    o.writeInt(-1) // partitionLeaderEpoch
+    o.writeByte(2) // magic
+    o.writeInt(crc.getValue.toInt)
+    o.write(crcd)
+    out.toByteArray
+  }
+
+  /** Decode a (possibly multi-batch) v2 record set, verifying each
+    * batch's CRC32C; a trailing partial batch is dropped (same fetch
+    * cut contract as the legacy set). */
+  private[graft] def decodeRecordBatchesV2(bytes: Array[Byte]): Seq[Record] = {
+    val recs = ArrayBuffer[Record]()
+    var pos = 0
+    var done = false
+    while (!done && bytes.length - pos >= 12) {
+      val i = new DataInputStream(new ByteArrayInputStream(bytes, pos, bytes.length - pos))
+      val baseOffset = i.readLong()
+      val batchLength = i.readInt()
+      if (batchLength < 0 || batchLength > bytes.length - pos - 12) done = true
+      else {
+        i.readInt() // partitionLeaderEpoch (not covered by the crc)
+        val magic = i.readByte()
+        if (magic != 2)
+          throw new IOException(s"kafka-wire: expected magic 2 batch, got $magic")
+        val crcStored = i.readInt() & 0xffffffffL
+        val crcdLen = batchLength - 4 - 1 - 4
+        val crcd = new Array[Byte](crcdLen); i.readFully(crcd)
+        val c = new java.util.zip.CRC32C; c.update(crcd)
+        if (c.getValue != crcStored)
+          throw new IOException(s"kafka-wire: batch CRC32C mismatch at offset $baseOffset")
+        val bi = new DataInputStream(new ByteArrayInputStream(crcd))
+        bi.readShort(); bi.readInt() // attributes, lastOffsetDelta
+        bi.readLong(); bi.readLong() // timestamps
+        bi.readLong(); bi.readShort(); bi.readInt() // pid, epoch, seq
+        val n = bi.readInt()
+        for (_ <- 0 until n) {
+          val len = readVarint(bi)
+          val rb = new Array[Byte](len); bi.readFully(rb)
+          val ri = new DataInputStream(new ByteArrayInputStream(rb))
+          ri.readByte() // attributes
+          readVarlong(ri) // timestampDelta
+          val offsetDelta = readVarint(ri)
+          def bytesField(): Array[Byte] = {
+            val l = readVarint(ri)
+            if (l < 0) null else { val b = new Array[Byte](l); ri.readFully(b); b }
+          }
+          recs += Record(baseOffset + offsetDelta, bytesField(), bytesField())
+        }
+        pos += 12 + batchLength
+      }
+    }
+    recs.toSeq
+  }
+
+  /** Record-set sniffing, the broker-upgrade trick the real broker
+    * uses: BOTH wire formats place the magic byte at absolute offset 16
+    * of the set (legacy: offset+size+crc precede it; v2:
+    * baseOffset+batchLength+leaderEpoch precede it). */
+  private[graft] def decodeAnyRecordSet(bytes: Array[Byte]): Seq[Record] =
+    if (bytes.length > 16 && bytes(16) == 2) decodeRecordBatchesV2(bytes)
+    else decodeMessageSet(bytes)
+
   /** Decode a message set, VERIFYING each message's CRC. Tolerates a
     * trailing partial message (the protocol allows fetch responses cut
     * at max_bytes; the partial is simply dropped). */
@@ -205,13 +352,17 @@ object KafkaWire {
           val ri = new DataInputStream(new ByteArrayInputStream(req))
           val apiKey = ri.readShort(); val apiVersion = ri.readShort()
           val correlationId = ri.readInt(); readString(ri) // client_id
-          if (apiVersion != 0)
-            throw new IOException(s"kafka-wire broker speaks v0 only, got v$apiVersion")
-          val body = apiKey match {
-            case ApiKeys.Produce => handleProduce(ri)
-            case ApiKeys.Fetch => handleFetch(ri)
-            case ApiKeys.Metadata => handleMetadata(ri)
-            case k => throw new IOException(s"kafka-wire: unsupported api_key $k")
+          // two protocol generations per api: the legacy v0 pair and
+          // the record-batch pair (Produce v3 / Fetch v4 — the versions
+          // that introduced/require magic-2 batches)
+          val body = (apiKey, apiVersion.toInt) match {
+            case (ApiKeys.Produce, 0) => handleProduce(ri, 0)
+            case (ApiKeys.Produce, 3) => handleProduce(ri, 3)
+            case (ApiKeys.Fetch, 0) => handleFetch(ri, 0)
+            case (ApiKeys.Fetch, 4) => handleFetch(ri, 4)
+            case (ApiKeys.Metadata, 0) => handleMetadata(ri)
+            case (k, v) =>
+              throw new IOException(s"kafka-wire: unsupported api_key $k v$v")
           }
           val resp = new ByteArrayOutputStream()
           val ro = new DataOutputStream(resp)
@@ -221,7 +372,8 @@ object KafkaWire {
       } catch { case _: IOException => () } // connection closed
       finally { try s.close() catch { case _: IOException => () } }
 
-    private def handleProduce(ri: DataInputStream): Array[Byte] = {
+    private def handleProduce(ri: DataInputStream, version: Int): Array[Byte] = {
+      if (version >= 3) readString(ri) // transactional_id (null here)
       ri.readShort(); ri.readInt() // acks, timeout — loopback always acks all
       val nTopics = ri.readInt()
       val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
@@ -235,19 +387,27 @@ object KafkaWire {
           val set = readBytes(ri)
           val (err, base) =
             try {
-              val recs = decodeMessageSet(set) // CRC-verifies every message
+              // magic-sniffed (broker-upgrade behavior): a v3 request
+              // carries magic-2 batches, v0 carries legacy sets; either
+              // way the integrity check runs before the append commits
+              val recs = decodeAnyRecordSet(set)
               (Errors.None, log.append(topic, p, recs.map(r => (r.key, r.value))))
             } catch { case _: IOException => (Errors.CorruptMessage, -1L) }
           o.writeInt(p); o.writeShort(err); o.writeLong(base)
+          if (version >= 2) o.writeLong(-1L) // log_append_time (create-time topics)
         }
       }
+      if (version >= 1) o.writeInt(0) // throttle_time_ms, trailing since v1
       out.toByteArray
     }
 
-    private def handleFetch(ri: DataInputStream): Array[Byte] = {
+    private def handleFetch(ri: DataInputStream, version: Int): Array[Byte] = {
       ri.readInt(); ri.readInt(); ri.readInt() // replica, max_wait, min_bytes
+      if (version >= 3) ri.readInt() // response-wide max_bytes (uncapped here)
+      if (version >= 4) ri.readByte() // isolation_level (no txns in the log)
       val nTopics = ri.readInt()
       val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+      if (version >= 1) o.writeInt(0) // throttle_time_ms, LEADING in fetch
       o.writeInt(nTopics)
       for (_ <- 0 until nTopics) {
         val topic = readString(ri)
@@ -257,15 +417,25 @@ object KafkaWire {
           val p = ri.readInt(); val from = ri.readLong(); val maxBytes = ri.readInt()
           val hw = log.highWatermark(topic, p)
           o.writeInt(p)
+          def v4Header(): Unit = if (version >= 4) {
+            o.writeLong(hw) // last_stable_offset == hw (no open txns)
+            o.writeInt(-1) // aborted_transactions: null under READ_UNCOMMITTED
+          }
           if (from > hw) { // == hw is a legal empty fetch at the head
-            o.writeShort(Errors.OffsetOutOfRange); o.writeLong(hw); o.writeInt(0)
+            o.writeShort(Errors.OffsetOutOfRange); o.writeLong(hw)
+            v4Header(); o.writeInt(0)
           } else {
-            // bound the batch by maxBytes AFTER encoding — the v0
-            // contract allows a short (even partially cut) set
+            // bound the batch by maxBytes AFTER encoding — the fetch
+            // contract allows a short (even partially cut) set; the
+            // client codec drops a trailing partial in both formats
             val recs = log.read(topic, p, from, maxCount = Int.MaxValue)
-            val encoded = encodeMessageSet(recs)
+            val encoded =
+              if (version >= 4)
+                if (recs.isEmpty) Array.emptyByteArray else encodeRecordBatchV2(recs)
+              else encodeMessageSet(recs)
             val cut = math.min(encoded.length, math.max(0, maxBytes))
             o.writeShort(Errors.None); o.writeLong(hw)
+            v4Header()
             o.writeInt(cut); o.write(encoded, 0, cut)
           }
         }
@@ -336,10 +506,10 @@ object KafkaWire {
 
     def closeQuietly(): Unit = try socket.close() catch { case _: IOException => () }
 
-    def call(apiKey: Short, body: Array[Byte]): DataInputStream = {
+    def call(apiKey: Short, apiVersion: Short, body: Array[Byte]): DataInputStream = {
       correlation += 1
       val req = new ByteArrayOutputStream(); val o = new DataOutputStream(req)
-      o.writeShort(apiKey); o.writeShort(0); o.writeInt(correlation)
+      o.writeShort(apiKey); o.writeShort(apiVersion); o.writeInt(correlation)
       writeString(o, "graft")
       o.write(body)
       val framed = req.toByteArray
@@ -354,20 +524,35 @@ object KafkaWire {
     }
   }
 
+  /** The two wire generations the client speaks. Legacy = Produce/Fetch
+    * v0 with CRC32-per-message sets (the loopback contract every
+    * existing flow runs on); RecordBatch = Produce v3 / Fetch v4 with
+    * magic-2 zigzag-varint batches and one CRC32C per batch — the
+    * format every supported real broker speaks today. Same client
+    * surface, same broker log, byte-different wire. */
+  sealed trait Wire
+  case object LegacyWire extends Wire
+  case object RecordBatchWire extends Wire
+
   /** Produce `records` to (topic, partition); returns the base offset
     * the broker assigned. Throws on any broker error code. */
   def produce(host: String, port: Int, topic: String, partition: Int,
-              records: Seq[(Array[Byte], Array[Byte])]): Long =
+              records: Seq[(Array[Byte], Array[Byte])],
+              wire: Wire = LegacyWire): Long =
     withConn(host, port) { conn =>
+      val v2 = wire == RecordBatchWire
       val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+      if (v2) writeString(o, null) // transactional_id
       o.writeShort(-1); o.writeInt(10000) // acks=all, timeout
       o.writeInt(1); writeString(o, topic)
       o.writeInt(1); o.writeInt(partition)
-      val set = encodeMessageSet(records.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) })
+      val indexed = records.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      val set = if (v2) encodeRecordBatchV2(indexed) else encodeMessageSet(indexed)
       o.writeInt(set.length); o.write(set)
-      val ri = conn.call(ApiKeys.Produce, body.toByteArray)
+      val ri = conn.call(ApiKeys.Produce, if (v2) 3 else 0, body.toByteArray)
       ri.readInt(); readString(ri); ri.readInt(); ri.readInt() // 1 topic, name, 1 part, part id
       val err = ri.readShort(); val base = ri.readLong()
+      if (v2) { ri.readLong(); } // log_append_time (throttle trails, unread)
       if (err != Errors.None) throw new IOException(s"kafka-wire produce error $err")
       base
     }
@@ -377,20 +562,29 @@ object KafkaWire {
     * caller can tell "caught up" from "more to read" — the offset-
     * tracking loop every consumer runs). */
   def fetch(host: String, port: Int, topic: String, partition: Int,
-            offset: Long, maxBytes: Int = 1 << 22): (Seq[Record], Long) =
+            offset: Long, maxBytes: Int = 1 << 22,
+            wire: Wire = LegacyWire): (Seq[Record], Long) =
     withConn(host, port) { conn =>
+      val v2 = wire == RecordBatchWire
       val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
       o.writeInt(-1); o.writeInt(0); o.writeInt(0)
+      if (v2) { o.writeInt(maxBytes); o.writeByte(0) } // max_bytes, READ_UNCOMMITTED
       o.writeInt(1); writeString(o, topic)
       o.writeInt(1); o.writeInt(partition); o.writeLong(offset); o.writeInt(maxBytes)
-      val ri = conn.call(ApiKeys.Fetch, body.toByteArray)
+      val ri = conn.call(ApiKeys.Fetch, if (v2) 4 else 0, body.toByteArray)
+      if (v2) ri.readInt() // throttle_time_ms
       ri.readInt(); readString(ri); ri.readInt(); ri.readInt()
       val err = ri.readShort(); val hw = ri.readLong()
+      if (v2) {
+        ri.readLong() // last_stable_offset
+        val nAborted = ri.readInt()
+        for (_ <- 0 until math.max(nAborted, 0)) { ri.readLong(); ri.readLong() }
+      }
       val set = { val n = ri.readInt(); val b = new Array[Byte](n); ri.readFully(b); b }
       if (err == Errors.OffsetOutOfRange)
         throw new IOException(s"kafka-wire fetch offset $offset out of range (hw $hw)")
       if (err != Errors.None) throw new IOException(s"kafka-wire fetch error $err")
-      (decodeMessageSet(set), hw)
+      (decodeAnyRecordSet(set), hw)
     }
 
   /** Topic → partition ids, from the broker's Metadata v0 answer. */
@@ -398,7 +592,7 @@ object KafkaWire {
     withConn(host, port) { conn =>
       val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
       o.writeInt(topics.size); topics.foreach(writeString(o, _))
-      val ri = conn.call(ApiKeys.Metadata, body.toByteArray)
+      val ri = conn.call(ApiKeys.Metadata, 0, body.toByteArray)
       val nBrokers = ri.readInt()
       for (_ <- 0 until nBrokers) { ri.readInt(); readString(ri); ri.readInt() }
       val nTopics = ri.readInt()

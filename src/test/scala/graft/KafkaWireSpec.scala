@@ -19,35 +19,93 @@ class KafkaWireSpec extends SparkSpec {
   private def b(s: String): Array[Byte] = if (s == null) null else s.getBytes(UTF_8)
   private def str(a: Array[Byte]): String = if (a == null) null else new String(a, UTF_8)
 
-  test("produce/fetch round-trip: dense offsets, CRC-verified values, null keys, high-watermark") {
+  private val bothWires = Seq(KafkaWire.LegacyWire, KafkaWire.RecordBatchWire)
+
+  for (wire <- bothWires)
+  test(s"produce/fetch round-trip [$wire]: dense offsets, verified values, null keys, high-watermark") {
     val log = new KafkaWire.Log
     val srv = new KafkaWire.Server(log)
     try {
       val base1 = KafkaWire.produce("127.0.0.1", srv.port, "t", 0,
-        Seq((b("k1"), b("v1")), (null, b("v2"))))
+        Seq((b("k1"), b("v1")), (null, b("v2"))), wire)
       val base2 = KafkaWire.produce("127.0.0.1", srv.port, "t", 0,
-        Seq((b("k3"), b("v3"))))
+        Seq((b("k3"), b("v3"))), wire)
       assert(base1 === 0L && base2 === 2L)
 
-      val (recs, hw) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 0L)
+      val (recs, hw) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 0L, wire = wire)
       assert(hw === 3L)
       assert(recs.map(_.offset) === Seq(0L, 1L, 2L))
       assert(recs.map(r => str(r.value)) === Seq("v1", "v2", "v3"))
       assert(recs.map(r => str(r.key)) === Seq("k1", null, "k3"))
 
       // mid-offset fetch returns only the suffix; head fetch is legally empty
-      val (tail, _) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 2L)
+      val (tail, _) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 2L, wire = wire)
       assert(tail.map(r => str(r.value)) === Seq("v3"))
-      val (empty, hw2) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 3L)
+      val (empty, hw2) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 3L, wire = wire)
       assert(empty.isEmpty && hw2 === 3L)
       // past the watermark is OFFSET_OUT_OF_RANGE, loudly
       intercept[java.io.IOException] {
-        KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 4L)
+        KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, offset = 4L, wire = wire)
       }
 
       val meta = KafkaWire.metadata("127.0.0.1", srv.port)
       assert(meta("t") === Seq(0))
     } finally { srv.close(); KafkaWire.resetPool() }
+  }
+
+  test("codec interop: one log serves both wire generations (the broker-upgrade seam)") {
+    val log = new KafkaWire.Log
+    val srv = new KafkaWire.Server(log)
+    try {
+      // legacy producer, then a v2 producer, appending to the SAME partition
+      KafkaWire.produce("127.0.0.1", srv.port, "t", 0,
+        Seq((b("k0"), b("legacy-0"))), KafkaWire.LegacyWire)
+      KafkaWire.produce("127.0.0.1", srv.port, "t", 0,
+        Seq((b("k1"), b("batch-1")), (b("k2"), b("batch-2"))), KafkaWire.RecordBatchWire)
+      // each consumer generation sees the full log with dense offsets
+      for (wire <- bothWires) {
+        val (recs, hw) = KafkaWire.fetch("127.0.0.1", srv.port, "t", 0, 0L, wire = wire)
+        assert(hw === 3L, s"$wire")
+        assert(recs.map(r => (r.offset, str(r.value))) ===
+          Seq((0L, "legacy-0"), (1L, "batch-1"), (2L, "batch-2")), s"$wire")
+      }
+    } finally { srv.close(); KafkaWire.resetPool() }
+  }
+
+  test("v2 record batch codec: round-trip, CRC32C rejection, trailing-partial drop, varint edges") {
+    // round-trip incl. null key, empty value, a multi-byte-varint value
+    val big = ("x" * 300).getBytes(UTF_8) // length needs 2 varint bytes
+    val batch = KafkaWire.encodeRecordBatchV2(
+      Seq((5L, b("k"), b("v")), (6L, null, b("")), (7L, b("kk"), big)))
+    val recs = KafkaWire.decodeRecordBatchesV2(batch)
+    assert(recs.map(_.offset) === Seq(5L, 6L, 7L))
+    assert(str(recs(0).value) === "v" && recs(1).key === null && str(recs(1).value) === "")
+    assert(recs(2).value.toSeq === big.toSeq)
+    // one flipped payload bit must fail the BATCH CRC32C
+    val bad = batch.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    intercept[java.io.IOException] { KafkaWire.decodeRecordBatchesV2(bad) }
+    // a fetch cut mid-batch drops the partial trailing batch, keeps whole ones
+    val two = KafkaWire.encodeRecordBatchV2(Seq((0L, b("a"), b("first")))) ++
+      KafkaWire.encodeRecordBatchV2(Seq((1L, b("b"), b("second"))))
+    val cut = two.take(two.length - 3)
+    assert(KafkaWire.decodeRecordBatchesV2(cut).map(r => str(r.value)) === Seq("first"))
+    // magic sniffing picks the right codec for either format
+    assert(KafkaWire.decodeAnyRecordSet(batch).size === 3)
+    assert(KafkaWire.decodeAnyRecordSet(
+      KafkaWire.encodeMessageSet(Seq((0L, b("k"), b("v"))))).size === 1)
+  }
+
+  test("varint/varlong zigzag: sign-symmetric round-trip across widths") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    val ints = Seq(0, 1, -1, 63, -64, 64, 127, -128, 300, -300, Int.MaxValue, Int.MinValue)
+    val longs = Seq(0L, 1L, -1L, 1L << 34, -(1L << 34), Long.MaxValue, Long.MinValue)
+    val out = new ByteArrayOutputStream(); val o = new DataOutputStream(out)
+    ints.foreach(KafkaWire.writeVarint(o, _))
+    longs.foreach(KafkaWire.writeVarlong(o, _))
+    val i = new DataInputStream(new ByteArrayInputStream(out.toByteArray))
+    assert(ints.map(_ => KafkaWire.readVarint(i)) === ints)
+    assert(longs.map(_ => KafkaWire.readVarlong(i)) === longs)
   }
 
   test("CRC integrity: a corrupted message set is rejected, not silently decoded") {
@@ -62,7 +120,8 @@ class KafkaWireSpec extends SparkSpec {
     assert(KafkaWire.decodeMessageSet(cut).map(r => str(r.value)) === Seq("first"))
   }
 
-  test("S4 over the wire: produced events land in the parse chain byte-identical to the kafkaSource contract") {
+  for (wire <- bothWires)
+  test(s"S4 over the wire [$wire]: produced events land in the parse chain byte-identical to the kafkaSource contract") {
     val log = new KafkaWire.Log
     val srv = new KafkaWire.Server(log)
     try {
@@ -70,9 +129,10 @@ class KafkaWireSpec extends SparkSpec {
         (s"u$i", s"""{"user_id":"u$i","product_id":"p${i % 3}","timestamp":"2024-01-0$i 00:00:00"}""")
       }
       KafkaWire.produce("127.0.0.1", srv.port, "user_events", 0,
-        events.map { case (k, v) => (b(k), b(v)) })
+        events.map { case (k, v) => (b(k), b(v)) }, wire)
 
-      val (frame, hw) = Events.kafkaWireReplayBatch(spark, "127.0.0.1", srv.port, "user_events")
+      val (frame, hw) = Events.kafkaWireReplayBatch(spark, "127.0.0.1", srv.port, "user_events",
+        wire = wire)
       assert(hw === 8L)
       // the connector's column contract, so parse() downstream is unchanged
       assert(frame.columns.toSeq === Seq("key", "value", "topic", "partition", "offset"))
@@ -82,16 +142,18 @@ class KafkaWireSpec extends SparkSpec {
 
       // offset-tracked resume: commit hw, produce more, next replay sees ONLY the delta
       KafkaWire.produce("127.0.0.1", srv.port, "user_events", 0,
-        Seq((b("u9"), b("""{"user_id":"u9","product_id":"p9","timestamp":"2024-01-09 00:00:00"}"""))))
+        Seq((b("u9"), b("""{"user_id":"u9","product_id":"p9","timestamp":"2024-01-09 00:00:00"}"""))),
+        wire)
       val (delta, hw2) = Events.kafkaWireReplayBatch(spark, "127.0.0.1", srv.port,
-        "user_events", fromOffset = hw)
+        "user_events", fromOffset = hw, wire = wire)
       assert(hw2 === 9L)
       assert(delta.select("offset").as[Long].collect().toSeq === Seq(8L))
       assert(Events.parse(delta, "page_view").select("user_id").as[String].collect().toSeq === Seq("u9"))
     } finally { srv.close(); KafkaWire.resetPool() }
   }
 
-  test("K7 over the wire: streaming rerank payloads arrive via foreachBatch produce; parity with toKafkaPayload") {
+  for (wire <- bothWires)
+  test(s"K7 over the wire [$wire]: streaming rerank payloads arrive via foreachBatch produce; parity with toKafkaPayload") {
     val log = new KafkaWire.Log
     val srv = new KafkaWire.Server(log)
     try {
@@ -99,7 +161,7 @@ class KafkaWireSpec extends SparkSpec {
       val input = MemoryStream[(String, Seq[String])]
       val recsDf = input.toDF().toDF("user_id", "recommendations")
       val q = Events.toKafkaPayload(recsDf, "user_id").writeStream
-        .foreachBatch(Events.kafkaWireSinkBatch("127.0.0.1", srv.port, "recs") _)
+        .foreachBatch(Events.kafkaWireSinkBatch("127.0.0.1", srv.port, "recs", wire = wire) _)
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft_kw_ck_").toString)
         .start()
@@ -110,7 +172,7 @@ class KafkaWireSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
 
-      val (recs, hw) = KafkaWire.fetch("127.0.0.1", srv.port, "recs", 0, 0L)
+      val (recs, hw) = KafkaWire.fetch("127.0.0.1", srv.port, "recs", 0, 0L, wire = wire)
       assert(hw === 3L)
       val got = recs.map(r => (str(r.key), str(r.value))).toSet
       // the exact payload the BATCH toKafkaPayload form emits — stream ≡ batch
