@@ -169,6 +169,25 @@ object Text {
     docs.select(col(idCol), encoded.as("tokens"))
   }
 
+  /** Unicode NFC normalization (native codegen'd expression — see
+    * [[graft.plans.NfcNormalize]]): decomposed sequences compose to
+    * their canonical form so hash-based dedup/fingerprinting treats
+    * "é" and "e+◌́" as the same text. */
+  def nfc(text: Column): Column = graft.plans.NativeExpressions.nfc(text)
+
+  /** Unicode text CLEANING — the C4/CCNet ingest-normalization step
+    * composed from the engine's pieces: NFC-compose ([[nfc]]), replace
+    * C0/DEL control characters (tabs, CRs, stray terminal bytes) with
+    * spaces, collapse whitespace runs, trim. Idempotent; pure scalar
+    * expression chain, stays inside WholeStageCodegen at scan speed.
+    * Every clause has an exact DuckDB twin (nfc_normalize +
+    * regexp_replace with the 'g' flag), so the operator sits under the
+    * hash gate (q121). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\x00-\\x1f\\x7f]", " "),
+      " {2,}", " "))
+
   /** Characters that are neither lowercase letters nor spaces, as a
     * ratio of total length (punctuation/symbol density). */
   def nonAlphaRatio(text: Column): Column =

@@ -277,6 +277,43 @@ case class BpeMergeRound(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** Unicode NFC normalization of a string — the canonical-composition
+  * pass every text-ingest pipeline runs before hashing/deduping
+  * (decomposed "e‌+◌́" and precomposed "é" must collide, or every
+  * hash-based dedup silently treats them as different documents).
+  * Spark has no built-in for it; this wraps the JDK's normalizer as a
+  * codegen'd unary expression with an `isNormalized` fast path, so the
+  * overwhelmingly-common already-NFC row costs one scan and ZERO
+  * allocations (the input UTF8String is returned as-is). The DuckDB
+  * oracle twin is `nfc_normalize` — both implement UAX #15.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_nfc expects string, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.normalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalize$$.MODULE$$.normalize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NfcNormalize {
+  import org.apache.spark.unsafe.types.UTF8String
+  /** Static kernel the generated code calls. */
+  def normalize(s: UTF8String): UTF8String = {
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def dotF32(a: Column, b: Column): Column =
@@ -293,6 +330,9 @@ object NativeExpressions {
   def bpeMerge(tokens: Column, a: Column, b: Column): Column =
     ColumnBridge.column(BpeMergeRound(ColumnBridge.expression(tokens),
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nfc(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates
@@ -316,6 +356,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bpe_merge"),
       new ExpressionInfo(classOf[BpeMergeRound].getName, "graft_bpe_merge"),
       (exprs: Seq[Expression]) => BpeMergeRound(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

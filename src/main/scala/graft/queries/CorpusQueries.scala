@@ -339,6 +339,39 @@ object CorpusQueries {
       "doc_id", "phash", maxHamming = 3, bands = 4)
   }
 
+  /** q121 — Unicode text cleaning ([[Text.cleanText]]): NFC
+    * canonical composition (the native `graft_nfc` expression — Spark
+    * has no built-in, and without it hash-based dedup treats decomposed
+    * "e+◌́" and precomposed "é" as different documents), control-char
+    * scrub, whitespace collapse, trim. The corpus is ASCII-clean, so
+    * the query INJECTS a deterministic dirty suffix (tab, combining
+    * acute accents, a double space — the q74 synthetic-PII discipline)
+    * into every doc before cleaning; both engines inject identically
+    * and the oracle runs DuckDB's `nfc_normalize` + 'g'-flag
+    * regexp_replace twins. Lengths before/after pin the code-point
+    * accounting as well as the bytes. */
+  val q121 = Q("q121_text_clean",
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |         text || chr(9) || 'A' || chr(769) || 'cafe' || chr(769) || '  end' AS d
+      |  FROM documents)
+      |SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(nfc_normalize(d),
+      |              '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS clean_text,
+      |       CAST(length(d) AS BIGINT) AS raw_chars,
+      |       CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(d),
+      |              '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS BIGINT) AS clean_chars
+      |FROM dirty""".stripMargin) { (s, d) =>
+    // the DECOMPOSED injection (A+U+0301, e+U+0301), matching the
+    // oracle's chr(9)/chr(769) suffix byte-for-byte pre-clean
+    val dirty = concat(col("text"), lit("\tA\u0301cafe\u0301  end"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Text.cleanText(dirty).as("clean_text"),
+      length(dirty).cast("long").as("raw_chars"),
+      length(Text.cleanText(dirty)).cast("long").as("clean_chars"))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p)
+    q118, q118p, q119, q119p, q121)
 }

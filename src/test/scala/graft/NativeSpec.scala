@@ -118,6 +118,35 @@ class NativeSpec extends SparkSpec {
     assert(!r.isNullAt(0))
   }
 
+  test("graft_nfc: JDK-reference parity on randomized unicode, ASCII fast path, nulls, SQL form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // alphabet mixes precomposed (\u00e9, \u00fc), decomposed
+    // (e/u + combining U+0301/U+0308), a bare combining mark, Hangul
+    // jamo (NFC composes full syllables), and ASCII
+    val alpha = Vector("a", "\u00e9", "e\u0301", "\u0301", "A",
+      "\u1100", "\u1161", " ", "\u00fc", "u\u0308")
+    val rows: Seq[(Long, String)] = (1L to 300L).map { i =>
+      i -> Vector.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size))).mkString
+    } :+ (1000L -> null)
+    val got = rows.toDF("id", "s")
+      .select(col("id"), graft.functions.Text.nfc(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    rows.foreach { case (id, s) =>
+      val want = if (s == null) null
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(id) === want, s"input ${Option(s).map(_.codePoints.toArray.toSeq)}")
+    }
+    // SQL registration: decomposed in (2 code units), precomposed out
+    val n = spark.sql("SELECT graft_nfc('e\u0301') AS n").head().getString(0)
+    assert(n === "\u00e9" && n.length === 1)
+    // the whole cleanText chain is one codegen'd projection over the scan
+    val plan = Tables.documents(spark, sf)
+      .select(graft.functions.Text.cleanText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) === 0)
+  }
+
   test("native path is not slower than HOF on a 250k-pair workload") {
     val e = Tables.embeddings(spark, sf)
     val pairs = e.select(col("embedding").as("ea"))
