@@ -41,10 +41,22 @@ object ScaleUp {
   private def suffixTokens(text: org.apache.spark.sql.Column, r: Int) =
     concat_ws(" ", transform(Text.tokens(text), t => concat(t, lit(s"~$r"))))
 
-  def scaleDocuments(docs: DataFrame, k: Int): DataFrame = {
+  /** `sharedPct` (0-100) leaves that percentage of docs UNSUFFIXED in
+    * every replica — k byte-identical copies of each such doc, all
+    * sharing one vocabulary. This is the SKEW stress the plain
+    * replication cannot produce: the shared subset's gram document
+    * frequencies grow ×k and its candidate-pair mass grows ×k²
+    * (C(k,2) per shared doc at minimum), concentrating LSH/band
+    * buckets exactly the way a scrape-heavy near-dup core does at
+    * production scale. The df caps and band-width bounds are what
+    * must absorb it — SCALING.md §skew records the measurement. */
+  def scaleDocuments(docs: DataFrame, k: Int, sharedPct: Int = 0): DataFrame = {
     val idStep = docs.agg(max("doc_id")).first().getLong(0) + 1
+    val shared = pmod(col("doc_id"), lit(100)) < lit(sharedPct)
     (0 until k).map { r =>
-      val text = if (r == 0) col("text") else suffixTokens(col("text"), r)
+      val text =
+        if (r == 0) col("text")
+        else when(shared, col("text")).otherwise(suffixTokens(col("text"), r))
       docs.select(
         (col("doc_id") + lit(r * idStep)).as("doc_id"),
         text.as("text"),
@@ -68,12 +80,14 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <k>")
-    val Array(src, dst, kStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <k> [sharedPct]")
+    val Array(src, dst, kStr) = args.take(3)
     val k = kStr.toInt
+    val sharedPct = if (args.length == 4) args(3).toInt else 0
     val spark: SparkSession = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-    scaleDocuments(Tables.documents(spark, src), k)
+    scaleDocuments(Tables.documents(spark, src), k, sharedPct)
       .repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
     scaleEmbeddings(Tables.embeddings(spark, src), k)
       .repartition(4).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
