@@ -57,9 +57,16 @@ object Multimodal {
   }
 
   /** Build a media table from the documents table: payload = utf-8 bytes
-    * of the text standing in for an encoded blob. */
+    * of the text standing in for an encoded blob. NULL-text docs DROP
+    * at this read boundary (a media row without a payload is not a
+    * media row): the mapPartitions decoders downstream dereference the
+    * payload unconditionally, and the current fixtures' lack of NULL
+    * texts must not be load-bearing — the same regeneration hazard the
+    * q116 NULL fix closed (a driver corpus with one NULL text would
+    * otherwise NPE every multimodal query). Oracles carry the matching
+    * `WHERE text IS NOT NULL`; the edge is pinned in SimilaritySpec. */
   def mediaTable(documents: DataFrame): DataFrame =
-    documents.select(
+    documents.filter(col("text").isNotNull).select(
       col("doc_id"), lit("image/fake").as("media_type"),
       col("text").cast(BinaryType).as("payload"),
       col("lang"), col("n_chars"))

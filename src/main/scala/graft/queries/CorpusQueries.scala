@@ -279,7 +279,8 @@ object CorpusQueries {
     val pairs = consts.map { case (an, cn) => s"[$an::HUGEINT,$cn::HUGEINT]" }
       .mkString("[", ",", "]")
     val h = Hashes.h60Sql("text")
-    s"""chk AS (SELECT doc_id, $h AS chk FROM documents),
+    s"""chk AS (SELECT doc_id, $h AS chk FROM documents
+       |        WHERE text IS NOT NULL),
        |px AS (SELECT doc_id, list_transform($pairs,
        |         gp -> CAST(((gp[1] * chk::HUGEINT + gp[2]) % 18446744073709551616::HUGEINT)
        |                    // 72057594037927936 AS BIGINT)) AS px FROM chk),

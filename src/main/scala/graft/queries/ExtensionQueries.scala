@@ -289,7 +289,8 @@ object ExtensionQueries {
        |       CAST(h % 640 + 1 AS INT) AS width,
        |       CAST((h // 65536) % 480 + 1 AS INT) AS height,
        |       h AS checksum
-       |FROM (SELECT doc_id, text, $h AS h FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, text, $h AS h FROM documents
+       |      WHERE text IS NOT NULL)""".stripMargin
   }) { (s, d) =>
     Multimodal.featurize(Multimodal.mediaTable(Tables.documents(s, d)),
       Multimodal.Md5Decoder).toDF()
@@ -312,7 +313,7 @@ object ExtensionQueries {
     """SELECT doc_id, 'image/fake' AS media_type,
       |       octet_length(encode(text)) AS byte_len,
       |       md5(text) AS payload_md5, lang, n_chars
-      |FROM documents""".stripMargin) { (s, d) =>
+      |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, d) =>
     Multimodal.mediaTable(Tables.documents(s, d)).select(
       col("doc_id"), col("media_type"),
       length(col("payload")).as("byte_len"),

@@ -298,14 +298,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 900L)), "4-bit flip with all bands touched must not pair")
   }
 
-  test("perceptual near-dup e2e: byte-identical payloads collide at hamming 0") {
+  test("perceptual near-dup e2e: byte-identical payloads collide at hamming 0; NULL text drops at the media boundary") {
     import spark.implicits._
     val docs = Seq(
-      (1L, "same bytes same image", "en", "t"),
-      (2L, "same bytes same image", "en", "t"), // exact payload dup of 1
-      (3L, "different bytes entirely", "en", "t"))
+      (1L, Option("same bytes same image"), "en", "t"),
+      (2L, Option("same bytes same image"), "en", "t"), // exact payload dup of 1
+      (3L, Option("different bytes entirely"), "en", "t"),
+      (4L, Option.empty[String], "en", "t")) // no payload -> not a media row
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
+    // the boundary filter is what keeps every mapPartitions decoder
+    // NPE-free under a corpus regeneration that introduces NULL texts
+    assert(Multimodal.mediaTable(docs).count() === 3)
+    assert(Multimodal.featurize(Multimodal.mediaTable(docs)).count() === 3)
     val pairs = Dedup.bandedHammingPairs(
       Multimodal.perceptualHash(Multimodal.mediaTable(docs)),
       "doc_id", "phash", maxHamming = 3, bands = 4)
