@@ -43,6 +43,41 @@ object Relational {
   def semiJoinViaInner(df: DataFrame, keys: DataFrame, key: String): DataFrame =
     df.join(keys.select(key).dropDuplicates(key), Seq(key), "inner")
 
+  /** Bloom-filter pre-join — the shuffle reducer for a selective
+    * big-to-big join, the technique Spark's own `InjectRuntimeFilter`
+    * applies when statistics let it (and this operator applies when the
+    * CALLER knows the selectivity Catalyst can't see). Three phases:
+    *
+    *  1. build: one pass over the build side's join keys aggregates a
+    *     Bloom filter (`df.stat.bloomFilter` — Spark's public sketch;
+    *     a distributed treeAggregate whose result is the filter's bit
+    *     array, NOT the keys);
+    *  2. probe: the serialized filter rides a codegen'd
+    *     [[graft.plans.BloomContainsLong]] predicate that drops
+    *     non-matching probe rows AT THE SCAN, before they are ever
+    *     shuffled — no false negatives, so no matching row is lost;
+    *  3. join: the standard equi-join on the survivors; Bloom false
+    *     positives (rate `fpp`) are eliminated here, which is why the
+    *     result is EXACTLY the plain join (q123's oracle proves it).
+    *
+    * 100 TB sizing: the filter is ~1.2·n·ln(1/fpp)/ln²2 bits — 1e8 build
+    * keys at 1 % is ~120 MB, the practical ceiling for plan-shipped
+    * state; beyond that, raise fpp (the join still corrects it) or fall
+    * back to the shuffle join. The win is (1−selectivity)·|probe| rows
+    * of shuffle I/O; at a 5 % match rate the big side's shuffle drops
+    * 20×. Callers size `expectedItems` ≥ the true build-key count — an
+    * undersized filter only raises fpp (correctness is unaffected). */
+  def bloomPreJoin(probe: DataFrame, probeKey: String,
+                   build: DataFrame, buildKey: String,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = probe.filter(
+      graft.plans.NativeExpressions.bloomContains(col(probeKey).cast("long"), bos.toByteArray))
+    pruned.join(build, pruned(probeKey) === build(buildKey), "inner")
+  }
+
   /** J3/J4 — left-outer dim enrichment with an explicit broadcast hint:
     * dims (categories=13 rows, products=20k in the reference) must never
     * shuffle the fact side. AQE would usually get this right; the hint

@@ -314,6 +314,48 @@ object NfcNormalize {
   }
 }
 
+/** Membership probe against a pre-built Bloom filter (Spark's public
+  * `org.apache.spark.util.sketch.BloomFilter`, serialized into the
+  * expression) — the probe-side reducer of
+  * [[graft.operators.Relational.bloomPreJoin]]. Mirrors Spark's own
+  * internal `BloomFilterMightContain` (InjectRuntimeFilter), which is
+  * NOT in the public function registry — this is the case where no
+  * built-in fits and a codegen'd Expression is the next rung down.
+  *
+  * The filter bytes ride in the expression (broadcast to executors with
+  * the serialized plan, deserialized once per JVM via the transient
+  * lazy); codegen emits one virtual call per row into the loaded
+  * filter — no boxing, stays inside whole-stage codegen. NULL keys
+  * probe as NULL (same as a join key: they can never match). */
+case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects BIGINT key, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  /** Instance entry point the generated code calls. */
+  def test(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this, classOf[BloomContainsLong].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.test($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def dotF32(a: Column, b: Column): Column =
@@ -333,6 +375,9 @@ object NativeExpressions {
 
   def nfc(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def bloomContains(key: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomContainsLong(ColumnBridge.expression(key), bloomBytes))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Retrieval, Similarity, Text}
+import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Pca, Retrieval, Similarity, Text}
 
 /** Round-8 corpus-operator batch: maximal duplicate-span extraction,
   * impact-ordered inverted indexing, sliding-window chunking, a
@@ -373,6 +373,44 @@ object CorpusQueries {
       length(Text.cleanText(dirty)).cast("long").as("clean_chars"))
   }
 
+  /** q122 — distributed PCA, gate half: the exact integer covariance
+    * numerator under the ·2¹⁶ floor quantizer ([[Pca.quantizedCovariance]]
+    * — see the object doc for why the FLOAT covariance cannot sit under
+    * a value-hash gate and the quantized twin can). The registered plan
+    * is the production SHAPE — one mapPartitions moment sweep, one
+    * bounded partial per partition, no shuffle — while the oracle
+    * re-derives every (i ≤ j) numerator from first principles via an
+    * n·d explode + self-join (affordable at gate scale only, which is
+    * exactly the point: the engine never runs that plan). */
+  val q122 = Q("q122_pca_cov",
+    """WITH ex AS (
+      |  SELECT vec_id, u.i AS i, u.qx AS qx FROM (
+      |    SELECT vec_id, unnest(list_transform(range(1, 65),
+      |      gi -> {'i': CAST(gi - 1 AS BIGINT),
+      |             'qx': CAST(floor(CAST(embedding[gi] AS DOUBLE) * 65536) AS BIGINT)})) AS u
+      |    FROM embeddings)),
+      |s AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS si FROM ex GROUP BY i),
+      |agg AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS ssij
+      |        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |        GROUP BY a.i, b.i)
+      |SELECT agg.i AS i, agg.j AS j,
+      |       (SELECT COUNT(*) FROM embeddings) * agg.ssij - sa.si * sb.si AS cov_num
+      |FROM agg JOIN s sa ON sa.i = agg.i JOIN s sb ON sb.i = agg.j""".stripMargin) {
+    (s, d) => Pca.quantizedCovariance(Tables.embeddings(s, d), "embedding", 64)
+  }
+
+  /** q122p — distributed PCA, production half: double-precision moments
+    * (same one-pass partial-aggregate shape), driver-side Jacobi on the
+    * 64×64 covariance, and the map-only top-8 projection. Float sums
+    * are order-sensitive, so no value oracle by design; PcaSpec pins
+    * orthonormality, the eigen-residual ‖Cb−λb‖, descending eigenvalues,
+    * trace/variance accounting, projected-component variance ≈ λ, and
+    * run-to-run determinism. */
+  val q122p = Q.noOracle("q122_pca_project") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    Pca.project(vecs, Pca.fit(vecs, "embedding", 64, 8))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121)
+    q118, q118p, q119, q119p, q121, q122, q122p)
 }

@@ -117,5 +117,32 @@ object ScaleQueries {
         Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")), 21).as("zkey"))
   }
 
-  val all: Seq[Q] = Seq(q54, q55, q63, q92, q92n)
+  /** q123 — Bloom-filter pre-join ≡ plain join (q54/q55's contract for
+    * the third shuffle-reduction technique): lineitem (probe, the big
+    * side) joins only the ~20 % of orders that are URGENT, so the
+    * build-side key Bloom drops ~80 % of probe rows at the scan, before
+    * the join shuffle ([[graft.operators.Relational.bloomPreJoin]] —
+    * false positives are corrected by the join itself, which is why the
+    * oracle is simply the plain join, and the pruning effectiveness is
+    * pinned separately in RelationalSpec). The post-join rollup keeps
+    * the gated output small; decimal-sum house discipline. */
+  val q123 = Q("q123_bloom_prejoin",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val items = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+    graft.operators.Relational
+      .bloomPreJoin(items, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 50000L, fpp = 0.01) // sized for sf0.1's ~30k urgent keys; ~60 KB of bits
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Cols.dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  val all: Seq[Q] = Seq(q54, q55, q63, q92, q92n, q123)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Pca
+
+/** Pins the production (double-precision) half of the PCA family —
+  * q122's quantized covariance is under the DuckDB gate; everything
+  * float-valued is pinned here instead (house q100/q108 discipline). */
+class PcaSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.embeddings(spark, sf)
+  private lazy val model = Pca.fit(vecs, "embedding", 64, 8)
+
+  test("jacobi: recovers a known symmetric spectrum") {
+    // diag(5,2,1) rotated by a fixed Givens rotation in the (0,1) plane
+    val c = math.cos(0.3); val s = math.sin(0.3)
+    val d0 = Array(5.0, 2.0, 1.0)
+    val r = Array(Array(c, -s, 0.0), Array(s, c, 0.0), Array(0.0, 0.0, 1.0))
+    val m = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => r(i)(k) * d0(k) * r(j)(k)).sum)
+    val (evals, evecs) = Pca.jacobiEigen(m)
+    assert(evals.zip(Array(5.0, 2.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-10 })
+    // eigen residual ‖Mv − λv‖ ≈ 0 for each pair
+    evals.zip(evecs).foreach { case (l, v) =>
+      val mv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      assert(mv.zip(v).map { case (a, b) => math.abs(a - l * b) }.max < 1e-10)
+    }
+  }
+
+  test("fit: orthonormal basis, descending eigenvalues, eigen residual small") {
+    val b = model.basis
+    for (i <- b.indices; j <- i until b.length) {
+      val dot = b(i).zip(b(j)).map { case (x, y) => x * y }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<b$i,b$j> = $dot")
+    }
+    val ev = model.eigenvalues
+    assert(ev.zip(ev.tail).forall { case (a, c) => a >= c - 1e-12 })
+    assert(ev.forall(_ >= -1e-12))
+  }
+
+  test("fit: top-k eigenvalues bounded by total variance (trace)") {
+    // trace of the covariance = total variance; the kept spectrum can't exceed it
+    val full = Pca.fit(vecs, "embedding", 64, 64)
+    val trace = full.eigenvalues.sum
+    assert(model.eigenvalues.sum <= trace + 1e-9)
+    assert(trace > 0.0)
+    // and top-8 of the full spectrum IS the 8-component model's spectrum
+    full.eigenvalues.take(8).zip(model.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+
+  test("project: per-component variance matches the eigenvalue, mean ~ 0") {
+    val proj = Pca.project(vecs, model)
+    val stats = proj.select((0 until 8).flatMap(i => Seq(
+      avg(col("proj").getItem(i)).as(s"m$i"),
+      var_pop(col("proj").getItem(i)).as(s"v$i"))): _*).head()
+    (0 until 8).foreach { i =>
+      val m = stats.getDouble(2 * i); val v = stats.getDouble(2 * i + 1)
+      assert(math.abs(m) < 1e-9, s"component $i mean $m")
+      val l = model.eigenvalues(i)
+      assert(math.abs(v - l) <= 1e-9 + 1e-6 * l, s"component $i var $v != eigval $l")
+    }
+  }
+
+  test("fit + project: deterministic across runs") {
+    val m2 = Pca.fit(vecs, "embedding", 64, 8)
+    assert(model.mean.sameElements(m2.mean))
+    assert(model.eigenvalues.sameElements(m2.eigenvalues))
+    assert(model.basis.zip(m2.basis).forall { case (a, b) => a.sameElements(b) })
+    val p1 = Pca.project(vecs, model).orderBy("vec_id").collect()
+    val p2 = Pca.project(vecs, m2).orderBy("vec_id").collect()
+    p1.zip(p2).foreach { case (r1, r2) =>
+      assert(r1.getSeq[Double](1) == r2.getSeq[Double](1))
+    }
+  }
+
+  test("quantized covariance: diagonal numerators are non-negative, symmetric triangle complete") {
+    val cov = Pca.quantizedCovariance(vecs, "embedding", 64).cache()
+    assert(cov.count() === 64L * 65 / 2)
+    assert(cov.filter(col("i") === col("j") && col("cov_num") < 0).isEmpty)
+    // numerator / (n²·2³²) tracks the double covariance within quantizer error
+    val n = vecs.count().toDouble
+    val full = Pca.fit(vecs, "embedding", 64, 64)
+    val mean = full.mean
+    val got = cov.filter(col("i") === 0 && col("j") === 0).head().getLong(2)
+    val approx = got / (n * n * math.pow(2, 32))
+    val exact = full.eigenvalues.sum // not directly comparable; use element (0,0)
+    val c00 = {
+      val vs = vecs.select(col("embedding").getItem(0).cast("double")).collect().map(_.getDouble(0))
+      vs.map(x => (x - mean(0)) * (x - mean(0))).sum / n
+    }
+    assert(math.abs(approx - c00) < 1e-3, s"quantized $approx vs exact $c00 (trace $exact)")
+  }
+}

@@ -135,4 +135,48 @@ class RelationalSpec extends SparkSpec {
     // in-range total is preserved
     assert(got.values.sum === 4L)
   }
+
+  test("bloomPreJoin: result ≡ plain join (no false negatives survive, FPs corrected)") {
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val got = Relational.bloomPreJoin(items, "l_orderkey", urgent, "o_orderkey", 1000L)
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    val want = items.join(urgent, items("l_orderkey") === urgent("o_orderkey"))
+      .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("bloomPreJoin: probe side is actually pruned before the join") {
+    // pin the MECHANISM, not just the result: the scan-side bloom filter
+    // must drop (most) non-matching probe rows — at fpp=0.001 over this
+    // fixture, survivors stay within 2% of the true match count
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bf = urgent.stat.bloomFilter("o_orderkey", 1000L, 0.001)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val survivors = items.filter(graft.plans.NativeExpressions
+      .bloomContains(col("l_orderkey").cast("long"), bos.toByteArray)).count()
+    val trueMatches = items.join(urgent,
+      items("l_orderkey") === urgent("o_orderkey"), "left_semi").count()
+    val total = items.count()
+    assert(survivors >= trueMatches, "bloom must never drop a real match")
+    assert(survivors <= trueMatches + (0.02 * total).toLong,
+      s"pruning too weak: $survivors survivors vs $trueMatches matches of $total")
+    assert(trueMatches < total, "fixture must make pruning observable")
+  }
+
+  test("bloomContains: null keys probe as null, never true") {
+    import spark.implicits._
+    val bf = Tables.orders(spark, sf).stat.bloomFilter("o_orderkey", 1000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val df = Seq[java.lang.Long](1L, null).toDF("k")
+    val out = df.select(graft.plans.NativeExpressions
+      .bloomContains(col("k").cast("long"), bos.toByteArray).as("hit")).collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+  }
 }
