@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +158,57 @@ object Multimodal {
         MediaRow(r.doc_id, s"image/fake;${w}x$h", out, r.lang, r.n_chars)
       }
     }.toDF()
+  }
+
+  /** Per-frame content signatures: the payload is cut into consecutive
+    * `stride`-length windows ("frames" — with a real codec this is
+    * decode → per-keyframe luminance grid; the stub treats the utf-8
+    * payload as the decoded transcript) and each frame is hashed. One
+    * row per (doc, frame_idx, fhash); trailing partial frames drop.
+    *
+    * Slicing is CHARACTER-based via the built-in `substr` on both this
+    * side and the DuckDB oracle, and the hash is md5 over the slice's
+    * UTF-8 re-encoding — identical in both engines regardless of the
+    * corpus's byte width (the q116 regeneration lesson: no ASCII
+    * assumption is load-bearing). `hashFn` swaps in xxhash64 for the
+    * production twin (one codegen op, no md5 hex round-trip).
+    *
+    * Scale shape: pure map-side — one explode bounded by corpus_chars /
+    * stride rows, no shuffle, runs at scan parallelism. */
+  def frameSignatures(media: DataFrame, stride: Int,
+                      hashFn: Column => Column = graft.functions.Hashes.h60): DataFrame = {
+    val txt = col("payload").cast(StringType)
+    media.filter(length(txt) >= stride)
+      .select(col("doc_id"), txt.as("t"),
+        posexplode(sequence(lit(0L), floor(length(txt) / stride).cast("long") - 1)))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        hashFn(col("t").substr((col("col") * stride + 1).cast("int"), lit(stride))).as("fhash"))
+  }
+
+  /** Near-duplicate media pairs by SHARED FRAME count — the video-level
+    * dedup a multimodal pipeline runs after [[frameSignatures]]: two
+    * docs are candidates when they share ≥ `minShared` distinct frame
+    * signatures (clip reuse, re-encodes, edits that keep most
+    * keyframes). Same scale discipline as the text side's
+    * [[graft.functions.Dedup.rareGramEdges]]: the frame-df histogram
+    * caps hot frames (intros/color bars/black frames shared by
+    * thousands of videos would otherwise quadratically explode the
+    * self-join), every join is a banded equi-join on the signature —
+    * never O(n²) in docs. */
+  def videoNearDupPairs(frames: DataFrame, minShared: Long = 2,
+                        maxDf: Long = 100): DataFrame = {
+    val d = frames.select(col("doc_id"), col("fhash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = d.join(
+      d.groupBy("fhash").agg(count(lit(1)).as("frame_df"))
+        .filter(col("frame_df").between(2, maxDf))
+        .select("fhash"),
+      Seq("fhash"), "left_semi")
+    kept.select(col("doc_id").as("a"), col("fhash"))
+      .join(kept.select(col("doc_id").as("b"), col("fhash")), Seq("fhash"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Frame-sampling metadata: every `stride`-th byte offset as a fake

@@ -411,6 +411,45 @@ object CorpusQueries {
     Pca.project(vecs, Pca.fit(vecs, "embedding", 64, 8))
   }
 
+  /** q124 — video near-duplicates by shared keyframe signatures:
+    * [[Multimodal.frameSignatures]] (16-char frames of the decoded
+    * payload, md5-h60 per frame — every bit oracle-replayable) feeding
+    * [[Multimodal.videoNearDupPairs]] (distinct per-doc signatures,
+    * frame-df cap ≤ 100, banded equi-join, pairs sharing ≥ 2 frames).
+    * The image side (q118/q119) matches WHOLE near-identical stills;
+    * this is the clip-level analogue that survives edits keeping most
+    * keyframes. The fixture yields real pairs (26 at sf0.01, ~300 at
+    * sf0.1 — aligned 16-char windows of repeated word runs), so the
+    * gate exercises the pair path, not an empty set. */
+  val q124 = Q("q124_video_neardup",
+    s"""WITH f AS (
+       |  SELECT doc_id, text, unnest(range(0, CAST(length(text) // 16 AS BIGINT))) AS j
+       |  FROM documents WHERE text IS NOT NULL),
+       |fh AS (SELECT doc_id,
+       |              ${Hashes.h60Sql("substr(text, CAST(j * 16 + 1 AS BIGINT), 16)")} AS fhash
+       |       FROM f),
+       |d AS (SELECT DISTINCT doc_id, fhash FROM fh),
+       |keep AS (SELECT fhash FROM d GROUP BY fhash HAVING COUNT(*) BETWEEN 2 AND 100),
+       |dk AS (SELECT d.doc_id, d.fhash FROM d JOIN keep USING (fhash))
+       |SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+       |FROM dk a JOIN dk b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin) { (s, d) =>
+    Multimodal.videoNearDupPairs(
+      Multimodal.frameSignatures(
+        Multimodal.mediaTable(Tables.documents(s, d)), stride = 16))
+  }
+
+  /** q124p — the production twin: xxhash64 frame signatures (one codegen
+    * op per frame, no md5 hex round-trip — the q20/q22 hashed-gram
+    * discipline). Same plan shape; MultimodalSpec pins md5-path ≡
+    * xxhash-path pair sets on the fixture. */
+  val q124p = Q.noOracle("q124_video_neardup_prod") { (s, d) =>
+    Multimodal.videoNearDupPairs(
+      Multimodal.frameSignatures(
+        Multimodal.mediaTable(Tables.documents(s, d)), stride = 16,
+        hashFn = xxhash64(_)))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121, q122, q122p)
+    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p)
 }

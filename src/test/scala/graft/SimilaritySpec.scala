@@ -319,4 +319,51 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
       "unrelated payload must not near-collide (hash-chaotic stub)")
   }
+
+  private def mediaOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+  }
+
+  test("frame signatures: floor(len/stride) frames per doc, partial tails and short docs drop") {
+    // frames are 4-char windows here; doc 2 is 1 char short of frame 3
+    val media = mediaOf(Seq((1L, "aaaabbbbcccc"), (2L, "aaaabbbbccc"), (3L, "abc")))
+    val f = Multimodal.frameSignatures(media, stride = 4).cache()
+    val perDoc = f.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc === Map(1L -> 3L, 2L -> 2L)) // doc 3 (< stride) vanishes
+    // identical windows hash identically across docs; frame_idx is positional
+    val h = f.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(h((1L, 0)) === h((2L, 0)) && h((1L, 1)) === h((2L, 1)))
+    assert(h((1L, 0)) !== h((1L, 1)))
+  }
+
+  test("video near-dup pairs: >= minShared distinct frames, hot frames df-capped") {
+    val X = "xxxxxxxxxxxxxxxx"; val Y = "yyyyyyyyyyyyyyyy"
+    val Z = "zzzzzzzzzzzzzzzz"; val W = "wwwwwwwwwwwwwwww"
+    val media = mediaOf(Seq(
+      (1L, X + Y + Z), (2L, X + Y + W),        // share 2 frames -> pair
+      (3L, X + "0123456789abcdef"),            // shares only X with 1/2 -> no pair
+      (10L, Z + Z + Z), (11L, Z)))             // Z repeated within doc counts ONCE
+    val pairs = Multimodal.videoNearDupPairs(
+      Multimodal.frameSignatures(media, stride = 16), minShared = 2, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 2L)) // 10/11 share only Z (distinct), 3 shares only X
+    // hot-frame cap: X appears in 3 docs; maxDf=2 removes it, killing the pair
+    val capped = Multimodal.videoNearDupPairs(
+      Multimodal.frameSignatures(media, stride = 16), minShared = 1, maxDf = 2)
+    assert(!capped.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && {
+      // with X df-capped out, (1,2) may still share Y (df=2) — shared count must drop to 1
+      r.getLong(2) > 1L
+    }))
+  }
+
+  test("video near-dup: md5 gate path ≡ xxhash production path on the fixture corpus") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    def pairSet(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Multimodal.videoNearDupPairs(Multimodal.frameSignatures(media, 16, hashFn))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairSet(graft.functions.Hashes.h60) === pairSet(xxhash64(_)))
+  }
 }
