@@ -747,6 +747,45 @@ object ExtensionQueries {
     labels.select(col("v").as("doc_id"), col("component"))
   }
 
+  /** q125 — LEAKAGE-SAFE train/val/test split: q57's keyed-hash split
+    * applied to the COMPONENT label instead of the doc id, so every
+    * doc in a near-dup cluster (q68's fixpoint) lands in the same
+    * split. This closes the classic eval-contamination hole — hashing
+    * per-doc puts a train doc's near-duplicate in test with
+    * probability ~20 % PER DUP PAIR, and at 100 TB that is millions of
+    * leaked eval documents; hashing per-cluster makes leakage
+    * structurally impossible while keeping q57's determinism and
+    * 80/10/10 proportions (over clusters). Oracle: q68's
+    * transitive-closure CTE reused verbatim + q57's hash arithmetic on
+    * the component label — the COMPOSITION is under the exact gate. */
+  val q125: Q = {
+    val closing = "SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY 1"
+    val base = q68.oracle.get
+    require(base.contains(closing), "q68 oracle changed shape under q125")
+    val split = graft.functions.Hashes.h60Sql("'split|' || CAST(component AS VARCHAR)")
+    val sql = base.replace(closing,
+      s"""comp AS ($closing)
+         |SELECT doc_id, component,
+         |  CASE WHEN $split % 100 < 80 THEN 'train'
+         |       WHEN $split % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM comp""".stripMargin)
+      // splice the closing aggregate into the WITH list: the recursive
+      // CTE chain continues with a comma before the final SELECT
+      .replace("edges e ON r.u = e.a)\ncomp AS", "edges e ON r.u = e.a),\ncomp AS")
+    Q("q125_leakage_safe_split", sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+        maxDf = 50L, minShared = 2L)
+      val comp = graft.operators.Components
+        .connectedComponents(edges, docs.select(col("doc_id")))
+        .select(col("v").as("doc_id"), col("component"))
+      val h = graft.functions.Hashes
+        .h60(concat(lit("split|"), col("component").cast(StringType))) % 100
+      comp.select(col("doc_id"), col("component"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+    }
+  }
+
   /** q84 — SimHash near-dup PAIRS (q21 emits the signature; this is the
     * pair-generation stage, completing the SimHash dedup path like q20
     * does for MinHash): 4 16-bit bands block candidates by equi-join,
@@ -1092,5 +1131,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109)
+    q99, q100, q101, q103, q104, q108, q109, q125)
 }

@@ -798,6 +798,47 @@ object TrainingQueries {
         size(col("tokens")).cast(LongType).as("n_tokens"))
   }
 
+  /** q126 — per-source TOKEN-BUDGET fill: the mixture-construction step
+    * that takes documents per domain until a token budget is hit (q79
+    * mixes by doc PROPORTIONS; real mixtures are specified in TOKENS).
+    * Selection order is a keyed hash (q57's determinism discipline —
+    * stable across runs, engines and repartitioning; doc_id tiebreak),
+    * the running total is one window scan partitioned by source, and a
+    * doc is kept while the cumulative count stays ≤ budget — greedy
+    * prefix fill, the standard recipe. Scale shape: one shuffle on
+    * `source` + per-partition sort; at 100 TB the per-source partitions
+    * are the mixture's domain shards — already how a mixture job lays
+    * out, and skew-safe because hot sources split under AQE only at
+    * the sort, not the windowed prefix (order is per-source global by
+    * construction). 800 tokens ≈ 60 % of each source at sf0.01 — the
+    * budget boundary is exercised, not vacuous. */
+  val q126 = Q("q126_token_budget_fill", {
+    val h = graft.functions.Hashes.h60Sql("'fill|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 800""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("fill|"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"), h.as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126)
 }

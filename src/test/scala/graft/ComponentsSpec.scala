@@ -147,4 +147,20 @@ class ComponentsSpec extends SparkSpec {
     val teleport = (1000000000000L * 15L) / (100L * 5L)
     assert(got(9L) === teleport, "an isolated vertex holds exactly the teleport mass")
   }
+
+  test("leakage-safe split (q125): one split per component, and it is the component's hash split") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries.q125
+      .fn(spark, "/root/testdata/sf0.001").cache()
+    // the defining property: a near-dup cluster never straddles splits
+    assert(out.groupBy("component")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).isEmpty)
+    // and the split is q57's arithmetic applied to the component label
+    val h = graft.functions.Hashes
+      .h60(concat(lit("split|"), col("component").cast("string"))) % 100
+    val expect = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    assert(out.filter(col("split") =!= expect).isEmpty)
+    // every doc present exactly once
+    assert(out.count() === Tables.documents(spark, "/root/testdata/sf0.001").count())
+  }
 }

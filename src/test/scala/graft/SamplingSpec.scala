@@ -50,4 +50,31 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(p - ep) / ep < 0.02, s"$k p90: $p vs $ep")
     }
   }
+
+  test("token-budget fill (q126): budget respected, greedy-maximal, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.TrainingQueries.q126.fn(spark, dir).cache()
+    // budget is never exceeded
+    assert(out.filter(col("cum_tokens") > 800).isEmpty)
+    // greedy maximality: for each source, the NEXT doc in hash order
+    // (first one excluded) would have pushed the total past the budget
+    val h = graft.functions.Hashes
+      .h60(concat(lit("fill|"), col("doc_id").cast("string")))
+    val ranked = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"), h.as("h"))
+    val taken = out.groupBy("source")
+      .agg(max(col("cum_tokens")).as("total"), count(lit(1)).as("n_taken"))
+    val firstExcluded = ranked.join(out.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(min_by(col("n_tokens"), struct(col("h"), col("doc_id"))).as("next_tokens"))
+    val joined = taken.join(firstExcluded, Seq("source")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val total = r.getLong(1); val next = r.getLong(3)
+      assert(total + next > 800, s"${r.getString(0)}: $total + $next fits — fill not maximal")
+    }
+    // deterministic across runs
+    val again = graft.queries.TrainingQueries.q126.fn(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
