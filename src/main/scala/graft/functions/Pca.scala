@@ -43,6 +43,29 @@ object Pca {
   private def triSize(d: Int): Int = d * (d + 1) / 2
   private def triIdx(i: Int, j: Int, d: Int): Int = i * d - i * (i - 1) / 2 + (j - i)
 
+  /** Sufficient statistics of a vector set: (n, Σx, Σxxᵀ upper
+    * triangle). MERGEABLE — `merge` is element-wise addition — which is
+    * the incremental-maintenance contract (q73's merge ≡ recompute
+    * discipline applied to model fitting): at 100 TB the daily refresh
+    * accumulates the delta batch's moments and refits the d×d
+    * eigenproblem without rescanning the corpus. */
+  case class Moments(n: Long, s: Array[Double], ss: Array[Double]) {
+    def merge(o: Moments): Moments = {
+      require(s.length == o.s.length, "dimension mismatch in Moments.merge")
+      Moments(n + o.n,
+        s.zip(o.s).map { case (a, b) => a + b },
+        ss.zip(o.ss).map { case (a, b) => a + b })
+    }
+  }
+
+  /** The one-pass moment sweep over a vector set (double precision) —
+    * the building block [[fit]] uses, exposed for incremental callers:
+    * `fitFromMoments(moments(old).merge(moments(delta)))`. */
+  def moments(vectors: DataFrame, embCol: String, dim: Int): Moments = {
+    val (n, s, ss) = momentPartials(vectors, embCol, dim, None)
+    Moments(n, s, ss)
+  }
+
   /** One-pass partial moments: per input partition, (n, Σf(x), Σf(x)f(x)ᵀ
     * upper triangle) with `f` either identity (doubles) or the ·2^shift
     * floor quantizer (exact longs when quantized — see object doc). */
@@ -164,17 +187,22 @@ object Pca {
 
   /** Fit: double-precision moments (same one-pass shape), population
     * covariance, Jacobi. `k` top components are kept in the model. */
-  def fit(vectors: DataFrame, embCol: String, dim: Int, k: Int): Model = {
+  def fit(vectors: DataFrame, embCol: String, dim: Int, k: Int): Model =
+    fitFromMoments(moments(vectors, embCol, dim), k)
+
+  /** Fit from pre-accumulated (possibly merged) sufficient statistics —
+    * the incremental path: no data scan, just the d×d eigenproblem. */
+  def fitFromMoments(m: Moments, k: Int): Model = {
+    val dim = m.s.length
     require(k >= 1 && k <= dim, s"k=$k out of range 1..$dim")
-    val (n, s, ss) = momentPartials(vectors, embCol, dim, None)
-    require(n > 0, "PCA fit on an empty vector set")
-    val mean = s.map(_ / n)
+    require(m.n > 0, "PCA fit on an empty vector set")
+    val mean = m.s.map(_ / m.n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       val (lo, hi) = if (i <= j) (i, j) else (j, i)
-      ss(triIdx(lo, hi, dim)) / n - mean(i) * mean(j)
+      m.ss(triIdx(lo, hi, dim)) / m.n - mean(i) * mean(j)
     }
     val (evals, evecs) = jacobiEigen(cov)
-    Model(dim, n, mean, evals.take(k), evecs.take(k))
+    Model(dim, m.n, mean, evals.take(k), evecs.take(k))
   }
 
   /** Projection: center and rotate onto the model's top-k axes — a

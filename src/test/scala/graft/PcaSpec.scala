@@ -76,6 +76,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("incremental fit: merged delta moments ≡ full-corpus fit (q73 discipline)") {
+    // split the corpus into "yesterday" and "today's delta", accumulate
+    // each half's sufficient statistics independently, merge, refit —
+    // the daily-refresh path that never rescans the old corpus
+    val old = vecs.filter(col("vec_id") % 3 =!= 0)
+    val delta = vecs.filter(col("vec_id") % 3 === 0)
+    val merged = Pca.fitFromMoments(
+      Pca.moments(old, "embedding", 64).merge(Pca.moments(delta, "embedding", 64)), 8)
+    val full = Pca.fit(vecs, "embedding", 64, 8)
+    assert(merged.count === full.count)
+    // double addition is grouped differently across the two paths, so
+    // equality is to summation-reassociation tolerance, not bit-exact
+    merged.mean.zip(full.mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    merged.eigenvalues.zip(full.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    merged.basis.zip(full.basis).zipWithIndex.foreach { case ((a, b), i) =>
+      // eigenvectors are sign-ambiguous; compare |<a,b>| ≈ 1
+      val dot = math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+      assert(math.abs(dot - 1.0) < 1e-6, s"basis $i: |dot| = $dot")
+    }
+  }
+
   test("quantized covariance: diagonal numerators are non-negative, symmetric triangle complete") {
     val cov = Pca.quantizedCovariance(vecs, "embedding", 64).cache()
     assert(cov.count() === 64L * 65 / 2)

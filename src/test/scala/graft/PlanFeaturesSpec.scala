@@ -180,4 +180,23 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(PlanAudit.unboundedBroadcastHints(T.q71.fn(spark, sf)).nonEmpty)
     assert(PlanAudit.broadcastAllowlist.contains("q71_contamination"))
   }
+
+  test("bloom pre-join (q123): the probe filter is pushed below the join, next to the scan") {
+    val q = graft.queries.ScaleQueries.q123.fn(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.optimizedPlan
+    // find the join, then require graft_bloom_contains among the PROBE
+    // side's filters — i.e. pruning happens before rows reach the join
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, s"no join in:\n$plan")
+    val probeSide = joins.head.left.toString + joins.head.right.toString
+    assert(probeSide.contains("graft_bloom_contains"),
+      s"bloom predicate not below the join:\n$plan")
+    // and the filter is in the same subtree as the lineitem relation,
+    // directly over its scan (pushdown survived optimization)
+    val underJoin = joins.head.children.find(_.toString.contains("graft_bloom_contains")).get
+    assert(underJoin.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("graft_bloom_contains") => f
+    }.nonEmpty)
+  }
 }
