@@ -450,6 +450,46 @@ object CorpusQueries {
         hashFn = xxhash64(_)))
   }
 
+  /** q128 — CCNet-style per-language LM buckets: every language's docs
+    * ranked by the corpus char-LM score (q113's fixed-point integer
+    * form — exactly oracle-replayable, unlike the float bits-per-char
+    * twin) and cut into head/middle/tail terciles with `ntile(3)` —
+    * the Wenzek et al. 2020 quality-stratification step that feeds
+    * curriculum and filtering decisions per language rather than
+    * globally (a global cut would mark whole low-resource languages
+    * "tail"). Docs too short to score (n_pos = 0) drop, as in CCNet.
+    * One window per language over already-aggregated per-doc scores —
+    * the window input is |docs| rows, not |positions|. Oracle: q113's
+    * CTE chain spliced with the same ntile arithmetic. */
+  val q128: Q = {
+    val closing = """SELECT d.doc_id, COALESCE(pd.n_pos, 0) AS n_pos,
+      |       CAST(CASE WHEN pd.n_pos IS NULL THEN NULL
+      |                 ELSE pd.sum_p_fp // pd.n_pos END AS BIGINT) AS avg_p_fp
+      |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
+    val base = q113.oracle.get
+    require(base.contains(closing), "q113 oracle changed shape under q128")
+    val sql = base.replace(closing,
+      """lm AS (SELECT doc_id, CAST(sum_p_fp // n_pos AS BIGINT) AS avg_p_fp FROM pd)
+        |SELECT l.doc_id, d.lang, l.avg_p_fp,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY l.avg_p_fp DESC, l.doc_id)
+        |       WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lm l JOIN documents d ON d.doc_id = l.doc_id""".stripMargin)
+      .replace("FROM sc GROUP BY 1)\nlm AS", "FROM sc GROUP BY 1),\nlm AS")
+    Q("q128_ccnet_buckets", sql) { (s, d) =>
+      val lm = LanguageModel.fixedPointScores(Tables.documents(s, d), "doc_id", "text",
+          scale = 1000000L)
+        .filter(col("n_pos") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("avg_p_fp").desc, col("doc_id"))
+      lm.join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_p_fp"),
+          ntile(3).over(w).as("nt"))
+        .select(col("doc_id"), col("lang"), col("avg_p_fp"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p)
+    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128)
 }

@@ -786,6 +786,61 @@ object ExtensionQueries {
     }
   }
 
+  /** q127 — QUALITY-AWARE cluster canonicalization: q68's components
+    * choose their representative by MAX quality score (q31/q60's
+    * composite; doc_id tiebreak), not min id — the RefinedWeb-style
+    * policy where dedup keeps the best-written copy, not an arbitrary
+    * one. One window per component over the (component ⨝ score) join;
+    * at 100 TB the window input is |docs| rows partitioned by
+    * component — same scale class as the q94 canonical-apply. Oracle:
+    * the q68 closure CTE + q60's score arithmetic + the same
+    * row_number, composed — the POLICY sits under the exact gate.
+    * NULL-text docs score 0 via coalesce on BOTH sides (the q116
+    * regeneration lesson: never let NULL ordering divergence hide in
+    * fixtures that happen to lack NULLs). */
+  val q127: Q = {
+    val closing = "SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY 1"
+    val base = q68.oracle.get
+    require(base.contains(closing), "q68 oracle changed shape under q127")
+    val hits = hitsSql(Text.Stopwords.values.flatten.toSeq)
+    val sql = base.replace(closing,
+      s"""comp AS ($closing),
+         |scored AS (
+         |  SELECT doc_id, COALESCE(
+         |    (least(length(text) / 200.0, 1.0)
+         |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         |                      / length(text) * 4.0, 1.0))
+         |     + least(CAST($hits AS DOUBLE) / len(string_split(trim(text), ' ')) * 5.0, 1.0))
+         |    / 3.0, 0.0) AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT c.component, c.doc_id, s.score,
+         |         row_number() OVER (PARTITION BY c.component
+         |                            ORDER BY s.score DESC, c.doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+         |  FROM comp c JOIN scored s ON s.doc_id = c.doc_id)
+         |SELECT component, doc_id AS kept_doc_id, n_docs, score AS best_score
+         |FROM r WHERE rn = 1""".stripMargin)
+      .replace("edges e ON r.u = e.a)\ncomp AS", "edges e ON r.u = e.a),\ncomp AS")
+    Q("q127_cluster_best_keep", sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+        maxDf = 50L, minShared = 2L)
+      val comp = graft.operators.Components
+        .connectedComponents(edges, docs.select(col("doc_id")))
+        .select(col("v").as("doc_id"), col("component"))
+      val scored = docs.select(col("doc_id"),
+        coalesce(Text.qualityScore(col("text")), lit(0.0)).as("score"))
+      val w = Window.partitionBy("component").orderBy(col("score").desc, col("doc_id"))
+      comp.join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("component")))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("kept_doc_id"),
+          col("n_docs"), col("score").as("best_score"))
+    }
+  }
+
   /** q84 — SimHash near-dup PAIRS (q21 emits the signature; this is the
     * pair-generation stage, completing the SimHash dedup path like q20
     * does for MinHash): 4 16-bit bands block candidates by equi-join,
@@ -1131,5 +1186,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109, q125)
+    q99, q100, q101, q103, q104, q108, q109, q125, q127)
 }
