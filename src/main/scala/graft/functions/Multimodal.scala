@@ -211,6 +211,44 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Audio-style ALIGNMENT matching over frame signatures — the Shazam
+    * offset-consistency vote (Wang 2003): where [[videoNearDupPairs]]
+    * counts shared frames anywhere, this requires them to agree on ONE
+    * time shift. Each matching frame between docs a and b casts a vote
+    * for offset Δ = frame_a − frame_b; a genuine re-use of a clip at a
+    * shift puts (almost) all votes on a single Δ, while coincidental
+    * shared frames scatter. Output: per candidate pair, the winning
+    * offset and its vote count (pairs with ≥ `minVotes` aligned
+    * frames).
+    *
+    * Scale shape: identical to the rare-gram family — distinct
+    * signatures, frame-df hot cap, banded equi-join on the signature,
+    * then a (a, b, Δ) count and a per-pair max (window over the pair's
+    * own offsets, input = matched-frame rows, never O(n²) in docs).
+    * The vote is pure integer arithmetic — fully oracle-replayable. */
+  def alignedMatchPairs(frames: DataFrame, minVotes: Long = 2,
+                        maxDf: Long = 100): DataFrame = {
+    val d = frames.select(col("doc_id"), col("frame_idx"), col("fhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = d.join(
+      d.select(col("doc_id"), col("fhash")).distinct()
+        .groupBy("fhash").agg(count(lit(1)).as("frame_df"))
+        .filter(col("frame_df").between(2, maxDf))
+        .select("fhash"),
+      Seq("fhash"), "left_semi")
+    val votes = kept.select(col("doc_id").as("a"), col("frame_idx").as("fa"), col("fhash"))
+      .join(kept.select(col("doc_id").as("b"), col("frame_idx").as("fb"), col("fhash")),
+        Seq("fhash"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), (col("fa") - col("fb")).as("shift"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a", "b")
+      .orderBy(col("votes").desc, col("shift"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("votes") >= minVotes)
+      .select(col("a"), col("b"), col("shift").cast("long").as("best_shift"), col("votes"))
+  }
+
   /** Frame-sampling metadata: every `stride`-th byte offset as a fake
     * frame index — the plumbing (explode of a per-row sequence into
     * (doc, frame_idx, offset) rows) is exactly what a video sampler

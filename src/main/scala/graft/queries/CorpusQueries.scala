@@ -490,6 +490,40 @@ object CorpusQueries {
     }
   }
 
+  /** q129 — ALIGNED clip matching (the Shazam offset-consistency vote,
+    * Wang 2003, over the same frame signatures q124 shares): each
+    * matching frame votes for its time shift Δ = frame_a − frame_b and
+    * the pair's best-supported alignment wins — true re-use
+    * concentrates votes on one Δ, coincidence scatters. Completes the
+    * multimodal dedup triad: whole-still (q118/q119), unordered clip
+    * overlap (q124), time-ALIGNED overlap (here). All integer
+    * arithmetic over md5-h60 frame hashes — every vote
+    * oracle-replayable. */
+  val q129 = Q("q129_aligned_match",
+    s"""WITH f AS (
+       |  SELECT doc_id, text, unnest(range(0, CAST(length(text) // 16 AS BIGINT))) AS j
+       |  FROM documents WHERE text IS NOT NULL),
+       |fh AS (SELECT doc_id, j AS frame_idx,
+       |              ${Hashes.h60Sql("substr(text, CAST(j * 16 + 1 AS BIGINT), 16)")} AS fhash
+       |       FROM f),
+       |dist AS (SELECT DISTINCT doc_id, fhash FROM fh),
+       |keep AS (SELECT fhash FROM dist GROUP BY fhash HAVING COUNT(*) BETWEEN 2 AND 100),
+       |dk AS (SELECT fh.doc_id, fh.frame_idx, fh.fhash FROM fh JOIN keep USING (fhash)),
+       |v AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |             a.frame_idx - b.frame_idx AS shift, COUNT(*) AS votes
+       |      FROM dk a JOIN dk b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3),
+       |r AS (SELECT a, b, shift, votes,
+       |             row_number() OVER (PARTITION BY a, b
+       |                                ORDER BY votes DESC, shift) AS rn
+       |      FROM v)
+       |SELECT a, b, CAST(shift AS BIGINT) AS best_shift, votes
+       |FROM r WHERE rn = 1 AND votes >= 2""".stripMargin) { (s, d) =>
+    Multimodal.alignedMatchPairs(
+      Multimodal.frameSignatures(
+        Multimodal.mediaTable(Tables.documents(s, d)), stride = 16))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128)
+    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129)
 }

@@ -359,6 +359,23 @@ class SimilaritySpec extends SparkSpec {
     }))
   }
 
+  test("aligned match: a shifted copy votes onto one offset; scattered overlap is rejected") {
+    val P = "pppppppppppppppp"; val Q = "qqqqqqqqqqqqqqqq"
+    val R = "rrrrrrrrrrrrrrrr"; val S = "ssssssssssssssss"
+    val T = "tttttttttttttttt"; val U = "uuuuuuuuuuuuuuuu"
+    val media = mediaOf(Seq(
+      (1L, P + Q + R + S),      // frames P,Q,R,S at 0..3
+      (2L, Q + R + S + T),      // the same clip shifted: Q,R,S at 0..2 -> all vote shift=+1
+      (3L, S + U + U + P)))     // shares S and P with doc 1 at INCONSISTENT offsets
+    val out = Multimodal.alignedMatchPairs(
+      Multimodal.frameSignatures(media, stride = 16), minVotes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // (1,2): Q/R/S match at shifts 1-0, 2-1, 3-2 — three votes on +1
+    assert(out((1L, 2L)) === (1L, 3L))
+    // (1,3): S matches at 3-0=+3, P at 0-3=-3 — max one vote per shift, below minVotes
+    assert(!out.contains((1L, 3L)))
+  }
+
   test("video near-dup: md5 gate path ≡ xxhash production path on the fixture corpus") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     def pairSet(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
