@@ -67,6 +67,15 @@ object Bench {
           // note) AFTER the clock stops: each rep then measures the same
           // cold-cache plan instead of degrading under accreted blocks
           spark.catalog.clearCache()
+          // ...and give the ContextCleaner its GC trigger: broadcast
+          // blocks, localCheckpoint RDD blocks and shuffle files are
+          // only released when their JVM references are collected, and
+          // with a 100+ GB heap that can lag MINUTES behind — measured
+          // at sf1.0, late-in-sweep components queries ran up to 1.7x
+          // their solo wall purely from accreted earlier-query state.
+          // An explicit gc per rep keeps every query's measurement
+          // independent of its position in the sweep.
+          System.gc()
           dt
         }
         name -> times
