@@ -841,6 +841,47 @@ object ExtensionQueries {
     }
   }
 
+  /** q130 — eval-leakage AUDIT: the near-dup pairs (q68's edge set)
+    * whose two ends land in DIFFERENT splits under the naive per-doc
+    * hash split (q57's arithmetic) — each row is an eval document
+    * whose near-duplicate is in train. This is the measurement that
+    * motivates q125: on this fixture the naive policy leaks a
+    * substantial fraction of dup pairs (~2·p·(1−p) of them for split
+    * fraction p), while the cluster-keyed split leaks ZERO by
+    * construction (pinned in ComponentsSpec). Run it against any
+    * existing split assignment before training; at 100 TB it is one
+    * edge build (already amortized by the dedup pass) + two hash-join
+    * probes. */
+  val q130: Q = {
+    val marker = "\nedges AS ("
+    val base = q68.oracle.get
+    require(base.contains(marker), "q68 oracle changed shape under q130")
+    val split = graft.functions.Hashes.h60Sql("'split|' || CAST(doc_id AS VARCHAR)")
+    val sql = base.substring(0, base.indexOf(marker)) +
+      s"""
+         |s AS (SELECT doc_id,
+         |        CASE WHEN $split % 100 < 80 THEN 'train'
+         |             WHEN $split % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM documents)
+         |SELECT e0.a, e0.b, sa.split AS split_a, sb.split AS split_b
+         |FROM e0 JOIN s sa ON sa.doc_id = e0.a JOIN s sb ON sb.doc_id = e0.b
+         |WHERE sa.split <> sb.split""".stripMargin
+    Q("q130_leakage_audit", sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+        maxDf = 50L, minShared = 2L)
+      val h = graft.functions.Hashes
+        .h60(concat(lit("split|"), col("doc_id").cast(StringType))) % 100
+      val split = docs.select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+      edges
+        .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("a", "b", "split_a", "split_b")
+    }
+  }
+
   /** q84 — SimHash near-dup PAIRS (q21 emits the signature; this is the
     * pair-generation stage, completing the SimHash dedup path like q20
     * does for MinHash): 4 16-bit bands block candidates by equi-join,
@@ -1186,5 +1227,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109, q125, q127)
+    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130)
 }

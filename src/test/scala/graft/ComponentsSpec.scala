@@ -163,4 +163,21 @@ class ComponentsSpec extends SparkSpec {
     // every doc present exactly once
     assert(out.count() === Tables.documents(spark, "/root/testdata/sf0.001").count())
   }
+
+  test("leakage audit (q130): naive doc-hash split leaks dup pairs; cluster split leaks none") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val naiveLeaks = graft.queries.ExtensionQueries.q130.fn(spark, dir).count()
+    assert(naiveLeaks > 0, "fixture must exhibit the leakage q125 exists to prevent")
+    // the same audit against q125's cluster-keyed assignment: zero by construction
+    val docs = Tables.documents(spark, dir)
+    val edges = graft.functions.Dedup.rareGramEdges(docs, "doc_id", "text", 3, 50L, 2L)
+    val clusterSplit = graft.queries.ExtensionQueries.q125.fn(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val clusterLeaks = edges
+      .join(clusterSplit.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(clusterSplit.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(clusterLeaks === 0L)
+  }
 }
