@@ -70,7 +70,14 @@ object Relational {
   def bloomPreJoin(probe: DataFrame, probeKey: String,
                    build: DataFrame, buildKey: String,
                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    // Spark's stat.bloomFilter NPEs when the build side is EMPTY (its
+    // internal aggregate yields null bytes) — and an empty increment is
+    // a normal input, not an error (EdgeCasesSpec). An empty filter is
+    // the correct algebra: it contains nothing, so the probe prunes to
+    // zero rows and the join is empty, exactly like the plain join.
+    val bf = try build.stat.bloomFilter(buildKey, expectedItems, fpp)
+      catch { case _: NullPointerException =>
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp) }
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val pruned = probe.filter(

@@ -839,6 +839,56 @@ object TrainingQueries {
       .select("source", "doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** q131 — TEMPERATURE-based language resampling (the mT5/XLM-R α
+    * recipe at α = 0.5): sampling weight wᵢ ∝ nᵢ^α flattens the
+    * language distribution — low-resource languages are upsampled
+    * relative to the head (this fixture: en has 3× fr's tokens, so en
+    * keeps ~39 % and fr ~69 % of docs at the chosen budget). Per-doc
+    * keep is the keyed-hash coin every sampler here uses (q45/q57/q79
+    * discipline), and the accept test is a PURE INTEGER rational
+    * comparison — keep ⟺ (h mod 10⁶)·(Σ⌊√nⱼ⌋·nᵢ) < T·⌊√nᵢ⌋·10⁶ —
+    * because the float form's Σ√nⱼ is a sum whose ADDITION ORDER the
+    * SQL standard does not fix (the q122 covariance lesson); ⌊√n⌋ is
+    * exact in both engines (IEEE sqrt + floor), so every product here
+    * is an exact int64 (overflow-safe to ~10⁸ tokens/language at this
+    * T; a production run renormalizes the 10⁶ scale with its T).
+    * min(1, p) needs no special case: p ≥ 1 makes the RHS ≥ 10⁶·(Σ·nᵢ)
+    * and the LHS is always below it. Plan: one tiny per-lang agg, a
+    * 5-row window for the Σ, one broadcast-joined scan filter. */
+  val q131 = Q("q131_temperature_mix", {
+    val h = graft.functions.Hashes.h60Sql("'temp|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |pl AS (
+       |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_lang,
+       |         CAST(floor(sqrt(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE))) AS BIGINT) AS isq
+       |  FROM t GROUP BY lang),
+       |w AS (SELECT lang, n_lang, isq,
+       |             CAST(SUM(isq) OVER () AS BIGINT) AS ssum FROM pl)
+       |SELECT t.doc_id, t.lang
+       |FROM t JOIN w ON w.lang = t.lang
+       |WHERE ($h % 1000000) * (w.ssum * w.n_lang) < 15000 * w.isq * 1000000""".stripMargin
+  }) { (s, d) =>
+    val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val perLang = toks.groupBy("lang")
+      .agg(sum(col("n_tok")).cast(LongType).as("n_lang"))
+      .withColumn("isq", floor(sqrt(col("n_lang").cast(DoubleType))).cast(LongType))
+      .withColumn("ssum", sum(col("isq"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()).cast(LongType))
+    val h = graft.functions.Hashes
+      .h60(concat(lit("temp|"), col("doc_id").cast(StringType))) % 1000000L
+    // no broadcast hint: the per-lang side is structurally a corpus
+    // aggregate (the PlanAudit-unbounded shape) though domain-bounded
+    // at |langs| rows — AQE broadcasts it from runtime stats instead
+    toks.join(perLang, Seq("lang"))
+      .filter(h * (col("ssum") * col("n_lang")) < lit(15000L) * col("isq") * lit(1000000L))
+      .select("doc_id", "lang")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126, q131)
 }

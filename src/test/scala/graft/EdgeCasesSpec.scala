@@ -168,4 +168,39 @@ class EdgeCasesSpec extends SparkSpec {
     val (valid, quarantine) = Quality.split(df, Nil)
     assert(valid.count() === 1 && quarantine.isEmpty)
   }
+
+  test("PCA on empty / single-vector inputs: loud failure vs degenerate-but-valid model") {
+    import graft.functions.Pca
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] { Pca.fit(empty, "embedding", 4, 2) }
+    intercept[IllegalArgumentException] {
+      Pca.fit(Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+        "embedding", 4, 5) // k > dim
+    }
+    // a single vector has zero covariance: eigenvalues all ~0, projection ~0
+    val one = Seq((1L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val m = Pca.fit(one, "embedding", 4, 2)
+    assert(m.count === 1L && m.eigenvalues.forall(math.abs(_) < 1e-12))
+    val proj = Pca.project(one, m).head().getSeq[Double](1)
+    assert(proj.forall(math.abs(_) < 1e-9))
+  }
+
+  test("bloom pre-join with an empty build side: empty result, no crash") {
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    val noOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 0).select("o_orderkey")
+    assert(Relational.bloomPreJoin(items, "l_orderkey", noOrders, "o_orderkey", 10L).isEmpty)
+  }
+
+  test("frame signatures / video near-dup on empty and sub-stride media: empty, not null") {
+    import graft.functions.Multimodal
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    assert(Multimodal.frameSignatures(empty, 16).isEmpty)
+    assert(Multimodal.videoNearDupPairs(Multimodal.frameSignatures(empty, 16)).isEmpty)
+    assert(Multimodal.alignedMatchPairs(Multimodal.frameSignatures(empty, 16)).isEmpty)
+    val short = Seq((1L, "tiny")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    assert(Multimodal.frameSignatures(short, 16).isEmpty)
+  }
 }

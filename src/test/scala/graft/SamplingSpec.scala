@@ -77,4 +77,33 @@ class SamplingSpec extends SparkSpec {
     val again = graft.queries.TrainingQueries.q126.fn(spark, dir)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("temperature mix (q131): keep rate tracks the rational target, flattens the head language") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val kept = graft.queries.TrainingQueries.q131.fn(spark, dir)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptN = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the exact rational keep probability per lang
+    val toks = docs.select(col("lang"),
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n_lang")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val isq = toks.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val ssum = isq.values.sum
+    val p = toks.map { case (l, n) =>
+      l -> math.min(1.0, 15000.0 * isq(l) / (ssum.toDouble * n)) }
+    // α=0.5 flattening: the head language keeps a LOWER fraction than the tail
+    val rate = keptN.map { case (l, k) => l -> k.toDouble / total(l) }
+    assert(p("en") < p("fr") && rate("en") < rate("fr"),
+      s"temperature must flatten: en ${rate("en")} vs fr ${rate("fr")}")
+    // measured keep rate within binomial noise of the exact target (3σ)
+    p.foreach { case (l, pi) =>
+      val n = total(l); val sd = math.sqrt(pi * (1 - pi) / n)
+      assert(math.abs(rate(l) - pi) < 3 * sd + 0.02,
+        s"$l: rate ${rate(l)} vs target $pi (n=$n)")
+    }
+  }
 }
