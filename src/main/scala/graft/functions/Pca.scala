@@ -205,6 +205,45 @@ object Pca {
     Model(dim, m.n, mean, evals.take(k), evecs.take(k))
   }
 
+  /** Coarse-to-fine ANN: shortlist neighbors in the model's LOW-RANK
+    * space (L2 over k doubles — top-k captures most of the variance,
+    * so true neighbors survive the cut), then rerank ONLY the
+    * shortlist with the exact full-dimension cosine. Per query the
+    * expensive d-dim kernel runs `shortlist` times instead of n times
+    * — the standard dimensionality-reduction prefilter, and the third
+    * cost/recall point alongside IVF (partition pruning) and PQ (code
+    * compression). Same broadcast contract as [[Similarity
+    * .bruteForceTopK]]: the query set must be small. Recall vs the
+    * exact scan is spec-pinned (PcaSpec); no value oracle by design
+    * (float projections). */
+  def prefilterTopK(vectors: DataFrame, queries: DataFrame, model: Model,
+                    k: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val pv = project(vectors, model)
+      .select(col("vec_id").as("neighbor_id"), col("proj").as("v_proj"))
+    val pq = project(queries, model)
+      .select(col("vec_id").as("query_id"), col("proj").as("q_proj"))
+    val coarse = pv.crossJoin(broadcast(pq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("v_proj"), col("q_proj"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v).as("d2"))
+    val short = graft.operators.Relational.topNPerGroup(
+        coarse, shortlist, Seq(col("query_id")), -col("d2"), col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val v = vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("v_emb"), Similarity.norm(col("embedding")).as("v_norm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm"))
+    val exact = short.join(v, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("q_emb"), col("v_emb")) /
+          (col("q_norm") * col("v_norm"))).as("cos_sim"))
+    graft.operators.Relational.topNPerGroup(exact, k, Seq(col("query_id")),
+      col("cos_sim"), col("neighbor_id"))
+  }
+
   /** Projection: center and rotate onto the model's top-k axes — a
     * map-only pass. Each component is ⟨x, bₖ⟩ − ⟨μ, bₖ⟩ with the mean
     * offset folded into one literal per component, so the per-row work

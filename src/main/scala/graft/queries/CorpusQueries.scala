@@ -524,6 +524,21 @@ object CorpusQueries {
         Multimodal.mediaTable(Tables.documents(s, d)), stride = 16))
   }
 
+  /** q132 — coarse-to-fine ANN through the PCA model
+    * ([[Pca.prefilterTopK]]): shortlist in 24-dim projected space
+    * (top-24 components carry ~52 % of this corpus's variance — the
+    * synthetic embeddings are deliberately near-isotropic, PCA's WORST
+    * case, measured in PcaSpec's knee table), exact 64-dim cosine
+    * rerank on the survivors — a third cost/recall point beside IVF
+    * (q24) and PQ (q100). Float projections ⇒ no value oracle; recall
+    * ≥ 0.9 @ (k=24, shortlist=16·k) vs the exact scan is pinned in
+    * PcaSpec, with the shortlist=n degenerate case exactly equal. */
+  val q132 = Q.noOracle("q132_pca_prefilter_topk") { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    Pca.prefilterTopK(vecs, vecs.filter(col("vec_id") < 8), // small query set
+      Pca.fit(vecs, "embedding", 64, 24), k = 10, shortlist = 160)
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129)
+    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132)
 }

@@ -98,6 +98,30 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("prefilter top-k: recall vs the exact scan, and shortlist=n degenerates to exact") {
+    import graft.functions.Similarity
+    // this corpus is deliberately near-isotropic — PCA's worst case
+    // (top-8 components hold only ~20 % of variance vs 12.5 % under
+    // pure isotropy; measured knee: k=8/sl=80 → 0.51, k=16/sl=160 →
+    // 0.89, k=24/sl=160 → 0.96). q132 registers the (24, 160) point.
+    val m24 = Pca.fit(vecs, "embedding", 64, 24)
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Pca.prefilterTopK(vecs, queries, m24, k = 10, shortlist = 160)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"prefilter recall $recall < 0.9 at (24, 160)")
+    // with the shortlist covering every vector, the result IS the exact scan
+    val full = Pca.prefilterTopK(vecs, queries, m24, k = 10,
+        shortlist = vecs.count().toInt)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
+
   test("quantized covariance: diagonal numerators are non-negative, symmetric triangle complete") {
     val cov = Pca.quantizedCovariance(vecs, "embedding", 64).cache()
     assert(cov.count() === 64L * 65 / 2)
