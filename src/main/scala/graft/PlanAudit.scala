@@ -94,7 +94,8 @@ object PlanAudit {
       "q23_cosine_topk" -> annQuery,
       "q24_ivf_ann" -> annQuery,
       "q100_pq_adc_topk" -> annQuery,
-      "q108_ivfpq_topk" -> annQuery)
+      "q108_ivfpq_topk" -> annQuery,
+      "q132_pca_prefilter_topk" -> annQuery)
   }
   /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
     * record (`target/bench_last.json`, written by [[Bench]]) against the
