@@ -97,4 +97,33 @@ object Retrieval {
             s => concat_ws(":", s.getField("doc_id"), -s.getField("neg_tf"))),
           ",").as("postings"))
   }
+
+  /** Exact PHRASE search via positional postings — the index
+    * application q111's impact-ordered postings cannot answer (they
+    * drop positions): find every (doc, offset) where `phrase`'s tokens
+    * occur CONSECUTIVELY. The first term's postings anchor a candidate
+    * start; each later term joins on (doc, start + i) — the classic
+    * positional-index intersection, evaluated lazily term by term so
+    * the working set shrinks with the rarest-seen prefix.
+    *
+    * Scale shape: each join side is the postings of ONE token (the
+    * `token = w` filter pushes into the postings scan — at 100 TB this
+    * is an index lookup, not a corpus scan), and every join is an
+    * equi-join on (doc, position). No windows, no explode beyond the
+    * one shared positional-postings pass. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = df
+      .select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
+      .select(col(idCol), col("pos"), col("col").as("token"))
+    val anchor = toks.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos").as("start_pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (w, i)) =>
+      acc.join(
+        toks.filter(col("token") === w)
+          .select(col(idCol), (col("pos") - i).as("start_pos")),
+        Seq(idCol, "start_pos"))
+    }
+  }
 }

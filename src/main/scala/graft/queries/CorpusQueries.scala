@@ -539,6 +539,28 @@ object CorpusQueries {
       Pca.fit(vecs, "embedding", 64, 24), k = 10, shortlist = 160)
   }
 
+  /** q134 — exact PHRASE search via positional postings
+    * ([[Retrieval.phraseSearch]]): every (doc, start offset) where the
+    * three query tokens occur consecutively — the index application
+    * q111's position-free impact postings cannot answer. Each phrase
+    * term's postings are a token-filtered slice of ONE shared
+    * positional explode (an index lookup at scale, not a corpus scan)
+    * and the intersection is equi-joins on (doc, offset). The fixture
+    * phrase has df 7 at sf0.01 — real hits, not a vacuous empty set.
+    * Oracle: the same consecutive-token predicate evaluated directly
+    * on the token arrays. */
+  val q134 = Q("q134_phrase_search",
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS start_pos
+      |FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+      |WHERE w[i] = 'part' AND w[i+1] = 'filter' AND w[i+2] = 'scan'""".stripMargin) {
+    (s, d) =>
+      Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("part", "filter", "scan"))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
-    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132)
+    q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
+    q134)
 }

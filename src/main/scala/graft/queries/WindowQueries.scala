@@ -127,5 +127,33 @@ object WindowQueries {
         count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82)
+  /** q133 — hourly volume anomaly flags per event type
+    * ([[graft.operators.Anomaly.hourlyCountAnomalies]]): the ingest
+    * monitor that catches upstream outages and replay storms. z² > 9
+    * over a trailing 24-observed-hour baseline, evaluated as the exact
+    * integer inequality (c·n−s)² > 9·(n·q−s²) — no float mean/std, so
+    * flags AND counts sit under the value gate. Hours are epoch-hours
+    * (ts is epoch-nanos after `Tables.events`; the oracle divides
+    * epoch-µs by 3.6e9 — same integers). */
+  val q133 = Q("q133_count_anomalies",
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, n_events,
+      |         CAST(SUM(n_events) OVER fr AS BIGINT) AS s,
+      |         CAST(SUM(n_events * n_events) OVER fr AS BIGINT) AS q,
+      |         COUNT(*) OVER fr AS n_prior
+      |  FROM c
+      |  WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hour, n_events,
+      |       (n_events * 24 - s) * (n_events * 24 - s) > 9 * (q * 24 - s * s) AS anomaly
+      |FROM w WHERE n_prior = 24""".stripMargin) { (s, d) =>
+    graft.operators.Anomaly.hourlyCountAnomalies(
+      Tables.events(s, d), "event_type", "ts", window = 24, zThreshold = 3)
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133)
 }

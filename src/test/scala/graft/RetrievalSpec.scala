@@ -68,4 +68,43 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(s2(1L) > s2(2L), "the rarer term must outrank the common one")
   }
+
+  test("phrase search: consecutive positions only, all occurrences, order matters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3; "b c" at 1
+      (2L, "b a c b a"),   // has a and b but never "a b" consecutively... (4L,"a") no
+      (3L, "a b")).toDF("doc_id", "text")
+    def hits(p: String*) = Retrieval.phraseSearch(docs, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hits("a", "b") === Set((1L, 0), (1L, 3), (3L, 0)))
+    assert(hits("b", "c") === Set((1L, 1)))
+    assert(hits("c", "a") === Set((1L, 2)))
+    assert(hits("b", "a") === Set((2L, 0), (2L, 3))) // order is not symmetric
+    assert(hits("a", "b", "c", "a", "b") === Set((1L, 0)))
+    assert(hits("a", "b", "x").isEmpty)
+    // single term = plain positional postings of that token
+    assert(hits("a") === Set((1L, 0), (1L, 3), (2L, 1), (2L, 4), (3L, 0)))
+  }
+
+  test("hourly anomaly flags: spike flagged, steady baseline not, warm-up withheld") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val h = 3600L * 1000000000L // one hour of nanos
+    // type "s": 30 steady hours at 10 events, then one 50-event spike hour
+    val steady = (0 until 30).flatMap(i => Seq.fill(10)(("s", i * h + 1)))
+    val spike = Seq.fill(50)(("s", 30 * h + 1))
+    // type "w": only 10 hours — never exits warm-up
+    val warm = (0 until 10).flatMap(i => Seq.fill(5)(("w", i * h + 1)))
+    val events = (steady ++ spike ++ warm).toDF("event_type", "ts")
+    val out = graft.operators.Anomaly
+      .hourlyCountAnomalies(events, "event_type", "ts", window = 24, zThreshold = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(!out.keys.exists(_._1 == "w"), "under-window type must be withheld")
+    // steady hours after warm-up: 24..29 present and unflagged
+    (24 to 29).foreach(i => assert(out(("s", i.toLong)) === false, s"hour $i"))
+    // the spike hour: variance of the constant baseline is 0 -> flagged
+    assert(out(("s", 30L)) === true)
+    assert(out.size === 7) // hours 24..30 for "s" only
+  }
 }
