@@ -201,6 +201,36 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
   }
 
+  /** CROSS-CORPUS decontamination at scale: drop every corpus document
+    * that is a MinHash near-duplicate of ANY reference document — the
+    * "remove eval-suite lookalikes from pretraining data" operation
+    * when the reference is itself TOO BIG TO BROADCAST (q71's exact
+    * gram-set check covers the small-suite case; this is the banded-
+    * index path for a reference of millions of documents). Both sides
+    * are signature-banded once (signatures are per-doc, so the
+    * reference index is a persistable artifact reusable across corpus
+    * shards — the q101 incremental contract), collisions come from the
+    * banded equi-join's cross half only (corpus-internal duplicates
+    * are NOT this operator's business), and the flagged ids anti-join
+    * the corpus. Never O(|corpus|·|reference|). */
+  def decontaminateAgainst(corpus: DataFrame, reference: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+                           estThreshold: Double = 0.2,
+                           bandHash: Seq[Column] => Column = XxBandHash): DataFrame = {
+    def banded(df: DataFrame) = bandedIndex(
+      minhashSignaturesAffine(df, idCol, textCol, shingleN, k),
+      idCol, k, bands, bandHash)
+    val refIndex = banded(reference)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cross, _) = incrementalHalves(banded(corpus), refIndex, idCol)
+    val flagged = cross
+      .select(col("a").as(idCol), estJaccard(k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(idCol).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** The two halves of the incremental probe, pair provenance intact:
     * `_1` = new-vs-index pairs with the NEW doc always on the `a` side,
     * `_2` = pairs within the new batch (a < b). Callers that must know

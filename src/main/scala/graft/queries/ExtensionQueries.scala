@@ -1070,6 +1070,33 @@ object ExtensionQueries {
       bandHash = Dedup.Md5BandHash)
   }
 
+  /** q135 — cross-corpus DECONTAMINATION at index scale
+    * ([[Dedup.decontaminateAgainst]]): docs whose id ≡ 0 (mod 7) play
+    * the too-big-to-broadcast reference; every other doc survives only
+    * if no banded MinHash collision with the reference estimates
+    * Jaccard ≥ 0.2. Signatures are per-doc, so the split-then-probe
+    * plan produces EXACTLY the cross pairs of q20's full `scored` CTE
+    * restricted to mixed-side pairs — which is the oracle: an anti
+    * NOT EXISTS over that restriction. q71 is the small-eval-suite
+    * broadcast twin; this is the path when the reference is another
+    * corpus. */
+  val q135 = Q("q135_cross_corpus_decontam",
+    s"""$minhashCteSql
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 7 <> 0 AND NOT EXISTS (
+       |  SELECT 1 FROM scored s
+       |  WHERE s.est_jaccard >= 0.2
+       |    AND ((s.a = d.doc_id AND s.b % 7 = 0)
+       |      OR (s.b = d.doc_id AND s.a % 7 = 0)))""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", shingleN = 3, k = 16, bands = 8,
+        estThreshold = 0.2, bandHash = Dedup.Md5BandHash)
+      .select("doc_id", "lang")
+  }
+
   /** q108 — IVF-PQ approximate top-10 (FAISS IndexIVFPQ shape): the
     * trained √n IVF codebook partitions, PQ encodes per-cell RESIDUALS
     * as m=32 blocks against c=64 Lloyd-refined sub-codebooks (~8×
@@ -1227,5 +1254,5 @@ object ExtensionQueries {
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130)
+    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135)
 }

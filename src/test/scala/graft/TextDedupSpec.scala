@@ -369,4 +369,36 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(capped((1L, 2L)) < uncapped((1L, 2L)))
   }
+
+  test("cross-corpus decontamination: drops exactly the reference lookalikes, corpus-internal dups survive") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val reference = docs.filter(col("doc_id") % 7 === 0)
+    val survivors = Dedup.decontaminateAgainst(corpus, reference, "doc_id", "text",
+        bandHash = Dedup.Md5BandHash)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent derivation of the expected drop set: q20's full
+    // candidate pairs over ALL docs, restricted to mixed-side pairs
+    val sigs = Dedup.minhashSignaturesAffine(docs, "doc_id", "text", 3, 16)
+    val allPairs = Dedup.minhashCandidates(sigs, "doc_id", 16, 8, 0.2,
+        Dedup.Md5BandHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = allPairs.flatMap { case (a, b) =>
+      (a % 7, b % 7) match {
+        case (0, x) if x != 0 => Some(b)
+        case (x, 0) if x != 0 => Some(a)
+        case _ => None // same-side pair: not this operator's business
+      }
+    }.toSet
+    assert(expectedDropped.nonEmpty, "fixture must exercise the drop path")
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === corpusIds -- expectedDropped)
+    // a corpus-internal dup pair with NO reference twin must fully survive
+    val internalOnly = allPairs.collect {
+      case (a, b) if a % 7 != 0 && b % 7 != 0 &&
+        !expectedDropped(a) && !expectedDropped(b) => Seq(a, b)
+    }.flatten
+    assert(internalOnly.forall(survivors), "internal dups are not contamination")
+  }
 }
