@@ -54,3 +54,66 @@ object DecoderProps extends Properties("stub-decoder") {
     w >= 1 && w <= 640 && h >= 1 && h <= 480
   }
 }
+
+/** The q133 anomaly gate replaces the float z-score with the exact
+  * integer inequality (c·n − s)² > T²·(n·q − s²). This pins the
+  * ALGEBRA: on random integer windows the integer test agrees with the
+  * double z-score everywhere the float comparison is numerically
+  * unambiguous (away from the |z| = T boundary by more than float
+  * error), and NEVER disagrees in the direction that would let float
+  * rounding flip a flag. */
+object AnomalyAlgebraProps extends Properties("anomaly-algebra") {
+  private val windows = for {
+    n <- Gen.choose(2, 48)
+    xs <- Gen.listOfN(n, Gen.choose(0L, 100000L))
+    c <- Gen.choose(0L, 200000L)
+  } yield (xs, c)
+
+  property("integer test == float z-test away from the boundary") =
+    Prop.forAll(windows) { case (xs, c) =>
+      val n = xs.length.toLong
+      val s = xs.sum
+      val q = xs.map(x => x * x).sum
+      val lhs = (c * n - s) * (c * n - s)
+      val rhs = 9L * (q * n - s * s)
+      val intFlag = lhs > rhs
+      val mean = s.toDouble / n
+      val variance = (q.toDouble / n) - mean * mean
+      if (variance <= 0) {
+        // constant window: any deviation is infinite z — flag iff c != mean
+        intFlag == (c.toDouble != mean)
+      } else {
+        val z2 = (c - mean) * (c - mean) / variance
+        // compare only when the float value is clearly on one side —
+        // AT the boundary the integer form is the ground truth
+        math.abs(z2 - 9.0) < 1e-6 * math.max(1.0, z2) || intFlag == (z2 > 9.0)
+      }
+    }
+}
+
+/** phraseSearch's join algebra vs an independent sliding-window
+  * reference over random small-vocabulary token sequences. Pure-
+  * function check of the position arithmetic (the Spark plan itself is
+  * pinned in RetrievalSpec); this guards the i-offset convention. */
+object PhraseProps extends Properties("phrase-positions") {
+  private val token = Gen.oneOf("a", "b", "c")
+  private val doc = Gen.listOf(token)
+  private val phrase = Gen.choose(1, 3).flatMap(Gen.listOfN(_, token))
+
+  private def referenceHits(words: List[String], p: List[String]): Set[Int] =
+    if (p.isEmpty || words.lengthCompare(p.length) < 0) Set.empty
+    else words.sliding(p.length).zipWithIndex
+      .collect { case (w, i) if w == p => i }.toSet
+
+  property("anchor+offset intersection == sliding-window reference") =
+    Prop.forAll(doc, phrase) { (words, p) =>
+      // re-derive the operator's algebra without Spark: anchor at the
+      // first term's positions, each later term shifts back by i
+      val postings = words.zipWithIndex.groupMap(_._1)(_._2)
+      val anchors = postings.getOrElse(p.head, Nil).toSet
+      val hits = p.zipWithIndex.drop(1).foldLeft(anchors) { case (acc, (w, i)) =>
+        acc & postings.getOrElse(w, Nil).map(_ - i).toSet
+      }.filter(start => start + p.length <= words.length)
+      hits == referenceHits(words, p)
+    }
+}
