@@ -45,6 +45,15 @@ def main():
             print(f"FAIL {name}: columns {gc} != {ec}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        # the driver's hash is dtype-sensitive: a DuckDB HUGEINT (SUM over
+        # BIGINT) reaches pandas as float64 while Spark emits int64, and
+        # `==` below would still pass (283.0 == 283) — the exact seam that
+        # made round 10's local gate green while the driver's hash failed
+        # (q126). Treat a kind mismatch as FAIL.
+        kind_mism = [f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+                     for c in gc if got[c].dtype.kind != exp[c].dtype.kind]
+        if kind_mism:
+            print(f"FAIL {name}: dtype seam {kind_mism}"); n_fail += 1; continue
         g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
         mism = []

@@ -223,7 +223,17 @@ object Dedup {
       idCol, k, bands, bandHash)
     val refIndex = banded(reference)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cross, _) = incrementalHalves(banded(corpus), refIndex, idCol)
+    // NOT incrementalHalves: its cross half drops `a === b` self-pairs,
+    // which is correct for shard-vs-corpus (same id space) but here the
+    // two sides are DIFFERENT corpora whose ids may coincide by accident
+    // (both numbering from 0) — and a corpus doc colliding with an
+    // equal-id reference doc is a genuine contamination hit, not a
+    // self-pair. Every banded collision counts.
+    val a = banded(corpus).select(col(idCol).as("a"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = refIndex.select(col(idCol).as("b"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    val cross = a.join(b, Seq("band", "bh"), "inner")
     val flagged = cross
       .select(col("a").as(idCol), estJaccard(k).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   * of two — and floor is deterministic), and all downstream moments are
   * int64 sums of int64 products — order-independent, bit-exact on both
   * engines. The numerator n·Σqxᵢqxⱼ − Σqxᵢ·Σqxⱼ stays inside int64 for
-  * n ≲ 7·10⁴ vectors at this corpus's |x| ≤ 0.6 (gate scale is 500);
+  * n ≲ 7·10⁴ vectors at this corpus's |x| ≤ 0.6 (gate scale is 500) —
+  * and the quantized path accumulates native int64 with
+  * addExact/multiplyExact, so leaving that envelope throws
+  * ArithmeticException instead of silently losing exactness;
   * the PRODUCTION path ([[fit]]/[[project]]) uses double moments with
   * no such bound and is pinned by PcaSpec instead (orthonormality,
   * eigen-residual, variance accounting, determinism).
@@ -62,18 +65,16 @@ object Pca {
     * the building block [[fit]] uses, exposed for incremental callers:
     * `fitFromMoments(moments(old).merge(moments(delta)))`. */
   def moments(vectors: DataFrame, embCol: String, dim: Int): Moments = {
-    val (n, s, ss) = momentPartials(vectors, embCol, dim, None)
+    val (n, s, ss) = momentPartials(vectors, embCol, dim)
     Moments(n, s, ss)
   }
 
-  /** One-pass partial moments: per input partition, (n, Σf(x), Σf(x)f(x)ᵀ
-    * upper triangle) with `f` either identity (doubles) or the ·2^shift
-    * floor quantizer (exact longs when quantized — see object doc). */
-  private def momentPartials(vectors: DataFrame, embCol: String, dim: Int,
-                             shift: Option[Int]): (Long, Array[Double], Array[Double]) = {
+  /** One-pass partial moments (double precision): per input partition,
+    * (n, Σx, Σxxᵀ upper triangle). */
+  private def momentPartials(vectors: DataFrame, embCol: String,
+                             dim: Int): (Long, Array[Double], Array[Double]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val scale = shift.map(s => math.pow(2, s))
     val partials: Dataset[(Long, Array[Double], Array[Double])] =
       vectors.select(col(embCol).cast(ArrayType(FloatType))).as[Array[Float]]
         .mapPartitions { rows =>
@@ -84,13 +85,7 @@ object Pca {
           rows.foreach { e =>
             require(e.length == dim, s"embedding dim ${e.length} != $dim")
             var i = 0
-            while (i < dim) {
-              x(i) = scale match {
-                case Some(sc) => math.floor(e(i).toDouble * sc)
-                case None     => e(i).toDouble
-              }
-              i += 1
-            }
+            while (i < dim) { x(i) = e(i).toDouble; i += 1 }
             n += 1
             i = 0
             while (i < dim) {
@@ -114,6 +109,59 @@ object Pca {
     }
   }
 
+  /** Quantized partial moments: per partition (n, Σqx, Σqx·qxᵀ upper
+    * triangle) with qx = floor(x·2^shift) accumulated as EXACT int64
+    * sums — `Math.addExact`/`multiplyExact` throughout, so exceeding
+    * the int64 envelope fails LOUDLY (ArithmeticException) instead of
+    * silently rounding the way a double accumulator would past 2⁵³. */
+  private def quantizedPartials(vectors: DataFrame, embCol: String, dim: Int,
+                                shift: Int): (Long, Array[Long], Array[Long]) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val scale = math.pow(2, shift)
+    val partials: Dataset[(Long, Array[Long], Array[Long])] =
+      vectors.select(col(embCol).cast(ArrayType(FloatType))).as[Array[Float]]
+        .mapPartitions { rows =>
+          var n = 0L
+          val s = new Array[Long](dim)
+          val ss = new Array[Long](triSize(dim))
+          val x = new Array[Long](dim)
+          rows.foreach { e =>
+            require(e.length == dim, s"embedding dim ${e.length} != $dim")
+            var i = 0
+            while (i < dim) {
+              val q = math.floor(e(i).toDouble * scale)
+              require(math.abs(q) < 9.007199254740992e15, // 2^53: exact in the double before toLong
+                s"quantized value $q exceeds the exact-double range at shift $shift")
+              x(i) = q.toLong
+              i += 1
+            }
+            n += 1
+            i = 0
+            while (i < dim) {
+              s(i) = Math.addExact(s(i), x(i))
+              var j = i
+              while (j < dim) {
+                val t = triIdx(i, j, dim)
+                ss(t) = Math.addExact(ss(t), Math.multiplyExact(x(i), x(j)))
+                j += 1
+              }
+              i += 1
+            }
+          }
+          Iterator.single((n, s, ss))
+        }
+    partials.collect().foldLeft(
+      (0L, new Array[Long](dim), new Array[Long](triSize(dim)))) {
+      case ((an, as, ass), (bn, bs, bss)) =>
+        var i = 0
+        while (i < dim) { as(i) = Math.addExact(as(i), bs(i)); i += 1 }
+        i = 0
+        while (i < ass.length) { ass(i) = Math.addExact(ass(i), bss(i)); i += 1 }
+        (an + bn, as, ass)
+    }
+  }
+
   /** Exact integer covariance NUMERATOR under the ·2^shift quantizer:
     * rows (i, j, n·Σqxᵢqxⱼ − Σqxᵢ·Σqxⱼ) for i ≤ j. Quantized sums are
     * exact int64 on both engines, so this sits under the DuckDB gate
@@ -123,10 +171,12 @@ object Pca {
                           shift: Int = 16): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val (n, s, ss) = momentPartials(vectors, embCol, dim, Some(shift))
+    val (n, s, ss) = quantizedPartials(vectors, embCol, dim, shift)
+    // exact-arithmetic final combine too: overflow throws, never rounds
     val rows = for { i <- 0 until dim; j <- i until dim } yield
       (i.toLong, j.toLong,
-        n * ss(triIdx(i, j, dim)).toLong - s(i).toLong * s(j).toLong)
+        Math.subtractExact(Math.multiplyExact(n, ss(triIdx(i, j, dim))),
+          Math.multiplyExact(s(i), s(j))))
     spark.createDataset(rows).toDF("i", "j", "cov_num")
   }
 
@@ -217,13 +267,15 @@ object Pca {
     * exact scan is spec-pinned (PcaSpec); no value oracle by design
     * (float projections). */
   def prefilterTopK(vectors: DataFrame, queries: DataFrame, model: Model,
-                    k: Int, shortlist: Int): DataFrame = {
+                    k: Int, shortlist: Int,
+                    embCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val pv = project(vectors, model)
-      .select(col("vec_id").as("neighbor_id"), col("proj").as("v_proj"))
-    val pq = project(queries, model)
-      .select(col("vec_id").as("query_id"), col("proj").as("q_proj"))
+    val pv = project(vectors, model, embCol, idCol)
+      .select(col(idCol).as("neighbor_id"), col("proj").as("v_proj"))
+    val pq = project(queries, model, embCol, idCol)
+      .select(col(idCol).as("query_id"), col("proj").as("q_proj"))
     val coarse = pv.crossJoin(broadcast(pq))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -232,10 +284,10 @@ object Pca {
     val short = graft.operators.Relational.topNPerGroup(
         coarse, shortlist, Seq(col("query_id")), -col("d2"), col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val v = vectors.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("v_emb"), Similarity.norm(col("embedding")).as("v_norm"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm"))
+    val v = vectors.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("v_emb"), Similarity.norm(col(embCol)).as("v_norm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), Similarity.norm(col(embCol)).as("q_norm"))
     val exact = short.join(v, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("q_emb"), col("v_emb")) /
@@ -248,15 +300,17 @@ object Pca {
     * map-only pass. Each component is ⟨x, bₖ⟩ − ⟨μ, bₖ⟩ with the mean
     * offset folded into one literal per component, so the per-row work
     * is k codegen'd HOF dot products (k·d multiply-adds) and no
-    * subtraction loop. Output: (vec_id, proj array<double>[k]). */
-  def project(vectors: DataFrame, model: Model): DataFrame = {
+    * subtraction loop. Output: (idCol, proj array<double>[k]). */
+  def project(vectors: DataFrame, model: Model,
+              embCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
     val comps = model.basis.map { b =>
       val offset = b.zip(model.mean).map { case (bi, mi) => bi * mi }.sum
       val litB = array(b.toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(col("embedding").cast(ArrayType(FloatType)), litB,
+      aggregate(zip_with(col(embCol).cast(ArrayType(FloatType)), litB,
           (x, y) => x.cast(DoubleType) * y),
         lit(0.0), (acc, v) => acc + v) - lit(offset)
     }
-    vectors.select(col("vec_id"), array(comps.toIndexedSeq: _*).as("proj"))
+    vectors.select(col(idCol), array(comps.toIndexedSeq: _*).as("proj"))
   }
 }

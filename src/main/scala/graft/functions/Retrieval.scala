@@ -126,4 +126,54 @@ object Retrieval {
         Seq(idCol, "start_pos"))
     }
   }
+
+  /** Reciprocal-Rank Fusion (Cormack et al.) of N rank lists — the
+    * operator that joins the lexical (BM25, q102) and dense (ANN, q23)
+    * retrieval families into ONE hybrid ranking: score(d) =
+    * Σᵢ 1/(k0 + rankᵢ(d)) over the systems that returned d.
+    *
+    * Oracle-exactness discipline (the q131 rational rule): the sum of
+    * reciprocals is kept as ONE exact int64 rational, folded list by
+    * list in written order — n/d + 1/(k0+r) = (n·(k0+r) + d, d·(k0+r))
+    * — so `rrf_num`/`rrf_den` are bit-exact in any engine; a float
+    * Σ 1/(k0+r) would be an order-sensitive double sum. The emitted
+    * `rrf_score` is the single division num/den (one correctly-rounded
+    * IEEE op — deterministic both engines), and the fused rank orders
+    * by that score with an id tiebreak. Denominators stay in int64 for
+    * N ≤ 8 lists at k0 + max rank ≤ ~180 ((k0+r)^8 < 2⁶³); the
+    * `require` makes the envelope loud.
+    *
+    * Scale shape: the inputs are top-k lists — each system has already
+    * reduced the corpus to ≤ k rows — so the N-way full-outer join and
+    * the final rank window run over ≤ N·k rows, never the corpus. The
+    * heavy lifting (the BM25 aggregate, the ANN probe) stays in the
+    * upstream operators with their own scale contracts.
+    *
+    * Input: each DataFrame carries (idCol, rankCol) with rank ≥ 1.
+    * Output: (idCol, rrf_num, rrf_den, rrf_score, rank). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty && lists.size <= 8,
+      s"rrfFuse takes 1..8 rank lists, got ${lists.size} (int64 rational envelope)")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"__rrf_r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val (num, den) = lists.indices.foldLeft((lit(0L), lit(1L))) { case ((n, d), i) =>
+      val r = col(s"__rrf_r$i")
+      val t = lit(k0.toLong) + r
+      (when(r.isNull, n).otherwise(n * t + d),
+        when(r.isNull, d).otherwise(d * t))
+    }
+    import org.apache.spark.sql.expressions.Window
+    joined
+      .select(col(idCol), num.as("rrf_num"), den.as("rrf_den"))
+      .withColumn("rrf_score",
+        col("rrf_num").cast(DoubleType) / col("rrf_den").cast(DoubleType))
+      // the window input is the fused candidate set (≤ N·k rows by
+      // construction), so the single-partition sort is bounded — the
+      // q102 orderBy-limit lesson does not apply to an already-reduced set
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol))))
+  }
 }

@@ -36,8 +36,15 @@ object Anomaly {
                            zThreshold: Int = 3): DataFrame = {
     require(window >= 2, s"window $window too small for a variance")
     val nanosPerHour = 3600L * 1000000000L
+    // FLOOR division, not Spark's truncate-toward-zero `div`: DuckDB's
+    // `//` floors, so a pre-1970 (negative) epoch-nano timestamp would
+    // bucket into a different hour under `div`. (a − pmod(a,b)) is
+    // exactly divisible by b, so the remaining `div` is exact for any
+    // sign — all-integer, no double rounding.
     val counts = events
-      .select(col(typeCol), expr(s"$tsNanosCol div $nanosPerHour").as("hour"))
+      .select(col(typeCol),
+        expr(s"($tsNanosCol - pmod($tsNanosCol, $nanosPerHour)) div $nanosPerHour")
+          .as("hour"))
       .groupBy(col(typeCol), col("hour"))
       .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col(typeCol)).orderBy(col("hour"))

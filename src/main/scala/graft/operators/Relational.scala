@@ -70,12 +70,28 @@ object Relational {
   def bloomPreJoin(probe: DataFrame, probeKey: String,
                    build: DataFrame, buildKey: String,
                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // Both keys MUST be integral: the probe path is a cast-to-long
+    // codegen predicate, and stat.bloomFilter hashes a string build key
+    // AS A STRING — the two hash spaces would disagree and the "exactly
+    // the plain join" contract would break silently (dropped rows for
+    // an uncastable probe key, arbitrary pruning otherwise). Fail loudly
+    // instead; the filter itself is then built over the same
+    // cast-to-long expression the probe uses.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    for ((df, key, side) <- Seq((probe, probeKey, "probe"), (build, buildKey, "build"))) {
+      val dt = df.schema(key).dataType
+      require(integral(dt),
+        s"bloomPreJoin $side key '$key' must be integral (byte/short/int/long), got $dt")
+    }
     // Spark's stat.bloomFilter NPEs when the build side is EMPTY (its
     // internal aggregate yields null bytes) — and an empty increment is
     // a normal input, not an error (EdgeCasesSpec). An empty filter is
     // the correct algebra: it contains nothing, so the probe prunes to
     // zero rows and the join is empty, exactly like the plain join.
-    val bf = try build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bf = try build.select(col(buildKey).cast("long").as(buildKey))
+        .stat.bloomFilter(buildKey, expectedItems, fpp)
       catch { case _: NullPointerException =>
         org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp) }
     val bos = new java.io.ByteArrayOutputStream()

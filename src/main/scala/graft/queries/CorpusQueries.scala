@@ -408,7 +408,12 @@ object CorpusQueries {
     * run-to-run determinism. */
   val q122p = Q.noOracle("q122_pca_project") { (s, d) =>
     val vecs = Tables.embeddings(s, d)
+    // posexplode to (vec_id, component_idx, value) scalars: the driver's
+    // pandas canonicalizer cannot sort an array<double> column (r10's
+    // harness crash), and the math is pinned in PcaSpec either way.
     Pca.project(vecs, Pca.fit(vecs, "embedding", 64, 8))
+      .select(col("vec_id"),
+        posexplode(col("proj")).as(Seq("component_idx", "value")))
   }
 
   /** q124 — video near-duplicates by shared keyframe signatures:

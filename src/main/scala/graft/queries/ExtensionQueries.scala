@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Multimodal, Similarity, Text, VectorIndex}
 import graft.operators.{PageRank, Relational}
 
 /** Training-data-pipeline extensions (SURVEY §7.2 M5 / BASELINE north
@@ -1251,8 +1251,49 @@ object ExtensionQueries {
     }
   }
 
+  /** q136 — PERSISTED incremental IVF index ([[VectorIndex]]): vectors
+    * with id ≢ 0 (mod 5) are the base corpus — their √n id-sample
+    * codebook is trained once and FROZEN as an on-disk AtomicTable
+    * version — and the id ≡ 0 shard then arrives and is assigned
+    * against the frozen artifact WITHOUT retraining or rescanning the
+    * base (q101's incremental-index discipline applied to q52's assign
+    * pass). The emitted rows are the committed inverted lists read
+    * back from the artifact, so the gate verifies the full persisted
+    * path: build → freeze → shard-assign → merged snapshot. The oracle
+    * derives the codebook from the BASE ONLY and assigns everything —
+    * exactly what frozen-codebook incremental maintenance must equal.
+    * (The trained-Lloyd production path and the probe-equivalence /
+    * frozen-version invariants are pinned in VectorIndexSpec.) */
+  val q136 = Q("q136_ivf_index_incremental",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |n AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS c FROM base),
+       |cents AS (
+       |  SELECT centroid_id, ce FROM (
+       |    SELECT vec_id AS centroid_id, e AS ce,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk FROM base), n
+       |  WHERE rnk <= n.c),
+       |scored AS (
+       |  SELECT v.vec_id, cents.centroid_id,
+       |         ${dotSql("v.e", "cents.ce")}
+       |         / (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("cents.ce", "cents.ce")})) AS c_sim
+       |  FROM v CROSS JOIN cents)
+       |SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY c_sim DESC, centroid_id) AS rn
+       |  FROM scored) WHERE rn = 1""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecindex_").toString
+    VectorIndex.build(vecs.filter(col("vec_id") % 5 =!= 0), tmp)
+    VectorIndex.addShard(vecs.filter(col("vec_id") % 5 === 0), tmp)
+    VectorIndex.assigned(s, tmp).select("vec_id", "centroid_id")
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135)
+    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136)
 }

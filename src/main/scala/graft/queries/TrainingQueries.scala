@@ -522,8 +522,14 @@ object TrainingQueries {
     * survivors see the rank window. Every double CONSTANT in the
     * oracle is built by the same CAST-then-operate tree as the Scala
     * `lit` arithmetic — a folded decimal literal (`2.2`) could round
-    * differently from `1.2d + 1.0d` at the half-ulp. */
-  val q102 = Q("q102_bm25_topk",
+    * differently from `1.2d + 1.0d` at the half-ulp.
+    *
+    * Shared oracle CTE chain for BM25 scoring (q102's exact form,
+    * reused verbatim by the q137 fusion oracle): integer tf/df/dl
+    * aggregation, rational Robertson idf, one fixed-shape double
+    * expression — bit-identical to [[Retrieval.bm25Scores]]. Ends with
+    * the `scored(doc_id, score)` CTE. */
+  private[queries] val bm25ScoredCteSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
       |per_doc AS (
@@ -555,7 +561,10 @@ object TrainingQueries {
       |      * ((CAST(tf_window AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
       |         / (CAST(tf_window AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
       |    AS score
-      |  FROM per_doc, stats)
+      |  FROM per_doc, stats)""".stripMargin
+
+  val q102 = Q("q102_bm25_topk",
+    s"""$bm25ScoredCteSql
       |SELECT doc_id, score, rank FROM (
       |  SELECT doc_id, score,
       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -824,7 +833,7 @@ object TrainingQueries {
        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
        |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
        |  FROM t)
-       |SELECT source, doc_id, n_tokens, cum_tokens
+       |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
        |FROM c WHERE cum_tokens <= 800""".stripMargin
   }) { (s, d) =>
     val h = graft.functions.Hashes
@@ -889,6 +898,71 @@ object TrainingQueries {
       .select("doc_id", "lang")
   }
 
+  /** q137 — HYBRID retrieval fusion ([[Retrieval.rrfFuse]]): the
+    * lexical ranking (q102's BM25 top-20 for the fixed keyword query)
+    * and the dense ranking (q23's exact cosine top-20 around query
+    * vector 0 — embeddings and documents share the corpus id space)
+    * merge into one Reciprocal-Rank-Fusion list, score(d) =
+    * Σ 1/(60 + rank). The fused score is carried as an EXACT int64
+    * rational (rrf_num/rrf_den — the q131 integer-algebra discipline;
+    * a float Σ of reciprocals would be order-sensitive), the emitted
+    * double is the single division num/den (one correctly-rounded IEEE
+    * op), and the oracle's closed-form CASE arithmetic equals the
+    * engine's list-by-list rational fold identically: both present →
+    * (120+rl+rs)/((60+rl)(60+rs)); one side → 1/(60+r). Scale: both
+    * inputs are top-20 lists, so fusion touches ≤ 40 rows — the heavy
+    * work stays in the upstream operators. */
+  val q137 = Q("q137_rrf_fusion",
+    s"""$bm25ScoredCteSql,
+       |lex AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 20),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |dscored AS (
+       |  SELECT v.vec_id AS doc_id,
+       |         ${ExtensionQueries.dotSql("qe", "e")}
+       |         / (sqrt(${ExtensionQueries.dotSql("qe", "qe")})
+       |            * sqrt(${ExtensionQueries.dotSql("e", "e")})) AS cos_sim
+       |  FROM v CROSS JOIN q WHERE v.vec_id <> 0),
+       |sem AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+       |    FROM dscored)
+       |  WHERE rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank AS rl, s.rank AS rs
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+       |rat AS (
+       |  SELECT doc_id,
+       |         CASE WHEN rl IS NOT NULL AND rs IS NOT NULL THEN 120 + rl + rs
+       |              ELSE 1 END AS rrf_num,
+       |         CASE WHEN rl IS NOT NULL AND rs IS NOT NULL THEN (60 + rl) * (60 + rs)
+       |              WHEN rl IS NOT NULL THEN 60 + rl
+       |              ELSE 60 + rs END AS rrf_den
+       |  FROM fused)
+       |SELECT doc_id, rrf_num, rrf_den,
+       |       CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) AS rrf_score,
+       |       row_number() OVER (ORDER BY CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) DESC,
+       |                          doc_id) AS rank
+       |FROM rat""".stripMargin) { (s, d) =>
+    val lex = Retrieval.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("dup", "spark", "merge", "window"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+    val vecs = Tables.embeddings(s, d)
+    val sem = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126, q131)
+    q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
+    q131, q137)
 }

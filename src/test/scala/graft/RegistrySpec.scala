@@ -20,6 +20,55 @@ class RegistrySpec extends SparkSpec {
     assert(failures.isEmpty, s"\n${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
   }
 
+  test("every registered query's output schema is driver-canonicalizable (atomic columns only)") {
+    // r10 failure class #2: the driver's pandas canonicalizer sorts all
+    // columns to hash the result, and an array/map/struct column crashes
+    // sort_values ("unhashable type") before even a rows-only
+    // disposition is recorded (q122_pca_project, round 10). Explode or
+    // concat such outputs in the REGISTERED entry; keep rich types in
+    // the operator API.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      try fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$n.${f.name}: ${f.dataType.simpleString}"
+      } catch { case _: Throwable => Nil } // analysis failures are the first test's business
+    }
+    assert(offenders.isEmpty,
+      s"\nnon-atomic output columns (driver canonicalizer would crash):\n${offenders.mkString("\n")}")
+  }
+
+  test("oracle SQL lint: no uncast SUM reaches a final SELECT (DuckDB HUGEINT seam)") {
+    val violations = OracleLint.checkRegistry()
+    assert(violations.isEmpty, s"\n${violations.mkString("\n")}")
+  }
+
+  test("oracle SQL lint catches the r10 q126 shape (deliberately-uncast fixtures)") {
+    // direct: uncast windowed SUM emitted by the final SELECT
+    assert(OracleLint.check("fix1",
+      "SELECT a, SUM(n) OVER (PARTITION BY a ORDER BY b) AS c FROM t").nonEmpty)
+    // alias: uncast SUM in a CTE, alias emitted bare by the final SELECT
+    assert(OracleLint.check("fix2",
+      """WITH c AS (SELECT a, SUM(n) OVER (PARTITION BY a ORDER BY b) AS cum FROM t)
+        |SELECT a, cum FROM c WHERE cum <= 10""".stripMargin).nonEmpty)
+    // plain GROUP BY SUM, same seam
+    assert(OracleLint.check("fix3",
+      "SELECT a, SUM(n) AS s FROM t GROUP BY 1").nonEmpty)
+    // and the repo convention passes: cast at site...
+    assert(OracleLint.check("ok1",
+      "SELECT a, CAST(SUM(n) AS BIGINT) AS s FROM t GROUP BY 1").isEmpty)
+    // ...or cast at emission (the r11 q126 fix)
+    assert(OracleLint.check("ok2",
+      """WITH c AS (SELECT a, SUM(n) OVER (ORDER BY b) AS cum FROM t)
+        |SELECT a, CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 10""".stripMargin).isEmpty)
+    // internal-only SUM (comparison operand, never emitted) stays legal
+    assert(OracleLint.check("ok3",
+      """WITH c AS (SELECT a, SUM(n) AS s FROM t GROUP BY 1)
+        |SELECT a FROM c WHERE s > 5""".stripMargin).isEmpty)
+  }
+
   test("oracle registry is consistent with the query registry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")

@@ -107,4 +107,70 @@ class RetrievalSpec extends SparkSpec {
     assert(out(("s", 30L)) === true)
     assert(out.size === 7) // hours 24..30 for "s" only
   }
+
+  test("hourly anomaly: pre-1970 timestamps bucket by FLOOR division (DuckDB // parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val h = 3600L * 1000000000L
+    // ts = -1 nano is inside hour -1 under floor division; truncate-
+    // toward-zero would lump it with hour 0 (the r10 ADVICE seam)
+    val events = Seq(("x", -1L), ("x", -h), ("x", 0L), ("x", h - 1)).toDF("event_type", "ts")
+    val hours = events
+      .select(expr(s"(ts - pmod(ts, ${h}L)) div ${h}L").as("hour"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hours === Seq(-1L, -1L, 0L, 0L))
+  }
+
+  private def ranks(rows: (Long, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "rank")
+  }
+
+  test("rrf fusion: exact rational values for both-lists and single-list docs") {
+    val lex = ranks(1L -> 1, 2L -> 2, 3L -> 3)
+    val sem = ranks(2L -> 1, 4L -> 2)
+    val out = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(2L) === ((120L + 2 + 1, 62L * 61L))) // both lists
+    assert(out(1L) === ((1L, 61L)))                 // lex only
+    assert(out(4L) === ((1L, 62L)))                 // sem only
+    assert(out.size === 4)
+  }
+
+  test("rrf fusion: ranking places two-list consensus above single-list hits; id tiebreak") {
+    val lex = ranks(1L -> 1, 2L -> 2)
+    val sem = ranks(2L -> 2, 3L -> 1)
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    // doc 2: 1/62+1/62 ≈ 0.0323 beats doc 1 (1/61 ≈ 0.0164) and doc 3 (1/61);
+    // docs 1 and 3 tie exactly -> id order
+    assert(fused === Seq(2L, 1L, 3L))
+  }
+
+  test("rrf fusion: 3-list fold matches a driver-side rational reference") {
+    val a = ranks(1L -> 1, 2L -> 3)
+    val b = ranks(1L -> 2, 3L -> 1)
+    val c = ranks(2L -> 1, 1L -> 4)
+    val out = Retrieval.rrfFuse(Seq(a, b, c), "doc_id", "rank")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def ref(rs: Seq[Int]): (Long, Long) =
+      rs.foldLeft((0L, 1L)) { case ((n, d), r) => (n * (60L + r) + d, d * (60L + r)) }
+    // doc 1 in all three (ranks 1,2,4), doc 2 in a and c, doc 3 in b only
+    assert(out(1L)._1 === ref(Seq(1, 2, 4))._1)
+    assert(out(1L)._2 === ref(Seq(1, 2, 4))._2)
+    assert(out(2L)._1 === ref(Seq(3, 1))._1 && out(2L)._2 === ref(Seq(3, 1))._2)
+    assert(out(3L) === ((1L, 61L, 1.0 / 61.0)))
+    // emitted double is exactly the single division of the rational
+    assert(out(1L)._3 === out(1L)._1.toDouble / out(1L)._2.toDouble)
+  }
+
+  test("rrf fusion: list count outside 1..8 fails loudly (int64 rational envelope)") {
+    val l = ranks(1L -> 1)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.fill(9)(l), "doc_id", "rank")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Nil, "doc_id", "rank")
+    }
+  }
 }
