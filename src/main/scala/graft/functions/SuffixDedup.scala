@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** EXACT substring-duplication detection via distributed prefix
+  * doubling — the suffix-array recipe behind Lee et al. 2022's
+  * ExactSubstr, re-expressed as O(log L) keyed shuffle rounds.
+  *
+  * [[Dedup.maximalDuplicateSpans]] (q110/q117) approximates this with
+  * positional grams: hashed grams carry a 64-bit collision budget and
+  * the df cap both drops corpus-boilerplate grams and can split a long
+  * island (its documented maximality caveat). This operator is the
+  * exact algorithm on the gated window length: a length-`win` token
+  * window is flagged iff the IDENTICAL token sequence occurs elsewhere
+  * in the corpus — no hashes in the decision path, no df cap, and no
+  * pair join at all (duplication is a GROUP SIZE, so a window repeated
+  * m times costs m rows, not m² pair rows — the q110 fan-out bound is
+  * unnecessary here).
+  *
+  * Algorithm (Manber–Myers prefix doubling, distributed à la
+  * Flick & Aluru SC'15): assign every (doc, pos) an equality LABEL for
+  * the window of length ℓ starting there; two positions get the same
+  * label iff their length-ℓ windows are token-identical. ℓ=1 labels
+  * come from grouping by the token itself; ℓ grows by
+  * step = min(ℓ, win−ℓ) per round by pairing each position's label
+  * with the label at pos+step (the two length-ℓ windows OVERLAP when
+  * step < ℓ, which is exactly why a non-power-of-two `win` needs no
+  * special final round: [p, p+ℓ) ∪ [p+step, p+step+ℓ) = [p, p+step+ℓ)
+  * and equality of the pair ⟺ equality of the union window). A label
+  * is the minimum (doc, pos) of its group packed into one int64 —
+  * deterministic, engine-independent, and never compared across
+  * rounds.
+  *
+  * Scale shape: ⌈log₂ win⌉ rounds, each ONE aggregation keyed by the
+  * label pair (map-side combined to one row per distinct window — the
+  * distinct-window count shrinks as ℓ grows) plus one equi-join back
+  * on that key. No global sort anywhere: labels only need EQUALITY,
+  * not rank order, so the classical sort-based SA construction's total
+  * order is dropped and hash partitioning suffices. Hot-window skew
+  * (the stopword run) sits on the join, where AQE skew-split applies —
+  * not on a window function that would pin a hot group to one task.
+  * Rounds persist and the previous round unpersists (the Components
+  * loop discipline), so lineage stays one round deep.
+  *
+  * Measured recall delta vs the q110 approximation (SuffixDedupSpec,
+  * sf0.001, win=8): exact spans cover 2,697 token positions where the
+  * winnowing/positional-gram path (n=5, maxDf=100) covers 1,435 —
+  * 53.2 % — and the approximate coverage is a strict SUBSET of the
+  * exact coverage (part of the gap is scope: the pair-based a<b view
+  * does not flag within-doc self-repeats; the rest is the df cap and
+  * minSpan splitting). The containment is spec-pinned, so a regression
+  * in either path surfaces.
+  */
+object SuffixDedup {
+
+  /** (doc, pos) packed injectively into an int64 label; out-of-range
+    * inputs fail LOUDLY per row (raise_error), never wrap silently. */
+  private def enc(id: Column, pos: Column): Column = {
+    val lim = 1L << 31
+    when(id >= 0 && id < lim && pos >= 0 && pos < lim, id * lim + pos)
+      .otherwise(raise_error(concat(
+        lit("SuffixDedup requires 0 <= id,pos < 2^31; got id="),
+        id.cast("string"), lit(" pos="), pos.cast("string"))))
+  }
+
+  /** Equality labels for every length-`win` token window:
+    * (idCol, pos, label) with 1-based pos, one row per window that
+    * fits, equal labels ⟺ token-identical windows. */
+  def windowLabels(df: DataFrame, idCol: String, textCol: String,
+                   win: Int): DataFrame = {
+    require(win >= 1, s"window length $win must be >= 1")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("token"))
+    def relabel(grouped: DataFrame, keys: Seq[String]): DataFrame = {
+      // groupBy + join back, NOT a window min: partial aggregation
+      // collapses a hot window's rows map-side, and the join is where
+      // AQE's skew handling lives
+      val reps = grouped.groupBy(keys.map(col): _*)
+        .agg(min(enc(col(idCol), col("pos"))).as("__rep"))
+      grouped.join(reps, keys)
+        .select(col(idCol), col("pos"), col("__rep").as("label"))
+    }
+    var labels = relabel(toks, Seq("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var len = 1
+    while (len < win) {
+      val step = math.min(len, win - len)
+      val shifted = labels.select(col(idCol), (col("pos") - step).as("pos"),
+        col("label").as("label2"))
+      val paired = labels.join(shifted, Seq(idCol, "pos"))
+      val next = relabel(
+          paired.select(col(idCol), col("pos"), col("label"), col("label2")),
+          Seq("label", "label2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent round
+      labels.unpersist()
+      labels = next
+      len += step
+    }
+    labels
+  }
+
+  /** Duplicated length-`win` windows: every (doc, pos) whose window's
+    * token sequence occurs ≥ 2 times corpus-wide (self-duplication at
+    * distinct positions of one doc counts — the ExactSubstr
+    * convention), with the corpus-wide occurrence count. */
+  def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
+                       win: Int): DataFrame = {
+    val lw = windowLabels(df, idCol, textCol, win)
+    val counts = lw.groupBy("label").agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") >= 2)
+    lw.join(counts, Seq("label")).select(col(idCol), col("pos"), col("n_dup"))
+  }
+
+  /** Maximal duplicated token spans per doc: the [pos, pos+win−1]
+    * intervals of [[duplicateWindows]] merged by the house
+    * gaps-and-islands shape (running max of span end, new island iff
+    * s > prev max — the [[Dedup.cutDuplicateSpans]] convention), each
+    * span carrying how many windows it merged. A span of `e − s + 1`
+    * tokens here means EVERY length-`win` window inside it is
+    * duplicated somewhere — the exact analogue of q110's span view,
+    * minus its df-cap split caveat. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     win: Int): DataFrame = {
+    val dupw = duplicateWindows(df, idCol, textCol, win)
+      .select(col(idCol), col("pos").as("s"),
+        (col("pos") + (win - 1)).as("e"))
+    val wOrd = Window.partitionBy(idCol).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    dupw
+      .withColumn("ni", when(col("s") > coalesce(prevMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("s"), col("e"), col("n_windows"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Pca, Retrieval, Similarity, Text}
+import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Pca, Retrieval, Similarity, SuffixDedup, Text}
 
 /** Round-8 corpus-operator batch: maximal duplicate-span extraction,
   * impact-ordered inverted indexing, sliding-window chunking, a
@@ -565,7 +565,74 @@ object CorpusQueries {
         Seq("part", "filter", "scan"))
   }
 
+  /** Shared oracle CTE chain for the exact-substring family: every
+    * length-8 token window with its corpus-wide duplication count —
+    * the brute-force n·win materialization DuckDB can afford at gate
+    * scale, which the engine's prefix-doubling labels must equal
+    * EXACTLY (no hash, no df cap in either path). Ends with
+    * `dupw(doc_id, pos, n_dup)`. */
+  private val exactWindowCteSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, unnest(range(1, len(t) - 8 + 2)) AS pos, t
+      |  FROM toks WHERE len(t) >= 8),
+      |ws AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |         array_to_string(list_slice(t, pos, pos + 7), ' ') AS wstr
+      |  FROM w),
+      |g AS (SELECT wstr, COUNT(*) AS n_dup FROM ws GROUP BY 1),
+      |dupw AS (
+      |  SELECT ws.doc_id, ws.pos, g.n_dup
+      |  FROM ws JOIN g USING (wstr) WHERE g.n_dup >= 2)""".stripMargin
+
+  /** q138 — EXACT duplicated substring windows via distributed prefix
+    * doubling ([[SuffixDedup.duplicateWindows]]): every position whose
+    * length-8 token window recurs anywhere in the corpus, with the
+    * occurrence count. This upgrades the span family from q110's
+    * winnowing/positional-gram APPROXIMATION (hashed grams + df cap)
+    * to the real suffix-array algorithm behind Lee et al. ExactSubstr:
+    * the decision path has no hashes and no caps, duplication is a
+    * group size (never a pair join), and the whole construction is
+    * ⌈log₂ 8⌉ = 3 keyed aggregate+join rounds — the O(log L)
+    * distributed SA recipe (Flick & Aluru). The oracle materializes
+    * every window verbatim and counts — exactly what the labels
+    * assert. */
+  val q138 = Q("q138_exact_dup_windows",
+    s"""$exactWindowCteSql
+       |SELECT doc_id, pos, CAST(n_dup AS BIGINT) AS n_dup FROM dupw""".stripMargin) {
+    (s, d) =>
+      SuffixDedup.duplicateWindows(Tables.documents(s, d), "doc_id", "text", win = 8)
+  }
+
+  /** q139 — maximal EXACT duplicated spans ([[SuffixDedup
+    * .duplicateSpans]]): q138's [pos, pos+7] windows merged per doc by
+    * the house gaps-and-islands interval merge (the q117 shape),
+    * emitting each span with the window count it absorbed. Every
+    * length-8 window inside a span is duplicated somewhere — q110's
+    * span view with the exactness guarantee its df cap forfeits. */
+  val q139 = Q("q139_exact_dup_spans",
+    s"""$exactWindowCteSql,
+       |iv AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM dupw),
+       |ord AS (
+       |  SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s, e
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM ord)
+       |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS s, CAST(MAX(e) AS BIGINT) AS e,
+       |       COUNT(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+    SuffixDedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", win = 8)
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134)
+    q134, q138, q139)
 }
