@@ -95,7 +95,9 @@ object PlanAudit {
       "q24_ivf_ann" -> annQuery,
       "q100_pq_adc_topk" -> annQuery,
       "q108_ivfpq_topk" -> annQuery,
-      "q132_pca_prefilter_topk" -> annQuery)
+      "q132_pca_prefilter_topk" -> annQuery,
+      "q137_rrf_fusion" -> (annQuery +
+        " (the dense input is q23's single-query brute-force top-20)"))
   }
   /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
     * record (`target/bench_last.json`, written by [[Bench]]) against the

@@ -117,6 +117,40 @@ object SuffixDedup {
     lw.join(counts, Seq("label")).select(col(idCol), col("pos"), col("n_dup"))
   }
 
+  /** ExactSubstr REMOVAL with a canonical-copy-keep policy: for every
+    * duplicated window group, the lexicographically-first occurrence
+    * (min (doc, pos) — which is precisely what the group's LABEL
+    * encodes, so canonicality is one integer comparison, no extra
+    * aggregate) keeps its tokens; every OTHER occurrence's positions
+    * are cut, overlaps union naturally through the distinct covered
+    * set, and each doc's text is rebuilt from its surviving tokens in
+    * order (the [[Dedup.cutDuplicateSpans]] reassembly shape). Docs
+    * untouched by any duplicate pass through unchanged (including docs
+    * shorter than `win`); a fully-covered doc disappears; NULL text
+    * drops the doc (the q117 convention). Unlike q117's pair-based cut
+    * — which removes from the higher-id doc of each PAIR and can cut
+    * both copies of a three-way duplicate — this group view provably
+    * preserves exactly one canonical copy per duplicated window. */
+  def cutExactDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                             win: Int): DataFrame = {
+    val lw = windowLabels(df, idCol, textCol, win)
+    val dupGroups = lw.groupBy("label").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("label")
+    val nonCanonical = lw.join(dupGroups, Seq("label"), "left_semi")
+      .filter(enc(col(idCol), col("pos")) =!= col("label"))
+    val covered = nonCanonical.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + (win - 1))).as("pos")).distinct()
+    val tp = df.select(col(idCol),
+        posexplode(Text.tokens(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("tok"))
+    tp.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   /** Maximal duplicated token spans per doc: the [pos, pos+win−1]
     * intervals of [[duplicateWindows]] merged by the house
     * gaps-and-islands shape (running max of span end, new island iff

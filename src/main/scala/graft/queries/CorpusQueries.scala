@@ -632,7 +632,45 @@ object CorpusQueries {
     SuffixDedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", win = 8)
   }
 
+  /** q140 — ExactSubstr REMOVAL over the exact window groups
+    * ([[SuffixDedup.cutExactDuplicateSpans]]): the canonical
+    * (lexicographically-first) occurrence of every duplicated window
+    * keeps its tokens, all other occurrences are cut, texts rebuilt in
+    * token order. q117 is this step's pair-based approximation (cut
+    * from the higher-id doc per PAIR — a three-way duplicate can lose
+    * every copy); the group view provably retains one canonical copy
+    * per window. Canonicality in the oracle is `row_number() = 1 over
+    * (window-content ORDER BY doc_id, pos)` — the same (doc, pos)
+    * minimum the engine's label already encodes, so the policy costs
+    * the engine one integer comparison. */
+  val q140 = Q("q140_exact_span_cut",
+    s"""$exactWindowCteSql,
+       |nc AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT ws.doc_id, ws.pos,
+       |           row_number() OVER (PARTITION BY ws.wstr
+       |                              ORDER BY ws.doc_id, ws.pos) AS rn,
+       |           g.n_dup
+       |    FROM ws JOIN g USING (wstr))
+       |  WHERE n_dup >= 2 AND rn >= 2),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, pos + off AS p
+       |  FROM nc CROSS JOIN (SELECT unnest(range(0, 8)) AS off)),
+       |tp AS (
+       |  SELECT doc_id, unnest(t) AS tok,
+       |         CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+       |  FROM toks),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = tp.doc_id AND c.p = tp.pos))
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |FROM kept GROUP BY doc_id""".stripMargin) { (s, d) =>
+    SuffixDedup.cutExactDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      win = 8)
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139)
+    q134, q138, q139, q140)
 }

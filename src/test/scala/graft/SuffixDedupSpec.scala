@@ -72,6 +72,27 @@ class SuffixDedupSpec extends SparkSpec with TableDrivenPropertyChecks {
       Option(e.getCause).exists(_.getMessage.contains("SuffixDedup")))
   }
 
+  test("cut: exactly one canonical copy of a three-way duplicate survives") {
+    val run = (1 to 8).map(i => s"d$i").mkString(" ")
+    val d = docs(1L -> s"a1 $run", 2L -> s"b1 b2 $run", 3L -> s"$run c1")
+    val out = SuffixDedup.cutExactDuplicateSpans(d, "doc_id", "text", win = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // canonical = lexicographically-first occurrence = (doc 1, pos 2)
+    assert(out === Map(1L -> s"a1 $run", 2L -> "b1 b2", 3L -> "c1"))
+  }
+
+  test("cut: untouched and shorter-than-win docs pass through; fully-covered doc disappears; NULL drops") {
+    val run = (1 to 8).map(i => s"e$i").mkString(" ")
+    val d = docs(1L -> run, 2L -> run, 3L -> "short doc", 4L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+      .unionByName(docs(5L -> "x").withColumn("text", lit(null).cast("string")))
+    val out = SuffixDedup.cutExactDuplicateSpans(d, "doc_id", "text", win = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 canonical survives whole; doc 2 is fully covered -> gone;
+    // docs 3 (< win) and 4 (unique) unchanged; doc 5 NULL -> dropped
+    assert(out === Map(1L -> run, 3L -> "short doc",
+      4L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+  }
+
   test("exact spans cover everything winnowing-approximate spans cover (recall ⊇, fixture-measured)") {
     // q110's approximation can only MISS or SPLIT (hashed grams +
     // df cap); modulo 64-bit collisions it never covers a position the
