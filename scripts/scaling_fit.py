@@ -14,7 +14,9 @@ import json
 import math
 import sys
 
-outdir = sys.argv[1] if len(sys.argv) > 1 else "target/scale"
+positional = [a for a in sys.argv[1:] if not a.startswith("--")
+              and (sys.argv[sys.argv.index(a) - 1] != "--gate")]
+outdir = positional[0] if positional else "target/scale"
 sfs = ["0.1", "0.5", "1.0"]
 runs = {}
 for sf in sfs:
@@ -50,3 +52,19 @@ for q, pts, alpha in rows:
 
 tot = [sum(v for v in runs[sf]['queries'].values() if v >= 0) for sf in sfs]
 print(f"\ntotals: sf0.1 {tot[0]:.1f} s, sf0.5 {tot[1]:.1f} s, sf1.0 {tot[2]:.1f} s")
+
+# --gate [MAX]: the slow-tier CI mode (VERDICT r10 item 8) — fail when
+# any query's full-fit exponent exceeds MAX (default 1.2) or errored at
+# any scale point, so the one measurement that answers the 100 TB brief
+# cannot silently rot. Run after scripts/scaling_sweep.sh on a QUIET box
+# (1-min load < 1 — see the measurement-hygiene recipe).
+if "--gate" in sys.argv:
+    i = sys.argv.index("--gate")
+    max_alpha = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1.2
+    bad = [(q, a) for q, _, a in rows if a is None or a > max_alpha]
+    if bad:
+        for q, a in bad:
+            print(f"SCALING GATE FAIL {q}: exponent "
+                  f"{'ERR' if a is None else f'{a:.2f}'} > {max_alpha}")
+        sys.exit(1)
+    print(f"SCALING GATE PASS: all {len(rows)} exponents <= {max_alpha}")

@@ -649,6 +649,10 @@ object Dedup {
     * Scale shape: expected fingerprint density is 2/(w+1) per char, so
     * the exploded table is ~2·corpus_chars/(w+1) rows — linear, tunable
     * by w, and NEVER all-pairs. One row per (doc, fingerprint).
+    *
+    * The EXACT (hash-free, cap-free) counterpart of this family is
+    * [[SuffixDedup]] — distributed suffix-array prefix doubling; its
+    * spec measures the recall this approximation trades away.
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 12,
