@@ -962,7 +962,100 @@ object TrainingQueries {
     Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
   }
 
+  /** q141 — SEQUENCE PACKING with provenance (the GPT-style
+    * concat-and-split step that turns a document mixture into
+    * fixed-length training sequences): per source, docs are laid out in
+    * the deterministic keyed-hash order every sampler here uses (q57 /
+    * q126 discipline), each doc occupies token offsets
+    * [start_off, start_off + n_tokens), and the 512-token sequence ids
+    * it lands in are pure integer floor-divisions of its first and
+    * last offset. The emitted map (doc → offsets → first/last sequence)
+    * is the PROVENANCE artifact a training run needs to answer "which
+    * documents fed sequence k" (and, inverted, "which sequences must be
+    * invalidated when doc d is retracted"). All-integer algebra: one
+    * windowed prefix sum per source (cast to BIGINT at the emission
+    * seam per house rule), nonnegative offsets so `div` ≡ floor in both
+    * engines. Scale: one shuffle on source + the per-source window —
+    * exactly q126's shape, skew-safe for the same reason. */
+  val q141 = Q("q141_sequence_packing", {
+    val h = graft.functions.Hashes.h60Sql("'pack|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, end_off - n_tokens AS start_off,
+       |       (end_off - n_tokens) // 512 AS first_seq,
+       |       (end_off - 1) // 512 AS last_seq
+       |FROM c""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("pack|"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"), h.as("h"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_off"),
+        expr("start_off div 512").as("first_seq"),
+        expr("(end_off - 1) div 512").as("last_seq"))
+  }
+
+  /** q142 — contamination OVERLAP REPORT at index scale: for every
+    * corpus doc, what FRACTION of its distinct 3-grams appears
+    * anywhere in the reference corpus (q135's mod-7 split: id ≡ 0
+    * plays the reference). q71 answers the boolean ("is this doc
+    * contaminated?") for a broadcastable eval suite; this is the
+    * graded report the GPT-3/PaLM appendices publish (n-gram overlap
+    * percentage per document) against a reference too big to
+    * broadcast. Integer counts (n_grams, n_overlap) under the exact
+    * gate; the fraction is one division of the two (correctly-rounded
+    * IEEE, the q137 seam discipline). Docs with fewer than 3 tokens
+    * have no grams and no row — the [[Dedup.shingles]] convention.
+    * Scale: distinct reference grams ∪ corpus grams meet in ONE
+    * equi-join on gram (shuffle both sides, AQE-splittable), then one
+    * per-doc count — never O(|corpus|·|ref|). */
+  val q142 = Q("q142_contamination_overlap",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |    FROM toks WHERE len(t) >= 3)),
+      |ref AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+      |cg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 <> 0)
+      |SELECT doc_id,
+      |       COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_overlap,
+      |       CAST(CAST(SUM(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac
+      |FROM cg LEFT JOIN ref r USING (gram)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val grams = Dedup.shingles(docs, "doc_id", "text", 3)
+    val ref = grams.filter(col("doc_id") % 7 === 0).select("gram").distinct()
+    val cg = grams.filter(col("doc_id") % 7 =!= 0)
+    cg.join(ref.withColumn("in_ref", lit(1L)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("in_ref").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("overlap_frac"))
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137)
+    q131, q137, q141, q142)
 }

@@ -106,4 +106,50 @@ class SamplingSpec extends SparkSpec {
         s"$l: rate ${rate(l)} vs target $pi (n=$n)")
     }
   }
+
+  test("sequence packing (q141): per-source offsets tile exactly, seq ids consistent, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.TrainingQueries.q141.fn(spark, dir).cache()
+    // offsets per source are a gapless, non-overlapping tiling of
+    // [0, total_tokens): sum of lengths == max end, min start == 0,
+    // and no two docs overlap (distinct starts == docs and the sorted
+    // layout is contiguous)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"$src: first start != 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, s1, _, _), (_, _, _, s2, _, _)) =>
+          assert(s1 + n1 === s2, s"$src: gap or overlap at offset $s2")
+        case _ =>
+      }
+      docs.foreach { case (_, _, n, s, fs, ls) =>
+        assert(fs === s / 512 && ls === (s + n - 1) / 512,
+          s"$src: seq ids inconsistent with offsets")
+      }
+    }
+    // deterministic (keyed-hash order, not partition order)
+    val again = graft.queries.TrainingQueries.q141.fn(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("contamination overlap (q142): fraction bounds, and a verbatim reference copy scores 1.0") {
+    import spark.implicits._
+    // doc 8 is a verbatim copy of reference doc 0 (mod-7 split: 0 and
+    // 7 are reference, 8/9 are corpus); doc 9 shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "one two three four five six")).toDF("doc_id", "text")
+    val grams = graft.functions.Dedup.shingles(docs, "doc_id", "text", 3)
+    val ref = grams.filter(col("doc_id") % 7 === 0).select("gram").distinct()
+    val cg = grams.filter(col("doc_id") % 7 =!= 0)
+    val out = cg.join(ref.withColumn("in_ref", lit(1L)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("in_ref").isNotNull, 1L).otherwise(0L)).as("o"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(8L)._1 === out(8L)._2 && out(8L)._1 === 4L) // 6 tokens -> 4 trigrams, all in ref
+    assert(out(9L)._2 === 0L)
+  }
 }
