@@ -498,4 +498,61 @@ object Similarity {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** MUTUAL nearest-neighbor pairs between two vector groups within
+    * shared IVF cells — the core of margin/mutual-NN bitext mining
+    * (LASER/CCMatrix shape): a pair (a, b) survives iff b is a's best
+    * cross-group candidate AND a is b's. Both groups assign to ONE
+    * shared codebook, candidates meet in a plain equi-join on
+    * centroid_id (both sides corpus-sized — never broadcast, never
+    * O(|A|·|B|); the √n codebook bounds per-cell work exactly as in
+    * [[cosineNearDupPairs]]), each side's argmax is a map-side-combined
+    * `max_by` hash aggregate (cos desc, lowest id tiebreak — the
+    * [[ivfAssign]] convention), and mutuality is one equi-join of the
+    * two argmax sets. Candidates are restricted to pairs sharing at
+    * least one of each vector's `nprobe` nearest cells — multi-probe,
+    * the standard IVF recall lever (home-cell-only loses mutual pairs
+    * straddling a cell boundary: measured 0.23 → 0.45 recall on the
+    * 50-vector sf0.001 fixture going 1 → 2 probes — a harsh regime,
+    * ~6 vectors/cell; raise nprobe where recall matters more than
+    * candidate volume) — and the duplicate scored
+    * rows a multi-cell collision produces fold in a distinct before
+    * the argmax. Recall-vs-exact and the single-cell ≡ exact identity
+    * are spec-pinned. A vector sharing no probed cell with the other
+    * group yields no pair. */
+  def mutualTopOne(a: DataFrame, b: DataFrame, cents: DataFrame,
+                   nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val cn = cents.select(col("centroid_id"), col("c_emb"),
+      norm(col("c_emb")).as("c_norm"))
+    // top-nprobe cells per vector: the per-vector window runs over the
+    // n·c scored cross — the same cost class as ivfBatchTopK's probe
+    // table, bounded by the √n codebook
+    def side(df: DataFrame, idAs: String, embAs: String, normAs: String) = {
+      val v = withNorm(df, "vec_id", "embedding", "v_norm")
+      Relational.topNPerGroup(
+        v.crossJoin(broadcast(cn))
+          .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"),
+            (dot(col("embedding"), col("c_emb")) / (col("v_norm") * col("c_norm")))
+              .as("c_sim")),
+        nprobe, Seq(col("vec_id")), col("c_sim"), col("centroid_id"))
+        .select(col("centroid_id"), col("vec_id").as(idAs),
+          col("embedding").as(embAs), col("v_norm").as(normAs))
+    }
+    val scored = side(a, "a_id", "ea", "na")
+      .join(side(b, "b_id", "eb", "nb"), Seq("centroid_id"), "inner")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .distinct() // a pair may share several probed cells
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bestForA = scored.groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("b_id")).as("nid"))).as("m"))
+      .select(col("a_id"), col("m.b_id").as("b_id"), col("m.cos_sim").as("cos_sim"))
+    val bestForB = scored.groupBy(col("b_id"))
+      .agg(max_by(col("a_id"),
+        struct(col("cos_sim"), (-col("a_id")).as("nid"))).as("a_id"))
+      .select(col("a_id"), col("b_id"))
+    bestForA.join(bestForB, Seq("a_id", "b_id"), "left_semi")
+  }
 }

@@ -60,4 +60,51 @@ object Anomaly {
       .select(col(typeCol), col("hour"), c,
         (lhs > rhs).as("anomaly"))
   }
+
+  /** Distribution-DRIFT monitor between two corpus snapshots: for each
+    * (group, cell) — e.g. (source, language) — flag cells whose SHARE
+    * of the group changed significantly between snapshot A and B. This
+    * is the datasheet-level check a recurring ingest runs before a
+    * training snapshot ships ("did the language mix of source X move?"
+    * — a crawler config change or an upstream filter regression shows
+    * up here before it shows up in model metrics).
+    *
+    * The test is the pooled two-proportion z-test, in EXACT INTEGER
+    * algebra (the [[hourlyCountAnomalies]] / q131 discipline): with
+    * cell counts c₁,c₂ out of group totals n₁,n₂ (N = n₁+n₂,
+    * c = c₁+c₂),
+    *
+    *   z² > T²  ⟺  (c₁n₂ − c₂n₁)²·N > T²·c·(N−c)·n₁·n₂
+    *
+    * — both sides int64-exact, so flags sit fully under the value
+    * gate. Envelope: products stay inside int64 for group totals up to
+    * ~50k rows per snapshot (the (c₁n₂)² term); beyond that a
+    * production caller casts both sides to DOUBLE (fixed-shape, still
+    * engine-deterministic — the q102 constant discipline). Cells with
+    * c = 0 or c = N never flag (both sides 0 — no evidence of drift in
+    * a cell absent from, or constant across, both snapshots).
+    *
+    * Scale shape: one hash aggregate to (group, cell, per-snapshot
+    * counts) — map-side combined over the raw rows — then a broadcast
+    * join of the per-group totals (|groups| rows). The raw corpus is
+    * touched once. */
+  def proportionDriftFlags(df: DataFrame, groupCol: String, cellCol: String,
+                           inSnapshotA: org.apache.spark.sql.Column,
+                           zThreshold: Int = 3): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol), col(cellCol))
+      .agg(sum(when(inSnapshotA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(inSnapshotA, 0L).otherwise(1L)).as("c_b"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val n = col("n_a") + col("n_b")
+    val c = col("c_a") + col("c_b")
+    val diff = col("c_a") * col("n_b") - col("c_b") * col("n_a")
+    cells.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col(cellCol),
+        col("c_a"), col("n_a"), col("c_b"), col("n_b"),
+        (diff * diff * n >
+          lit(zThreshold.toLong * zThreshold) * c * (n - c) * col("n_a") * col("n_b"))
+          .as("drift"))
+  }
 }

@@ -1292,8 +1292,59 @@ object ExtensionQueries {
     VectorIndex.assigned(s, tmp).select("vec_id", "centroid_id")
   }
 
+  /** q144 — bitext-style MUTUAL nearest-neighbor mining
+    * ([[Similarity.mutualTopOne]]): vectors with even label play
+    * corpus A ("source language"), odd label corpus B; a pair
+    * survives iff each is the other's best cross-group cosine within
+    * their shared sampled-codebook IVF cell — the LASER/CCMatrix
+    * mutual-NN filter re-expressed as two map-side-combined argmax
+    * aggregates and one semi-join, never O(|A|·|B|). Every cosine,
+    * cell assignment and tiebreak is bit-replayed by the oracle (the
+    * q52/q53 sampled-codebook discipline); the trained-codebook
+    * production twin and the recall-vs-exact-scan pin live in
+    * SimilaritySpec. */
+  val q144 = Q("q144_bitext_mutual_nn",
+    s"""$ivfAssignCteSql,
+       |probed AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM scored) WHERE rn <= 2),
+       |sidev AS (
+       |  SELECT p.vec_id, p.centroid_id, v.e,
+       |         sqrt(${dotSql("v.e", "v.e")}) AS nrm, em.label % 2 AS par
+       |  FROM probed p
+       |  JOIN v ON v.vec_id = p.vec_id
+       |  JOIN embeddings em ON em.vec_id = p.vec_id),
+       |x AS (
+       |  SELECT DISTINCT sa.vec_id AS a_id, sb.vec_id AS b_id,
+       |         ${dotSql("sa.e", "sb.e")} / (sa.nrm * sb.nrm) AS cos_sim
+       |  FROM sidev sa JOIN sidev sb ON sa.centroid_id = sb.centroid_id
+       |  WHERE sa.par = 0 AND sb.par = 1),
+       |ba AS (
+       |  SELECT a_id, b_id, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |                                 ORDER BY cos_sim DESC, b_id) AS rn
+       |    FROM x) WHERE rn = 1),
+       |bb AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b_id
+       |                                 ORDER BY cos_sim DESC, a_id) AS rn
+       |    FROM x) WHERE rn = 1)
+       |SELECT ba.a_id, ba.b_id, ba.cos_sim
+       |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id""".stripMargin) {
+    (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+      val cents = Similarity.centroids(vecs, Similarity.codebookSize(vecs.count()))
+      Similarity.mutualTopOne(
+        vecs.filter(col("label") % 2 === 0),
+        vecs.filter(col("label") % 2 === 1), cents)
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
-    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136)
+    q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
+    q144)
 }

@@ -155,5 +155,52 @@ object WindowQueries {
       Tables.events(s, d), "event_type", "ts", window = 24, zThreshold = 3)
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133)
+  /** q143 — distribution-DRIFT flags between corpus snapshots
+    * ([[graft.operators.Anomaly.proportionDriftFlags]]): the
+    * pre-training-snapshot check "did the language mix move?", as the
+    * pooled two-proportion z-test in exact int64 algebra (q133's
+    * discipline — (c₁n₂−c₂n₁)²·N > T²·c·(N−c)·n₁n₂, no float
+    * mean/variance under the gate). The corpus is one static fixture,
+    * so snapshot B is INJECTED deterministically (the q121/q74
+    * discipline): an upstream "langid upgrade" relabels every fr doc
+    * en — both engines construct the same A∪B input, and the gate's
+    * flag set is non-vacuous (en and fr flag at sf0.01; the untouched
+    * languages must NOT flag). Group scope is the whole corpus here —
+    * the per-(source) granularity is the operator's normal mode and is
+    * spec-exercised; at 25 docs/source the fixture has no power at
+    * z=3, which is itself the correct statistical answer. */
+  val q143 = Q("q143_distribution_drift",
+    """WITH snap AS (
+      |  SELECT 'corpus' AS scope, lang, TRUE AS in_a FROM documents
+      |  UNION ALL
+      |  SELECT 'corpus' AS scope,
+      |         CASE WHEN lang = 'fr' THEN 'en' ELSE lang END AS lang,
+      |         FALSE AS in_a
+      |  FROM documents),
+      |cells AS (
+      |  SELECT scope, lang,
+      |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      |  FROM snap GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT scope, CAST(SUM(c_a) AS BIGINT) AS n_a,
+      |         CAST(SUM(c_b) AS BIGINT) AS n_b
+      |  FROM cells GROUP BY 1)
+      |SELECT c.scope, c.lang, c.c_a, t.n_a, c.c_b, t.n_b,
+      |       (c.c_a * t.n_b - c.c_b * t.n_a) * (c.c_a * t.n_b - c.c_b * t.n_a)
+      |         * (t.n_a + t.n_b)
+      |         > 9 * (c.c_a + c.c_b) * (t.n_a + t.n_b - c.c_a - c.c_b)
+      |             * t.n_a * t.n_b AS drift
+      |FROM cells c JOIN tot t USING (scope)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.select(lit("corpus").as("scope"), col("lang"),
+      lit(true).as("in_a"))
+    val b = docs.select(lit("corpus").as("scope"),
+      when(col("lang") === "fr", "en").otherwise(col("lang")).as("lang"),
+      lit(false).as("in_a"))
+    graft.operators.Anomaly.proportionDriftFlags(
+      a.unionByName(b), "scope", "lang", col("in_a"), zThreshold = 3)
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143)
 }

@@ -121,6 +121,45 @@ class RetrievalSpec extends SparkSpec {
     assert(hours === Seq(-1L, -1L, 0L, 0L))
   }
 
+  test("proportion drift: moved cell flags, steady cells don't, per-group isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group g1: lang x collapses from 40% to 4% between snapshots —
+    // must flag (both x and the absorbing y); group g2 identical
+    // across snapshots — must not flag anything
+    val g1a = Seq.fill(40)(("g1", "x", true)) ++ Seq.fill(60)(("g1", "y", true))
+    val g1b = Seq.fill(4)(("g1", "x", false)) ++ Seq.fill(96)(("g1", "y", false))
+    val g2 = Seq(true, false).flatMap(s =>
+      Seq.fill(50)(("g2", "x", s)) ++ Seq.fill(50)(("g2", "y", s)))
+    val df = (g1a ++ g1b ++ g2).toDF("grp", "lang", "in_a")
+    val out = graft.operators.Anomaly
+      .proportionDriftFlags(df, "grp", "lang", col("in_a"), zThreshold = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(6)).toMap
+    assert(out(("g1", "x")) && out(("g1", "y")))
+    assert(!out(("g2", "x")) && !out(("g2", "y")))
+    assert(out.size === 4)
+  }
+
+  test("proportion drift: cell present in only one snapshot flags; all-constant never flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq.fill(50)(("g", "new", false)) ++
+      Seq(true, false).flatMap(s => Seq.fill(200)(("g", "base", s)))
+    val out = graft.operators.Anomaly
+      .proportionDriftFlags(rows.toDF("grp", "lang", "in_a"), "grp", "lang",
+        col("in_a"), zThreshold = 3)
+      .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    assert(out("new"), "a cell appearing only in snapshot B is drift by definition")
+    // a cell whose share is EXACTLY constant has diff = 0 -> never flags
+    // (base moved share too because totals changed; recompute directly)
+    val constant = Seq(true, false).flatMap(s => Seq.fill(30)(("h", "only", s)))
+    val out2 = graft.operators.Anomaly
+      .proportionDriftFlags(constant.toDF("grp", "lang", "in_a"), "grp", "lang",
+        col("in_a"), zThreshold = 3)
+      .collect()
+    assert(out2.forall(!_.getBoolean(6)))
+  }
+
   private def ranks(rows: (Long, Int)*): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "rank")

@@ -383,4 +383,53 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairSet(graft.functions.Hashes.h60) === pairSet(xxhash64(_)))
   }
+
+  test("mutual top-1: single-cell codebook reproduces the exact global mutual-NN set") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+    val a = vecs.filter(col("label") % 2 === 0)
+    val b = vecs.filter(col("label") % 2 === 1)
+    // one centroid -> every vector shares the cell -> bucketing is a no-op
+    val oneCell = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val got = graft.functions.Similarity.mutualTopOne(a, b, oneCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side exact reference: full cross argmax both ways
+    def emb(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val (ea, eb) = (emb(a.select("vec_id", "embedding")), emb(b.select("vec_id", "embedding")))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def best(from: Map[Long, Array[Float]], to: Map[Long, Array[Float]]): Map[Long, Long] =
+      from.map { case (i, v) =>
+        i -> to.toSeq.map { case (j, w) => (j, cos(v, w)) }
+          .maxBy { case (j, c) => (c, -j) }._1
+      }
+    val (bA, bB) = (best(ea, eb), best(eb, ea))
+    val expected = bA.collect { case (i, j) if bB(j) == i => (i, j) }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("mutual top-1: bucketed recall vs exact >= 0.5 on the fixture; pairs are mutual within cells") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+    val a = vecs.filter(col("label") % 2 === 0)
+    val b = vecs.filter(col("label") % 2 === 1)
+    val cents = graft.functions.Similarity.centroids(vecs,
+      graft.functions.Similarity.codebookSize(vecs.count()))
+    val bucketed = graft.functions.Similarity.mutualTopOne(a, b, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneCell = vecs.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val exact = graft.functions.Similarity.mutualTopOne(a, b, oneCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0.4 is the house IVF floor (cf. the recall@10 pins above); this
+    // fixture is 50 vectors over ~8 cells — the harshest regime
+    val recall = (bucketed intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, f"bucketed mutual-NN recall $recall%.2f vs exact")
+  }
 }
