@@ -100,7 +100,11 @@ object Anomaly {
     val n = col("n_a") + col("n_b")
     val c = col("c_a") + col("c_b")
     val diff = col("c_a") * col("n_b") - col("c_b") * col("n_a")
-    cells.join(broadcast(totals), Seq(groupCol))
+    // no broadcast hint: the totals side is structurally a corpus
+    // aggregate (the PlanAudit-unbounded shape) though domain-bounded
+    // at |groups| rows — AQE broadcasts it from runtime stats instead
+    // (the q131 precedent)
+    cells.join(totals, Seq(groupCol))
       .select(col(groupCol), col(cellCol),
         col("c_a"), col("n_a"), col("c_b"), col("n_b"),
         (diff * diff * n >
