@@ -203,4 +203,55 @@ class EdgeCasesSpec extends SparkSpec {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     assert(Multimodal.frameSignatures(short, 16).isEmpty)
   }
+
+  test("suffix dedup on empty / all-NULL corpora: empty, not crashed") {
+    import graft.functions.SuffixDedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixDedup.duplicateWindows(empty, "doc_id", "text", 4).isEmpty)
+    assert(SuffixDedup.duplicateSpans(empty, "doc_id", "text", 4).isEmpty)
+    assert(SuffixDedup.cutExactDuplicateSpans(empty, "doc_id", "text", 4).isEmpty)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(SuffixDedup.duplicateWindows(nulls, "doc_id", "text", 4).isEmpty)
+    assert(SuffixDedup.cutExactDuplicateSpans(nulls, "doc_id", "text", 4).isEmpty)
+    // win = 1: single-token windows, pure exact-dedup of tokens
+    val one = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(SuffixDedup.duplicateWindows(one, "doc_id", "text", 1).count() === 2)
+  }
+
+  test("vector index on an empty base: builds, shard assign still works") {
+    import graft.functions.VectorIndex
+    val vecs = Tables.embeddings(spark, sf)
+    val none = vecs.limit(0)
+    val dir = java.nio.file.Files.createTempDirectory("vi_empty_").toString
+    VectorIndex.build(none, dir) // empty codebook is the correct algebra
+    assert(VectorIndex.assigned(spark, dir).isEmpty)
+    // a shard arriving against an empty codebook assigns to nothing
+    VectorIndex.addShard(vecs.limit(3), dir)
+    assert(VectorIndex.assigned(spark, dir).isEmpty)
+  }
+
+  test("rrf fusion with empty rank lists: empty result, not a crash") {
+    import graft.functions.Retrieval
+    val empty = Seq.empty[(Long, Int)].toDF("doc_id", "rank")
+    assert(Retrieval.rrfFuse(Seq(empty, empty), "doc_id", "rank").isEmpty)
+    // one empty + one real: the real list passes through as single-system
+    val real = Seq((5L, 1)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(real, empty), "doc_id", "rank").collect()
+    assert(out.length === 1 && out.head.getLong(1) === 1L && out.head.getLong(2) === 61L)
+  }
+
+  test("drift monitor with a single snapshot: never flags (no comparison basis)") {
+    val oneSide = Seq(("g", "x", true), ("g", "y", true)).toDF("grp", "lang", "in_a")
+    val out = graft.operators.Anomaly
+      .proportionDriftFlags(oneSide, "grp", "lang", col("in_a")).collect()
+    assert(out.forall(!_.getBoolean(6)), "n_b = 0 makes both sides 0 — no drift evidence")
+  }
+
+  test("mutual top-1 with an empty side: empty, not crashed") {
+    import graft.functions.Similarity
+    val vecs = Tables.embeddings(spark, sf)
+    val cents = Similarity.centroids(vecs, 4)
+    assert(Similarity.mutualTopOne(vecs.limit(0), vecs.limit(5), cents).isEmpty)
+  }
 }
