@@ -517,6 +517,86 @@ object Events {
     banded.unpersist()
   }
 
+  /** Streaming EMBEDDING near-dup gate — [[lshDedupGateBatch]]'s vector
+    * twin, closing the loop between the persisted IVF index
+    * ([[graft.functions.VectorIndex]], q136) and the streaming arrival
+    * path: each micro-batch of (vec_id, embedding) rows is assigned
+    * against the index's FROZEN codebook (shard-only scan — the q136
+    * contract), probed for same-cell cosine near-dups against the base
+    * index ∪ the stream's own accumulated assignments, and split:
+    * arriving vectors matching an indexed one, plus all but the min-id
+    * representative of each within-batch near-dup component (the q94 /
+    * lsh-gate policy — batch and streaming decisions agree), append to
+    * `dupDir` with batch-id audit; the rest append to `cleanDir` and
+    * their ASSIGNMENTS land in the stream index via dynamic partition
+    * overwrite of `_gate_batch=<id>/` — idempotent on replay at
+    * O(batch) cost, NOT the AtomicTable upsert (which would rewrite
+    * O(index) per trigger — the wrong asymptote for a sink; a periodic
+    * compaction folds the accumulated stream partitions into the
+    * committed artifact via [[graft.functions.VectorIndex.addShard]]).
+    *
+    * Preconditions: a built VectorIndex at `indexRoot` (codebook
+    * trained offline — the gate never retrains) and arriving ids
+    * disjoint from indexed ids. The probe is an equi-join on
+    * centroid_id — per-batch cost is the batch's own assignment plus
+    * |batch|·(cell occupancy) cosine kernels, never O(index). Same
+    * cell-bound recall trade as every IVF operator here
+    * (near-identical vectors share a home cell). */
+  def vectorDedupGateBatch(indexRoot: String, streamIndexDir: String,
+                           cleanDir: String, dupDir: String,
+                           threshold: Double = 0.9)(
+                           batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.{Similarity, VectorIndex}
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val cents = VectorIndex.codebook(spark, indexRoot) // FROZEN — read-only
+    val hasStream = {
+      val p = new org.apache.hadoop.fs.Path(streamIndexDir)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.util.exists(p)
+    }
+    val assigned = Similarity.ivfAssign(batch, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = VectorIndex.assigned(spark, indexRoot)
+      .unionByName(
+        if (hasStream) spark.read.parquet(streamIndexDir).drop("_gate_batch")
+        else Similarity.ivfAssign(batch.limit(0), cents))
+    val cross = assigned
+      .select(col("centroid_id"), col("vec_id"), col("embedding").as("ea"),
+        col("v_norm").as("na"))
+      .join(index.select(col("centroid_id"), col("embedding").as("eb"),
+        col("v_norm").as("nb")), Seq("centroid_id"), "inner")
+      .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("vec_id"))
+    val withinPairs = Similarity.cosineNearDupPairs(assigned, threshold)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinDupIds =
+      if (withinPairs.isEmpty) withinPairs.select(col("a").as("vec_id")).limit(0)
+      else graft.operators.Components
+        .connectedComponents(withinPairs,
+          withinPairs.select(col("a")).union(withinPairs.select(col("b"))).distinct())
+        .filter(col("v") =!= col("component"))
+        .select(col("v").as("vec_id"))
+    val dupIds = cross.unionByName(withinDupIds).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = batch.join(dupIds, Seq("vec_id"), "left_semi")
+    val clean = batch.join(dupIds, Seq("vec_id"), "left_anti")
+    dups.withColumn("_batch_id", lit(batchId)).write.mode("append").parquet(dupDir)
+    clean.write.mode("append").parquet(cleanDir)
+    assigned.join(clean.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .withColumn("_gate_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gate_batch")
+      .parquet(streamIndexDir)
+    dupIds.unpersist()
+    withinPairs.unpersist()
+    assigned.unpersist()
+  }
+
   /** Streaming constraint gate: per micro-batch, rows passing every
     * named rule append to the silver path, violators append to a
     * quarantine path carrying batch id + the exact rules broken —

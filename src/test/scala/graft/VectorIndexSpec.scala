@@ -87,6 +87,40 @@ class VectorIndexSpec extends SparkSpec {
       .count() === baseCount)
   }
 
+  test("streaming vector gate: indexed dup quarantined, within-batch min kept, replay idempotent, stream index effective") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vi_gate_").toString
+    val (si, cd, dd) = (s"$root/stream", s"$root/clean", s"$root/dup")
+    VectorIndex.build(vecs, s"$root/index")
+    // fixture vectors are 64-dim floats; craft arrivals against them
+    val dim = 64
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.01f)
+    val copyOf5 = vecs.filter(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val batch1 = Seq(
+      (1000L, copyOf5),     // near-dup of an INDEXED vector -> quarantine
+      (1001L, oneHot(0)),   // fresh -> clean
+      (1002L, oneHot(1)),   // within-batch identical pair:
+      (1003L, oneHot(1)))   //   min id 1002 kept, 1003 quarantined
+      .toDF("vec_id", "embedding")
+    graft.streaming.Events.vectorDedupGateBatch(s"$root/index", si, cd, dd,
+      threshold = 0.95)(batch1, 0L)
+    def ids(dir: String) = spark.read.parquet(dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(dd) === Set(1000L, 1003L))
+    assert(ids(cd) === Set(1001L, 1002L))
+    assert(ids(si) === Set(1001L, 1002L), "only clean assignments enter the stream index")
+    // replay the same batch id: stream index partition overwritten, not duplicated
+    graft.streaming.Events.vectorDedupGateBatch(s"$root/index", si, cd, dd,
+      threshold = 0.95)(batch1, 0L)
+    assert(spark.read.parquet(si).count() === 2)
+    // batch 2: near-dup of a BATCH-1 clean vector -> the stream index catches it
+    val batch2 = Seq((2000L, oneHot(1))).toDF("vec_id", "embedding")
+    graft.streaming.Events.vectorDedupGateBatch(s"$root/index", si, cd, dd,
+      threshold = 0.95)(batch2, 1L)
+    assert(ids(dd).contains(2000L), "stream-index accumulation must gate later batches")
+  }
+
   test("trained-Lloyd production path: build + addShard + probe runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("vi_trained_").toString
     val base = vecs.filter(col("vec_id") % 3 =!= 0)
