@@ -1008,6 +1008,60 @@ object TrainingQueries {
         expr("(end_off - 1) div 512").as("last_seq"))
   }
 
+  /** q145 — packed SEQUENCE materialization: the text of every
+    * 512-token training sequence q141 maps — tokens from consecutive
+    * docs (same keyed-hash layout) concatenated across doc boundaries
+    * and split at exact multiples of 512. This is the job that
+    * actually WRITES training shards at 100 TB: one window for the
+    * doc offsets (q141's shape), one token explode carrying each
+    * token's GLOBAL offset (start_off + position), one hash aggregate
+    * per (source, sequence) with an ordered in-aggregate sort — the
+    * output row count is Σtokens/512, and nothing is ever collected.
+    * Trailing partial sequences are emitted (a production run pads or
+    * drops them; the map keeps them auditable). String content is
+    * exact, so the whole materialization sits under the value gate. */
+  val q145 = Q("q145_pack_sequences", {
+    val h = graft.functions.Hashes.h60Sql("'pack|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, string_split(trim(text), ' ') AS toks,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source, doc_id, toks, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           - n_tokens AS start_off
+       |  FROM t),
+       |tok AS (
+       |  SELECT source,
+       |         start_off + CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) - 1 AS off,
+       |         unnest(toks) AS tok
+       |  FROM c)
+       |SELECT source, off // 512 AS seq_id,
+       |       string_agg(tok, ' ' ORDER BY off) AS seq_text,
+       |       COUNT(*) AS seq_tokens
+       |FROM tok GROUP BY source, off // 512""".stripMargin
+  }) { (s, d) =>
+    val h = graft.functions.Hashes
+      .h60(concat(lit("pack|"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), Text.tokens(col("text")).as("toks"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_tokens"), h.as("h"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("start_off"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("source"), (col("start_off") + col("p")).as("off"), col("tok"))
+      .groupBy(col("source"), expr("off div 512").as("seq_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("off"), col("tok")))),
+            x => x.getField("tok"))).as("seq_text"),
+        count(lit(1)).as("seq_tokens"))
+  }
+
   /** q142 — contamination OVERLAP REPORT at index scale: for every
     * corpus doc, what FRACTION of its distinct 3-grams appears
     * anywhere in the reference corpus (q135's mod-7 split: id ≡ 0
@@ -1057,5 +1111,5 @@ object TrainingQueries {
 
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142)
+    q131, q137, q141, q142, q145)
 }

@@ -117,3 +117,49 @@ object PhraseProps extends Properties("phrase-positions") {
       hits == referenceHits(words, p)
     }
 }
+
+/** The q143 two-proportion drift inequality vs the float pooled z²:
+  * (c₁n₂ − c₂n₁)²·N > T²·c·(N−c)·n₁n₂ must agree with the textbook
+  * z² > T² wherever the float value is numerically unambiguous —
+  * the same contract [[AnomalyAlgebraProps]] pins for the windowed
+  * z-test. Degenerate pools (c = 0 or c = N: zero pooled variance)
+  * must never flag. */
+object DriftAlgebraProps extends Properties("drift-algebra") {
+  private val cells = for {
+    n1 <- Gen.choose(1L, 5000L)
+    n2 <- Gen.choose(1L, 5000L)
+    c1 <- Gen.choose(0L, n1)
+    c2 <- Gen.choose(0L, n2)
+  } yield (c1, n1, c2, n2)
+
+  property("integer inequality == float pooled z-test away from the boundary") =
+    Prop.forAll(cells) { case (c1, n1, c2, n2) =>
+      val nTot = n1 + n2
+      val c = c1 + c2
+      val diff = c1 * n2 - c2 * n1
+      val intFlag = diff * diff * nTot > 9L * c * (nTot - c) * n1 * n2
+      if (c == 0 || c == nTot) !intFlag // zero pooled variance: no evidence
+      else {
+        val p = c.toDouble / nTot
+        val z2 = {
+          val num = c1.toDouble / n1 - c2.toDouble / n2
+          num * num / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+        }
+        math.abs(z2 - 9.0) < 1e-6 * math.max(1.0, z2) || intFlag == (z2 > 9.0)
+      }
+    }
+
+  property("rrf rational fold == BigInt fraction arithmetic") =
+    Prop.forAll(Gen.listOf(Gen.choose(1, 100))) { ranks =>
+      // the same left fold Retrieval.rrfFuse builds as Columns,
+      // re-derived in exact BigInt arithmetic: n/d after folding list i
+      // must equal Σ 1/(60+rᵢ) as a fraction
+      val (n, d) = ranks.foldLeft((0L, 1L)) { case ((n, d), r) =>
+        (n * (60L + r) + d, d * (60L + r))
+      }
+      val lhs = BigInt(n) * ranks.map(r => BigInt(60 + r)).product
+      val rhs = BigInt(d) * ranks.map(r =>
+        ranks.map(x => BigInt(60 + x)).product / BigInt(60 + r)).sum
+      ranks.lengthCompare(8) > 0 || lhs == rhs
+    }
+}

@@ -134,6 +134,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("sequence materialization (q145) is consistent with the packing map (q141)") {
+    val dir = "/root/testdata/sf0.01"
+    val seqs = graft.queries.TrainingQueries.q145.fn(spark, dir).cache()
+    val map = graft.queries.TrainingQueries.q141.fn(spark, dir).cache()
+    val rows = seqs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // every sequence is exactly 512 tokens except each source's last
+    rows.groupBy(_._1).foreach { case (src, ss) =>
+      val lastId = ss.map(_._2).max
+      ss.foreach { case (_, id, text, n) =>
+        assert(n === text.split(" ").length, s"$src/$id: token count vs text")
+        if (id != lastId) assert(n === 512L, s"$src/$id: interior sequence not full")
+      }
+      // seq ids are contiguous from 0
+      assert(ss.map(_._2).sorted.toSeq === (0L to lastId).toSeq)
+    }
+    // the map's per-doc spans land inside the materialized sequences:
+    // total tokens agree per source, and max last_seq == max seq_id
+    val mapAgg = map.groupBy("source")
+      .agg(sum("n_tokens").as("nt"), max("last_seq").as("ls"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (src, ss) =>
+      assert(ss.map(_._4).sum === mapAgg(src)._1, s"$src: token totals disagree")
+      assert(ss.map(_._2).max === mapAgg(src)._2, s"$src: last sequence id disagrees")
+    }
+  }
+
   test("contamination overlap (q142): fraction bounds, and a verbatim reference copy scores 1.0") {
     import spark.implicits._
     // doc 8 is a verbatim copy of reference doc 0 (mod-7 split: 0 and
