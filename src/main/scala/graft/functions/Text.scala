@@ -325,4 +325,38 @@ object Text {
         size(col("c")).cast(LongType).as("n_tokens"),
         concat_ws(" ", col("c")).as("chunk_text"))
   }
+
+  /** HASHED linear-classifier score — the fastText/DSIR quality-filter
+    * INFERENCE shape (a trained linear model over hashed bag-of-words
+    * features, the filter CCNet/LLaMA-style pipelines run over every
+    * crawled doc): score(doc) = Σ_tokens w[h(token)], evaluated as one
+    * map-only per-row expression — NO corpus pass, NO shuffle, NO
+    * model join; the weight lookup is pure arithmetic on the token
+    * hash, so at 100 TB this runs at scan speed alongside the other
+    * per-row quality signals (q16/q90).
+    *
+    * The weight table is the STUB seam (the multimodal-decode rule):
+    * production loads trained fastText weights into the same
+    * hash-and-lookup plumbing; here `w[h] = h60("w|"‖token) % (2·half+1)
+    * − half` — a deterministic signed placeholder both engines can
+    * replay bit-for-bit, keeping the REAL part (tokenize → hash →
+    * weight-sum → threshold, all int64-exact) under the oracle gate.
+    * Repeated tokens contribute once per occurrence (tf weighting),
+    * exactly as the linear model dictates. */
+  def hashedLinearScore(text: Column, seed: String = "w|",
+                        half: Int = 500): Column =
+    aggregate(tokens(text),
+      lit(0L),
+      (acc, t) =>
+        acc + (Hashes.h60(concat(lit(seed), t)) % (2 * half + 1) - half))
+
+  /** DuckDB twin of [[hashedLinearScore]] over SQL expression `e`. */
+  def hashedLinearScoreSql(e: String, seed: String = "w|",
+                           half: Int = 500): String = {
+    val w = Hashes.hexToLongSql(Hashes.hex15Sql(s"'$seed' || gt"))
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(trim($e), ' '),
+       |                 gt -> $w % ${2 * half + 1} - $half)),
+       |  (ga, gb) -> ga + gb)""".stripMargin
+  }
 }

@@ -670,7 +670,62 @@ object CorpusQueries {
       win = 8)
   }
 
+  /** q146 — per-language EXACT length-quantile trim
+    * ([[graft.operators.Quantiles.trimToRange]]): drop every doc whose
+    * n_chars falls outside its language's [p05, p95] band — the
+    * Gopher-style length cut, computed with EXACT distributed
+    * quantiles instead of `percentile_approx` (whose GK-sketch rank
+    * error is engine-specific and unhashable). The only corpus-wide
+    * move is the map-side-combined (lang, n_chars) histogram — at
+    * 100 TB the histogram is still only |langs|·|distinct lengths|
+    * rows; the rank arithmetic (window cumsum, inf-CDF threshold
+    * pick, all int64: `cc·den ≥ num·n`) runs over that compact table,
+    * and the one-row-per-lang thresholds join back planner-broadcast.
+    */
+  val q146 = Q("q146_length_quantile_trim",
+    """WITH hist AS (
+      |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, n_chars,
+      |         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cc,
+      |         SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM hist),
+      |lo AS (SELECT lang, MIN(n_chars) AS lo FROM cum
+      |       WHERE cc * 20 >= n * 1 GROUP BY lang),
+      |hi AS (SELECT lang, MIN(n_chars) AS hi FROM cum
+      |       WHERE cc * 20 >= n * 19 GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN lo USING (lang) JOIN hi USING (lang)
+      |WHERE d.n_chars >= lo AND d.n_chars <= hi""".stripMargin) { (s, d) =>
+    graft.operators.Quantiles.trimToRange(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      "lang", "n_chars", 1, 20, 19, 20)
+  }
+
+  /** q147 — hashed linear-classifier quality filter
+    * ([[Text.hashedLinearScore]]): the fastText/DSIR model-based
+    * quality cut as ONE map-only scan — score = Σ_tokens w[h(token)]
+    * with the weight lookup pure int64 arithmetic on the token hash
+    * (trained weights drop into the same plumbing; the placeholder
+    * weight derivation is the stub seam, hash→weight-sum→threshold is
+    * the real, oracle-gated machinery). Zero shuffle, zero corpus
+    * pass, scan-speed at 100 TB next to q16/q90's heuristic signals.
+    */
+  val q147 = Q("q147_hashed_classifier",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         ${Text.hashedLinearScoreSql("text")} AS cls_score
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, cls_score,
+       |       CAST(CASE WHEN cls_score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        Text.hashedLinearScore(col("text")).as("cls_score"))
+      .withColumn("keep", when(col("cls_score") > 0, 1L).otherwise(0L))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140)
+    q134, q138, q139, q140, q146, q147)
 }
