@@ -80,10 +80,18 @@ object Retrieval {
     * Output: (token, df, postings), postings ordered tf desc then
     * doc_id asc. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    topK: Int = 16): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+                    topK: Int = 16): DataFrame =
+    indexFromPostings(
+      df.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf")),
+      topK)
+
+  /** The postings→index tail of [[invertedIndex]], shared with the
+    * persisted artifact path ([[TextIndex.indexView]]): input is raw
+    * (token, doc_id, tf) rows from ANY source — a fresh text pass or a
+    * committed index artifact — output is the same df + top-k cell per
+    * token. */
+  def indexFromPostings(tf: DataFrame, topK: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("token").orderBy(col("tf").desc, col("doc_id").asc)
     tf.withColumn("rn", row_number().over(w))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Pca, Retrieval, Similarity, SuffixDedup, Text}
+import graft.functions.{Dedup, Hashes, LanguageModel, Multimodal, Pca, Retrieval, Similarity, SuffixDedup, Text, TextIndex}
 
 /** Round-8 corpus-operator batch: maximal duplicate-span extraction,
   * impact-ordered inverted indexing, sliding-window chunking, a
@@ -725,7 +725,37 @@ object CorpusQueries {
       .withColumn("keep", when(col("cls_score") > 0, 1L).otherwise(0L))
   }
 
+  /** q148 — PERSISTED incremental inverted text index
+    * ([[graft.functions.TextIndex]]): build the postings artifact over
+    * the base corpus (doc_id % 5 ≠ 0), index the held-out shard by
+    * arrival WITHOUT rescanning the base (delete-then-insert by doc
+    * id, one AtomicTable version per arrival), and emit the
+    * impact-ordered view read back from the committed artifact. The
+    * oracle builds the q111 index from scratch over the FULL corpus —
+    * exactly what incremental maintenance must equal. q101 gives this
+    * discipline to the LSH dedup index and q136 to the ANN side; this
+    * completes it for lexical retrieval. Re-crawl replacement and
+    * version isolation are pinned in TextIndexSpec. */
+  val q148 = Q("q148_text_index_incremental",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+      |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |r AS (SELECT token, doc_id, tf,
+      |             row_number() OVER (PARTITION BY token
+      |                                ORDER BY tf DESC, doc_id) AS rn
+      |      FROM tf)
+      |SELECT token, COUNT(*) AS df,
+      |       array_to_string(list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
+      |                         FILTER (WHERE rn <= 16), ',') AS postings
+      |FROM r GROUP BY token""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textindex_").toString
+    TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tmp)
+    TextIndex.addShard(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tmp)
+    TextIndex.indexView(s, tmp, topK = 16)
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147)
+    q134, q138, q139, q140, q146, q147, q148)
 }

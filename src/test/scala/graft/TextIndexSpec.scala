@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Retrieval, TextIndex}
+
+/** Pins for the persisted incremental inverted text index (q148):
+  * incremental ≡ full, re-crawl replacement (no stranded postings),
+  * and version isolation on the artifact. */
+class TextIndexSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tix_").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("incremental addShard ≡ from-scratch build over the union") {
+    val base = docs(1L -> "a b a", 2L -> "b c", 3L -> "c c c a")
+    val shard = docs(4L -> "a d", 5L -> "d d b")
+    val dir = tmpDir()
+    TextIndex.build(base, "doc_id", "text", dir)
+    TextIndex.addShard(shard, "doc_id", "text", dir)
+    val incremental = TextIndex.indexView(spark, dir, topK = 16)
+    val full = Retrieval.invertedIndex(base.unionByName(shard), "doc_id", "text", 16)
+    assert(sortedRows(incremental) == sortedRows(full))
+  }
+
+  test("re-crawled doc replaces its postings — dropped tokens leave no strays") {
+    val dir = tmpDir()
+    TextIndex.build(docs(1L -> "x y z", 2L -> "y"), "doc_id", "text", dir)
+    // doc 1 re-crawled: loses z, gains w; doc 2 untouched
+    TextIndex.addShard(docs(1L -> "x w"), "doc_id", "text", dir)
+    val p = TextIndex.postings(spark, dir)
+    assert(p.filter(col("token") === "z").count() == 0, "stale posting survived")
+    val expected = Retrieval.invertedIndex(
+      docs(1L -> "x w", 2L -> "y"), "doc_id", "text", 16)
+    assert(sortedRows(TextIndex.indexView(spark, dir)) == sortedRows(expected))
+  }
+
+  test("each arrival commits a version; prior versions stay readable (snapshot isolation)") {
+    val dir = tmpDir()
+    TextIndex.build(docs(1L -> "a"), "doc_id", "text", dir)
+    val v1 = TextIndex.version(spark, dir).get
+    val before = sortedRows(TextIndex.postings(spark, dir))
+    TextIndex.addShard(docs(2L -> "b"), "doc_id", "text", dir)
+    val v2 = TextIndex.version(spark, dir).get
+    assert(v1 != v2)
+    assert(sortedRows(
+      graft.pipeline.AtomicTable.readVersion(spark, s"$dir/postings", v1)) == before)
+  }
+
+  test("empty shard is a no-op on the index contents") {
+    val dir = tmpDir()
+    TextIndex.build(docs(1L -> "a b"), "doc_id", "text", dir)
+    val before = sortedRows(TextIndex.indexView(spark, dir))
+    TextIndex.addShard(docs(1L -> "a b").limit(0), "doc_id", "text", dir)
+    assert(sortedRows(TextIndex.indexView(spark, dir)) == before)
+  }
+}
