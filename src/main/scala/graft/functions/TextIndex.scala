@@ -56,11 +56,16 @@ object TextIndex {
     * other docs' postings carry over untouched — the base corpus text
     * is never read. Commits one new artifact version. */
   def addShard(shard: DataFrame, idCol: String, textCol: String,
-               dir: String): Unit = {
-    val spark = shard.sparkSession
-    val fresh = rawPostings(shard, idCol, textCol)
-    val ids = shard.select(col(idCol).as("doc_id")).distinct()
-    val kept = AtomicTable.read(spark, postingsDir(dir))
+               dir: String): Unit =
+    addPostings(rawPostings(shard, idCol, textCol), dir)
+
+  /** [[addShard]] at the postings level — the entry point for callers
+    * that already hold (token, doc_id, tf) rows (the streaming
+    * compaction path): every doc id present in `fresh` has its
+    * committed postings replaced wholesale. */
+  def addPostings(fresh: DataFrame, dir: String): Unit = {
+    val ids = fresh.select(col("doc_id")).distinct()
+    val kept = AtomicTable.read(fresh.sparkSession, postingsDir(dir))
       .join(ids, Seq("doc_id"), "left_anti")
     AtomicTable.replace(kept.unionByName(fresh), postingsDir(dir))
   }
@@ -78,4 +83,50 @@ object TextIndex {
     * raw text in one pass). */
   def indexView(spark: SparkSession, dir: String, topK: Int = 16): DataFrame =
     Retrieval.indexFromPostings(postings(spark, dir), topK)
+
+  // ------------------------------------------------- streaming tier
+  // The foreachBatch sink ([[graft.streaming.Events
+  // .textIndexMaintainBatch]]) lands each micro-batch's postings in
+  // `streamDir/_gate_batch=<id>/` via dynamic partition overwrite —
+  // replay rewrites exactly its own partition (idempotent at O(batch);
+  // an AtomicTable replace per trigger would rewrite O(index), the
+  // wrong asymptote for a sink — the vectorDedupGateBatch rationale).
+  // A doc re-crawled in a later batch leaves postings in TWO
+  // partitions; readers resolve latest-batch-wins below, and the
+  // periodic compaction folds the resolved tier into the committed
+  // artifact through the same delete-then-insert as any shard.
+
+  /** The stream tier's CURRENT postings: each doc's postings from its
+    * latest `_gate_batch` only (a re-crawl supersedes wholesale —
+    * the same replacement semantics [[addShard]] gives the committed
+    * artifact). The per-doc argmax runs over the stream tier, which a
+    * sane compaction cadence keeps a small fraction of the index. */
+  def streamPostings(spark: SparkSession, streamDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    spark.read.parquet(streamDir)
+      .withColumn("_latest", max(col("_gate_batch")).over(w))
+      .filter(col("_gate_batch") === col("_latest"))
+      .drop("_latest")
+  }
+
+  /** The index a query-time reader should see BETWEEN compactions:
+    * committed artifact ∪ stream tier, stream postings superseding the
+    * artifact's for any doc present in both. Equals the from-scratch
+    * q111 build over (base \ re-crawled) ∪ arrivals — TextIndexSpec
+    * pins it. */
+  def liveIndexView(spark: SparkSession, dir: String, streamDir: String,
+                    topK: Int = 16): DataFrame = {
+    val stream = streamPostings(spark, streamDir).drop("_gate_batch")
+    val committed = postings(spark, dir)
+      .join(stream.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    Retrieval.indexFromPostings(committed.unionByName(stream), topK)
+  }
+
+  /** Fold the stream tier into the committed artifact (one new
+    * version). The caller owns deleting/rotating `streamDir`
+    * afterwards — exactly-once hand-off between the two deletes is the
+    * checkpoint's job, and replaying the fold is harmless (the
+    * delete-then-insert is idempotent for identical postings). */
+  def compactStream(spark: SparkSession, dir: String, streamDir: String): Unit =
+    addPostings(streamPostings(spark, streamDir).drop("_gate_batch"), dir)
 }

@@ -597,6 +597,35 @@ object Events {
     assigned.unpersist()
   }
 
+  /** Streaming LEXICAL-INDEX maintenance — the arrival path for the
+    * persisted inverted text index ([[graft.functions.TextIndex]],
+    * q148), completing the triad: text LSH dedup gate
+    * ([[lshDedupGateBatch]]), vector near-dup gate
+    * ([[vectorDedupGateBatch]]), and now index maintenance itself.
+    * Each micro-batch of (doc_id, text) rows is tokenized to raw
+    * postings and landed in `streamDir/_gate_batch=<id>/` via dynamic
+    * partition overwrite — a replayed batch rewrites exactly its own
+    * partition (idempotent at O(batch) cost; an AtomicTable
+    * delete-then-insert per trigger would rewrite O(index) — the
+    * wrong asymptote for a sink). Re-crawls across batches resolve
+    * latest-batch-wins at read ([[graft.functions.TextIndex
+    * .streamPostings]]); queries between compactions read
+    * [[graft.functions.TextIndex.liveIndexView]], and a periodic
+    * [[graft.functions.TextIndex.compactStream]] folds the tier into
+    * the committed artifact. */
+  def textIndexMaintainBatch(streamDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text")(
+                             batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.functions.TextIndex.rawPostings(batch, idCol, textCol)
+      .withColumn("_gate_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gate_batch")
+      .parquet(streamDir)
+  }
+
   /** Streaming constraint gate: per micro-batch, rows passing every
     * named rule append to the silver path, violators append to a
     * quarantine path carrying batch id + the exact rules broken —

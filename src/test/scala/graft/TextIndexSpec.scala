@@ -55,6 +55,30 @@ class TextIndexSpec extends SparkSpec {
       graft.pipeline.AtomicTable.readVersion(spark, s"$dir/postings", v1)) == before)
   }
 
+  test("streaming maintenance: live view ≡ full rebuild; replay idempotent; compaction folds in") {
+    val dir = tmpDir()
+    val streamDir = s"$dir/stream"
+    val base = docs(1L -> "a b", 2L -> "b c")
+    TextIndex.build(base, "doc_id", "text", dir)
+    // batch 0: new doc 3; batch 1: re-crawl of doc 1 (loses b, gains d) + new doc 4
+    val b0 = docs(3L -> "c a")
+    val b1 = docs(1L -> "a d", 4L -> "d")
+    graft.streaming.Events.textIndexMaintainBatch(streamDir)(b0, 0L)
+    graft.streaming.Events.textIndexMaintainBatch(streamDir)(b1, 1L)
+    val expected = Retrieval.invertedIndex(
+      docs(1L -> "a d", 2L -> "b c", 3L -> "c a", 4L -> "d"), "doc_id", "text", 16)
+    assert(sortedRows(TextIndex.liveIndexView(spark, dir, streamDir)) ==
+      sortedRows(expected), "live view must equal the from-scratch build")
+    // replay batch 1: its partition is overwritten, not duplicated
+    graft.streaming.Events.textIndexMaintainBatch(streamDir)(b1, 1L)
+    assert(sortedRows(TextIndex.liveIndexView(spark, dir, streamDir)) ==
+      sortedRows(expected), "replay must be idempotent")
+    // compaction: committed artifact alone now serves the same index
+    TextIndex.compactStream(spark, dir, streamDir)
+    assert(sortedRows(TextIndex.indexView(spark, dir)) == sortedRows(expected),
+      "compaction must fold the stream tier into the artifact")
+  }
+
   test("empty shard is a no-op on the index contents") {
     val dir = tmpDir()
     TextIndex.build(docs(1L -> "a b"), "doc_id", "text", dir)
