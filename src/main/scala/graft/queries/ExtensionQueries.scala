@@ -1097,6 +1097,43 @@ object ExtensionQueries {
       .select("doc_id", "lang")
   }
 
+  /** q149 — cross-SOURCE duplication matrix (the "overlap between
+    * data sources" datasheet table the GPT-3/Pile appendices publish):
+    * near-dup pair counts aggregated to unordered (source_a, source_b)
+    * cells over q20's banded MinHash candidates — which source mirrors
+    * which, and how much of the dedup burden is intra- vs
+    * cross-source. Scale shape: the pair set is already band-bounded
+    * (never O(n²)); the two source lookups are equi-joins on doc_id
+    * against the (doc_id, source) projection, shuffled on the same key
+    * the pair stream carries, and the final cell aggregate is
+    * |sources|² rows at most. Symmetry is normalized with
+    * least/greatest so each unordered pair lands in ONE cell. */
+  val q149 = Q("q149_source_overlap_matrix",
+    s"""$minhashCteSql,
+       |sp AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |       greatest(sa.source, sb.source) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM scored
+       |JOIN sp sa ON sa.doc_id = a
+       |JOIN sp sb ON sb.doc_id = b
+       |WHERE est_jaccard >= 0.2
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sigs = Dedup.minhashSignaturesAffine(docs, "doc_id", "text",
+      shingleN = 3, k = 16)
+    val pairs = Dedup.minhashCandidates(sigs, "doc_id", k = 16, bands = 8,
+      estThreshold = 0.2, bandHash = Dedup.Md5BandHash)
+    val sp = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(sp.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(sp.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q108 — IVF-PQ approximate top-10 (FAISS IndexIVFPQ shape): the
     * trained √n IVF codebook partitions, PQ encodes per-cell RESIDUALS
     * as m=32 blocks against c=64 Lloyd-refined sub-codebooks (~8×
@@ -1346,5 +1383,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144)
+    q144, q149)
 }

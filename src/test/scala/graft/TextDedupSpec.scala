@@ -401,4 +401,23 @@ class TextDedupSpec extends SparkSpec {
     }.flatten
     assert(internalOnly.forall(survivors), "internal dups are not contamination")
   }
+
+  test("q149 source overlap matrix: unordered cells, counts re-derivable from the raw pairs") {
+    val out = graft.queries.ExtensionQueries.q149.fn(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty, "fixture must produce near-dup pairs")
+    assert(out.keys.forall { case (a, b) => a <= b },
+      "cells must be normalized least/greatest — one cell per unordered pair")
+    // independent derivation: raw q20 pairs joined to sources by hand
+    val docs = graft.Tables.documents(spark, sf)
+    val srcById = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = Dedup.minhashSignaturesAffine(docs, "doc_id", "text", 3, 16)
+    val expected = Dedup.minhashCandidates(sigs, "doc_id", 16, 8, 0.2,
+        Dedup.Md5BandHash)
+      .collect().map(r => (srcById(r.getLong(0)), srcById(r.getLong(1))))
+      .map { case (x, y) => if (x <= y) (x, y) else (y, x) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out == expected)
+  }
 }
