@@ -202,5 +202,50 @@ object WindowQueries {
       a.unionByName(b), "scope", "lang", col("in_a"), zThreshold = 3)
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143)
+  /** q150 — ordered conversion FUNNEL over sessionized events
+    * ([[graft.operators.Funnel]]): of q29's gap-30-min sessions, how
+    * many contain view → click → purchase IN ORDER (each stage
+    * strictly after the event completing the previous one)? The
+    * e-commerce dashboard table one step past the reference's top-20
+    * rollups. Stage 1 is one keyed integer aggregate; each later
+    * stage equi-joins a type-filtered slice against the shrinking
+    * previous frontier on the session key — no windows beyond the
+    * sessionizer's own, exact event_id ordering end-to-end. */
+  val q150 = Q("q150_funnel",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+      |                     OVER (PARTITION BY user_id ORDER BY event_id)
+      |                   > 1800000000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |s1 AS (SELECT user_id, session_id, MIN(event_id) AS f FROM sess
+      |       WHERE event_type = 'view' GROUP BY 1, 2),
+      |s2 AS (SELECT e.user_id, e.session_id, MIN(e.event_id) AS f
+      |       FROM sess e JOIN s1 ON e.user_id = s1.user_id
+      |                          AND e.session_id = s1.session_id
+      |       WHERE e.event_type = 'click' AND e.event_id > s1.f GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, e.session_id, MIN(e.event_id) AS f
+      |       FROM sess e JOIN s2 ON e.user_id = s2.user_id
+      |                          AND e.session_id = s2.session_id
+      |       WHERE e.event_type = 'purchase' AND e.event_id > s2.f GROUP BY 1, 2)
+      |SELECT CAST(1 AS BIGINT) AS stage, COUNT(*) AS n_keys FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+      |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3""".stripMargin) {
+    (s, d) =>
+      // persisted per Funnel's plan-reuse contract: the three stage
+      // branches would otherwise each re-scan + re-window the event log
+      val sess = graft.operators.Sessionize.assignSessions(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+          "user_id", "event_id", "ts", gap = 1800000000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Funnel.stageCounts(sess, Seq("user_id", "session_id"),
+        "event_id", "event_type", Seq("view", "click", "purchase"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150)
 }
