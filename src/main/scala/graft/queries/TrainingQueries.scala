@@ -1109,7 +1109,61 @@ object TrainingQueries {
           .as("overlap_frac"))
   }
 
+  /** q151 — unigram-LM (SentencePiece-style) subword segmentation
+    * ([[graft.functions.Unigram]]): train the piece-cost vocab
+    * (top-256 substrings + single-char fallback, cost = exact integer
+    * −⌊log₂ freq⌋ via bitlength), Viterbi-segment every distinct word
+    * (packed (cost, pieces) DP — one map-only `aggregate` fold, vocab
+    * as a plan literal), and emit per-doc totals. Completes the
+    * tokenizer family: BPE trains bottom-up by pair merging
+    * (q76/q105/q106/q120); the unigram model segments top-down by
+    * optimal DP. The ORACLE brute-forces the optimum: a recursive CTE
+    * enumerates EVERY segmentation of every distinct word (bounded by
+    * the ≤12-char word cap) and takes the packed min — the DP must
+    * equal exhaustive search, the strongest gate a DP can face. */
+  val q151 = Q("q151_unigram_segment",
+    """WITH RECURSIVE
+      |w0 AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |       FROM documents),
+      |words AS (SELECT doc_id, w FROM w0 WHERE len(w) BETWEEN 1 AND 12),
+      |occ AS (SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY 1, 2),
+      |wc AS (SELECT w, CAST(SUM(n) AS BIGINT) AS wc FROM occ GROUP BY 1),
+      |cand AS (
+      |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM (
+      |    SELECT wc,
+      |           unnest(flatten(list_transform(range(1, len(w) + 1), gs ->
+      |             list_transform(range(1, least(4, len(w) - gs + 1) + 1),
+      |                            gl -> substr(w, gs, gl))))) AS piece
+      |    FROM wc)
+      |  GROUP BY 1),
+      |top AS (SELECT piece, freq FROM (
+      |          SELECT piece, freq,
+      |                 row_number() OVER (ORDER BY freq DESC, piece) AS rn
+      |          FROM cand) WHERE rn <= 256),
+      |vocab AS (
+      |  SELECT DISTINCT piece, 64 - length(bin(freq)) AS cost FROM (
+      |    SELECT * FROM top
+      |    UNION ALL SELECT piece, freq FROM cand WHERE len(piece) = 1)),
+      |seg(w, pos, enc) AS (
+      |  SELECT w, 0, CAST(0 AS BIGINT) FROM wc
+      |  UNION ALL
+      |  SELECT s.w, s.pos + len(v.piece), s.enc + v.cost * 4096 + 1
+      |  FROM seg s JOIN vocab v
+      |    ON v.piece = substr(s.w, s.pos + 1, len(v.piece))),
+      |best AS (SELECT w, MIN(enc) AS enc FROM seg
+      |         WHERE pos = len(w) GROUP BY w)
+      |SELECT o.doc_id,
+      |       CAST(SUM(o.n) AS BIGINT) AS n_words,
+      |       CAST(SUM(o.n * (b.enc // 4096)) AS BIGINT) AS total_cost,
+      |       CAST(SUM(o.n * (b.enc % 4096)) AS BIGINT) AS total_pieces
+      |FROM occ o JOIN best b ON b.w = o.w
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = graft.functions.Unigram.trainVocab(docs, "doc_id", "text")
+    graft.functions.Unigram.segmentScores(docs, "doc_id", "text", vocab)
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142, q145)
+    q131, q137, q141, q142, q145, q151)
 }
