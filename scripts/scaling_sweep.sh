@@ -10,7 +10,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-REGEX='^(q15|q20|q22|q51|q68|q83|q94|q103|q104|q108|q110|q113|q114|q116|q117|q122_pca_cov|q124_video_neardup_prod|q125|q127|q129|q136|q137|q138|q139|q140|q146|q147|q148)_?'
+# q150 is excluded: ScaleUp copies the events table verbatim (only
+# documents/embeddings replicate), so a funnel "scale point" would
+# re-measure constant input.
+REGEX='^(q15|q20|q22|q51|q68|q83|q94|q103|q104|q108|q110|q113|q114|q116|q117|q122_pca_cov|q124_video_neardup_prod|q125|q127|q129|q136|q137|q138|q139|q140|q146|q147|q148|q149|q151)_?'
 mkdir -p target/scale
 for sf in 0.1 0.5 1.0; do
   if [ "$sf" = "0.1" ]; then DIR=/root/testdata/sf0.1; else DIR="target/scale/sf$sf"; fi
