@@ -71,7 +71,16 @@ object Unigram {
   }
 
   /** The packed-Viterbi column over word column `w`: cost·4096+pieces
-    * of the optimal segmentation under `vocab`. */
+    * of the optimal segmentation under `vocab`.
+    *
+    * Scoring a corpus OTHER than the training corpus: a word
+    * containing a character with no vocab piece cannot be segmented —
+    * its packed value accumulates at least one `Inf` term (≥ 2⁴⁰, so
+    * cost ≥ 2²⁸ after unpacking, orders beyond any real segmentation).
+    * That is the OOV signal, not an error: callers filter or bucket on
+    * it the way q115 treats OOV tokens (UnigramSpec pins the
+    * behavior). Within one corpus the single-char fallback makes every
+    * word finite. */
   def packedBest(w: Column, vocab: Map[String, Long]): Column = {
     require(vocab.nonEmpty, "empty vocab")
     val costs = typedLit(vocab)

@@ -55,6 +55,15 @@ class UnigramSpec extends SparkSpec {
     assert(best == 5L * 4096L + 1L, "equal cost must resolve to fewer pieces")
   }
 
+  test("scoring an out-of-vocab character yields an Inf-class cost, not an error") {
+    val vocab = Unigram.trainVocab(docs(1L -> "aa ab"), "doc_id", "text")
+    assert(!vocab.contains("z"))
+    import spark.implicits._
+    val best = Seq("az").toDF("w")
+      .select(Unigram.packedBest(col("w"), vocab)).head().getLong(0)
+    assert(best / 4096L >= (1L << 28), "unsegmentable word must carry the OOV signal")
+  }
+
   test("per-doc totals are occurrence-weighted") {
     val df = docs(1L -> "ba ba ba")
     val vocab = Unigram.trainVocab(df, "doc_id", "text")
