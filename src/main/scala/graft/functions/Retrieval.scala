@@ -81,10 +81,16 @@ object Retrieval {
     * doc_id asc. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     topK: Int = 16): DataFrame =
-    indexFromPostings(
-      df.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
-        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf")),
-      topK)
+    indexFromPostings(rawPostings(df, idCol, textCol), topK)
+
+  /** Raw positional-free postings: one row per (token, doc) with its
+    * term frequency. The ONE tokenize+tf pipeline shared by the
+    * one-pass build above and the persisted incremental index
+    * ([[TextIndex]]) — the q148 incremental ≡ full gate depends on the
+    * two paths staying bit-identical, so there is exactly one copy. */
+  def rawPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
 
   /** The postings→index tail of [[invertedIndex]], shared with the
     * persisted artifact path ([[TextIndex.indexView]]): input is raw

@@ -21,7 +21,10 @@ import graft.pipeline.AtomicTable
   *    SHARD, not the corpus);
   *  - a RE-CRAWLED doc replaces its postings wholesale (delete-then-
   *    insert by doc id) — a (token, doc) upsert alone would strand
-  *    postings for tokens the new text dropped;
+  *    postings for tokens the new text dropped. The delete set is the
+  *    shard's DOC IDS, not its derived postings: a re-crawl that
+  *    tokenizes to nothing (text nulled or emptied upstream) must
+  *    still delete the doc's old postings;
   *  - derived views (df, impact-ordered top-k cells — q111's shape)
   *    are computed AT READ over the artifact, so they are always
   *    consistent with the committed postings and nothing denormalized
@@ -40,11 +43,11 @@ object TextIndex {
 
   /** Raw postings of a document set: one row per (token, doc) with its
     * term frequency — all-integer, the exact base every derived view
-    * folds over. */
+    * folds over. (Delegates to [[Retrieval.rawPostings]] so the
+    * incremental path and q111's one-pass build share ONE tokenize+tf
+    * pipeline — the q148 gate depends on the two staying identical.) */
   def rawPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    Retrieval.rawPostings(docs, idCol, textCol)
 
   /** Build the index artifact from scratch over `docs`. */
   def build(docs: DataFrame, idCol: String, textCol: String,
@@ -57,14 +60,18 @@ object TextIndex {
     * is never read. Commits one new artifact version. */
   def addShard(shard: DataFrame, idCol: String, textCol: String,
                dir: String): Unit =
-    addPostings(rawPostings(shard, idCol, textCol), dir)
+    replaceForIds(rawPostings(shard, idCol, textCol),
+      shard.select(col(idCol).as("doc_id")).distinct(), dir)
 
-  /** [[addShard]] at the postings level — the entry point for callers
-    * that already hold (token, doc_id, tf) rows (the streaming
-    * compaction path): every doc id present in `fresh` has its
-    * committed postings replaced wholesale. */
-  def addPostings(fresh: DataFrame, dir: String): Unit = {
-    val ids = fresh.select(col("doc_id")).distinct()
+  /** [[addShard]] at the postings level — for callers that already
+    * hold (token, doc_id, tf) rows: every doc in `deleteIds` has its
+    * committed postings replaced by its rows in `fresh` (none, for a
+    * doc deleted or re-crawled to empty). */
+  def addPostings(fresh: DataFrame, deleteIds: DataFrame, dir: String): Unit =
+    replaceForIds(fresh, deleteIds.select(col("doc_id")).distinct(), dir)
+
+  private def replaceForIds(fresh: DataFrame, ids: DataFrame,
+                            dir: String): Unit = {
     val kept = AtomicTable.read(fresh.sparkSession, postingsDir(dir))
       .join(ids, Seq("doc_id"), "left_anti")
     AtomicTable.replace(kept.unionByName(fresh), postingsDir(dir))
@@ -91,16 +98,22 @@ object TextIndex {
   // replay rewrites exactly its own partition (idempotent at O(batch);
   // an AtomicTable replace per trigger would rewrite O(index), the
   // wrong asymptote for a sink — the vectorDedupGateBatch rationale).
-  // A doc re-crawled in a later batch leaves postings in TWO
-  // partitions; readers resolve latest-batch-wins below, and the
-  // periodic compaction folds the resolved tier into the committed
-  // artifact through the same delete-then-insert as any shard.
+  // Every batch doc additionally lands ONE tombstone row (token NULL,
+  // tf 0), so a doc re-crawled to empty text still supersedes its
+  // older postings under latest-batch-wins. A doc re-crawled in a
+  // later batch leaves postings in TWO partitions; readers resolve
+  // latest-batch-wins below, and the periodic compaction folds the
+  // resolved tier into the committed artifact through the same
+  // delete-then-insert as any shard.
 
-  /** The stream tier's CURRENT postings: each doc's postings from its
-    * latest `_gate_batch` only (a re-crawl supersedes wholesale —
-    * the same replacement semantics [[addShard]] gives the committed
-    * artifact). The per-doc argmax runs over the stream tier, which a
-    * sane compaction cadence keeps a small fraction of the index. */
+  /** The stream tier's CURRENT rows: each doc's postings (and its
+    * tombstone marker, token NULL) from its latest `_gate_batch` only —
+    * a re-crawl supersedes wholesale, the same replacement semantics
+    * [[addShard]] gives the committed artifact. The per-doc argmax
+    * runs over the stream tier, which a sane compaction cadence keeps
+    * a small fraction of the index. Callers serving postings must drop
+    * the `token IS NULL` tombstones; callers deriving the SUPERSEDED
+    * doc set must keep them. */
   def streamPostings(spark: SparkSession, streamDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     spark.read.parquet(streamDir)
@@ -109,24 +122,41 @@ object TextIndex {
       .drop("_latest")
   }
 
+  private def streamTierExists(spark: SparkSession, streamDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(streamDir)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.util.exists(p)
+  }
+
   /** The index a query-time reader should see BETWEEN compactions:
     * committed artifact ∪ stream tier, stream postings superseding the
-    * artifact's for any doc present in both. Equals the from-scratch
-    * q111 build over (base \ re-crawled) ∪ arrivals — TextIndexSpec
-    * pins it. */
+    * artifact's for any doc present in both (including docs the stream
+    * re-crawled to empty). Equals the from-scratch q111 build over
+    * (base \ re-crawled) ∪ arrivals — TextIndexSpec pins it. With no
+    * stream tier on disk (right after the documented compact-then-
+    * rotate, before the next micro-batch) this is exactly
+    * [[indexView]], not an error. */
   def liveIndexView(spark: SparkSession, dir: String, streamDir: String,
                     topK: Int = 16): DataFrame = {
+    if (!streamTierExists(spark, streamDir)) return indexView(spark, dir, topK)
     val stream = streamPostings(spark, streamDir).drop("_gate_batch")
     val committed = postings(spark, dir)
       .join(stream.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-    Retrieval.indexFromPostings(committed.unionByName(stream), topK)
+    Retrieval.indexFromPostings(
+      committed.unionByName(stream.filter(col("token").isNotNull)), topK)
   }
 
   /** Fold the stream tier into the committed artifact (one new
-    * version). The caller owns deleting/rotating `streamDir`
-    * afterwards — exactly-once hand-off between the two deletes is the
-    * checkpoint's job, and replaying the fold is harmless (the
-    * delete-then-insert is idempotent for identical postings). */
-  def compactStream(spark: SparkSession, dir: String, streamDir: String): Unit =
-    addPostings(streamPostings(spark, streamDir).drop("_gate_batch"), dir)
+    * version); a no-op when no stream tier exists. The caller owns
+    * deleting/rotating `streamDir` afterwards — exactly-once hand-off
+    * between the two deletes is the checkpoint's job, and replaying
+    * the fold is harmless (the delete-then-insert is idempotent for
+    * identical postings). */
+  def compactStream(spark: SparkSession, dir: String, streamDir: String): Unit = {
+    if (!streamTierExists(spark, streamDir)) return
+    val stream = streamPostings(spark, streamDir).drop("_gate_batch")
+    addPostings(stream.filter(col("token").isNotNull),
+      stream.select("doc_id"), dir)
+  }
 }

@@ -50,13 +50,14 @@ object Quantiles {
       .withColumn("cc", sum(col("c")).over(
         Window.partitionBy(groupCol).orderBy(valueCol)))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCol)))
-    def pick(num: Int, den: Int, name: String): DataFrame = cum
-      .filter(col("cc") * den >= col("n") * num)
-      .groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as(name))
-    pick(loNum, loDen, "lo")
-      .join(pick(hiNum, hiDen, "hi"), Seq(groupCol))
-      .join(cum.groupBy(col(groupCol)).agg(max(col("n")).as("n")), Seq(groupCol))
+    // BOTH thresholds in ONE conditional aggregation over the cumulative
+    // histogram: separate filter+groupBy picks would be independent
+    // DataFrame subtrees Catalyst does not CSE, re-deriving the corpus
+    // histogram once per threshold (the Funnel plan-reuse lesson)
+    cum.groupBy(col(groupCol)).agg(
+      min(when(col("cc") * loDen >= col("n") * loNum, col(valueCol))).as("lo"),
+      min(when(col("cc") * hiDen >= col("n") * hiNum, col(valueCol))).as("hi"),
+      max(col("n")).as("n"))
   }
 
   /** Rows of `df` whose `valueCol` lies inside the group's

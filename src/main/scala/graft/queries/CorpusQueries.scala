@@ -749,11 +749,17 @@ object CorpusQueries {
       |                         FILTER (WHERE rn <= 16), ',') AS postings
       |FROM r GROUP BY token""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_textindex_").toString
+    // one artifact dir per (JVM, sfDir): bench reps and repeated verify
+    // runs re-commit fresh versions into the SAME bounded dir instead
+    // of leaking a new /tmp index per invocation
+    val tmp = q148Dirs.computeIfAbsent(d, _ =>
+      java.nio.file.Files.createTempDirectory("graft_textindex_").toString)
     TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tmp)
     TextIndex.addShard(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tmp)
     TextIndex.indexView(s, tmp, topK = 16)
   }
+
+  private val q148Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,

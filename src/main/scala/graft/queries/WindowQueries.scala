@@ -237,12 +237,14 @@ object WindowQueries {
       |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
       |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3""".stripMargin) {
     (s, d) =>
-      // persisted per Funnel's plan-reuse contract: the three stage
-      // branches would otherwise each re-scan + re-window the event log
+      // NOT persisted: a registered query has no unpersist hook, and a
+      // leaked cache block would squat executor memory for the rest of
+      // a 160-query Verify session. The three stage branches re-derive
+      // the sessionizer (small here); a production caller owning the
+      // lifecycle persists per Funnel's plan-reuse contract.
       val sess = graft.operators.Sessionize.assignSessions(
-          Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
-          "user_id", "event_id", "ts", gap = 1800000000000L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_id", "ts", gap = 1800000000000L)
       graft.operators.Funnel.stageCounts(sess, Seq("user_id", "session_id"),
         "event_id", "event_type", Seq("view", "click", "purchase"))
   }

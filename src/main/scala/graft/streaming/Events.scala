@@ -618,7 +618,17 @@ object Events {
                              textCol: String = "text")(
                              batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    graft.functions.TextIndex.rawPostings(batch, idCol, textCol)
+    val postings = graft.functions.TextIndex.rawPostings(batch, idCol, textCol)
+    // one tombstone row per batch doc (token NULL, tf 0): a doc
+    // re-crawled to EMPTY text lands no postings, and without a row in
+    // this batch's partition, latest-batch-wins could never supersede
+    // its older postings — the stale-content hole addShard's
+    // delete-by-doc-id closes on the committed artifact
+    val tombstones = batch
+      .select(col(idCol).as("doc_id")).distinct()
+      .select(lit(null).cast("string").as("token"), col("doc_id"),
+        lit(0L).as("tf"))
+    postings.unionByName(tombstones)
       .withColumn("_gate_batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

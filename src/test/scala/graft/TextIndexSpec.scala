@@ -79,6 +79,40 @@ class TextIndexSpec extends SparkSpec {
       "compaction must fold the stream tier into the artifact")
   }
 
+  test("re-crawl to EMPTY text still deletes the doc's postings (batch and stream)") {
+    import spark.implicits._
+    // batch path: the delete set is the shard's doc ids, not its postings
+    val dir = tmpDir()
+    TextIndex.build(docs(1L -> "x y", 2L -> "y"), "doc_id", "text", dir)
+    TextIndex.addShard(Seq((1L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(sortedRows(TextIndex.indexView(spark, dir)) ==
+      sortedRows(Retrieval.invertedIndex(docs(2L -> "y"), "doc_id", "text", 16)),
+      "a null-text re-crawl must delete the doc's committed postings")
+    // stream path: the tombstone row supersedes under latest-batch-wins
+    val dir2 = tmpDir()
+    val sd = s"$dir2/stream"
+    TextIndex.build(docs(1L -> "x y", 2L -> "y"), "doc_id", "text", dir2)
+    graft.streaming.Events.textIndexMaintainBatch(sd)(
+      Seq((1L, null: String)).toDF("doc_id", "text"), 0L)
+    val expected = Retrieval.invertedIndex(docs(2L -> "y"), "doc_id", "text", 16)
+    assert(sortedRows(TextIndex.liveIndexView(spark, dir2, sd)) ==
+      sortedRows(expected), "tombstone must supersede the committed postings")
+    TextIndex.compactStream(spark, dir2, sd)
+    assert(sortedRows(TextIndex.indexView(spark, dir2)) == sortedRows(expected),
+      "compaction must apply the tombstone's delete")
+  }
+
+  test("live view and compaction with NO stream tier serve the committed artifact") {
+    val dir = tmpDir()
+    TextIndex.build(docs(1L -> "a b"), "doc_id", "text", dir)
+    val committed = sortedRows(TextIndex.indexView(spark, dir))
+    assert(sortedRows(TextIndex.liveIndexView(spark, dir, s"$dir/nope")) == committed,
+      "post-rotation read must fall back to the artifact, not error")
+    TextIndex.compactStream(spark, dir, s"$dir/nope") // must be a no-op
+    assert(sortedRows(TextIndex.indexView(spark, dir)) == committed)
+  }
+
   test("empty shard is a no-op on the index contents") {
     val dir = tmpDir()
     TextIndex.build(docs(1L -> "a b"), "doc_id", "text", dir)
