@@ -254,4 +254,42 @@ class EdgeCasesSpec extends SparkSpec {
     val cents = Similarity.centroids(vecs, 4)
     assert(Similarity.mutualTopOne(vecs.limit(0), vecs.limit(5), cents).isEmpty)
   }
+
+  test("quantile trim on empty / single-value groups: empty stays empty, degenerate band keeps all") {
+    import graft.operators.Quantiles
+    val empty = emptyDocs.select(col("doc_id"), lit("g").as("g"), col("doc_id").as("v"))
+      .limit(0)
+    assert(Quantiles.groupThresholds(empty, "g", "v", 1, 20, 19, 20).isEmpty)
+    assert(Quantiles.trimToRange(empty, "g", "v", 1, 20, 19, 20).isEmpty)
+    val one = Seq(("g", 7L, 1L)).toDF("g", "v", "doc_id")
+    val th = Quantiles.groupThresholds(one, "g", "v", 1, 20, 19, 20).head()
+    assert(th.getAs[Long]("lo") == 7L && th.getAs[Long]("hi") == 7L)
+    assert(Quantiles.trimToRange(one, "g", "v", 1, 20, 19, 20).count() == 1)
+  }
+
+  test("funnel on an empty event set: one zero row per stage, not a crash") {
+    import graft.operators.Funnel
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "ord", "t")
+    val out = Funnel.stageCounts(empty, Seq("k"), "ord", "t",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("unigram on an empty corpus: empty vocab trains, scoring fails loudly") {
+    import graft.functions.Unigram
+    assert(Unigram.trainVocab(emptyDocs, "doc_id", "text").isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.segmentScores(emptyDocs, "doc_id", "text", Map.empty)
+    }
+    assert(ex.getMessage.contains("empty vocab"))
+  }
+
+  test("hashed classifier on empty/whitespace text: defined, bounded") {
+    import graft.functions.Text
+    val out = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+      .select(Text.hashedLinearScore(col("text")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(out.forall(s => math.abs(s) <= 500), "split('') is one empty token")
+  }
 }
