@@ -41,7 +41,37 @@ object Retrieval {
     val toks = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
     val perDocAggs = count(lit(1)).as("dl") +:
       terms.map(t => sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-    val perDoc = toks.groupBy(col(idCol)).agg(perDocAggs.head, perDocAggs.tail: _*)
+    bm25FromPerDoc(
+      toks.groupBy(col(idCol)).agg(perDocAggs.head, perDocAggs.tail: _*),
+      idCol, terms, k1, b)
+  }
+
+  /** [[bm25Scores]] computed FROM a postings table (token, doc_id, tf)
+    * instead of raw text — the INDEX-SERVING path: with a committed
+    * [[TextIndex]] artifact, a query never re-tokenizes the corpus;
+    * per-doc tf and length fold from the (much smaller) postings.
+    * Bit-identical to the text path by construction — both routes
+    * reduce to the same per-doc integer row before the one shared
+    * double expression (the q148 single-pipeline rule, applied to
+    * scoring). Production additionally materializes the per-doc `dl`
+    * as a derived artifact column at compaction so the serving
+    * aggregate touches only the query terms' postings; deriving it
+    * here keeps the artifact normalized (one source of truth). */
+  def bm25ScoresFromPostings(postings: DataFrame, terms: Seq[String],
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct and non-empty")
+    val perDocAggs = sum(col("tf")).as("dl") +:
+      terms.map(t => sum(when(col("token") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    bm25FromPerDoc(
+      postings.groupBy(col("doc_id")).agg(perDocAggs.head, perDocAggs.tail: _*),
+      "doc_id", terms, k1, b)
+  }
+
+  /** The shared BM25 tail: integer per-doc rows → corpus stats → the
+    * one fixed-shape double expression (see [[bm25Scores]]'s
+    * oracle-exactness note). */
+  private def bm25FromPerDoc(perDoc: DataFrame, idCol: String, terms: Seq[String],
+                             k1: Double, b: Double): DataFrame = {
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total")) ++
       terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)

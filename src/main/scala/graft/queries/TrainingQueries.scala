@@ -1163,7 +1163,39 @@ object TrainingQueries {
     graft.functions.Unigram.segmentScores(docs, "doc_id", "text", vocab)
   }
 
+  /** q152 — BM25 top-20 SERVED FROM the persisted index (q148's
+    * artifact answering q102's workload): build the [[graft.functions
+    * .TextIndex]] postings artifact over the corpus once (per-JVM dir,
+    * the q148 discipline), then score the same fixed query with
+    * [[Retrieval.bm25ScoresFromPostings]] — the corpus text is never
+    * re-tokenized at query time; per-doc tf/length fold from the
+    * postings, which is the entire point of maintaining an index. The
+    * oracle is q102's BM25 CTE chain VERBATIM: index-served scores
+    * must be bit-identical to scoring from raw text. */
+  val q152 = Q("q152_bm25_from_index",
+    s"""$bm25ScoredCteSql
+      |SELECT doc_id, score, rank FROM (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 20""".stripMargin) { (s, d) =>
+    import graft.functions.TextIndex
+    val dir = q152Dirs.computeIfAbsent(d, _ => {
+      val t = java.nio.file.Files.createTempDirectory("graft_bm25index_").toString
+      TextIndex.build(Tables.documents(s, d), "doc_id", "text", t)
+      t
+    })
+    val scored = Retrieval.bm25ScoresFromPostings(
+      TextIndex.postings(s, dir), terms = Seq("dup", "spark", "merge", "window"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "score", "rank")
+  }
+
+  private val q152Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142, q145, q151)
+    q131, q137, q141, q142, q145, q151, q152)
 }

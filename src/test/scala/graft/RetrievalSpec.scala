@@ -212,4 +212,17 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(Nil, "doc_id", "rank")
     }
   }
+
+  test("bm25 from postings ≡ bm25 from raw text (the index-serving path)") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark dup dup window"), (2L, "merge merge"),
+      (3L, "spark window window other tokens here")).toDF("doc_id", "text")
+    val terms = Seq("dup", "spark", "merge", "window")
+    val fromText = Retrieval.bm25Scores(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fromIndex = Retrieval
+      .bm25ScoresFromPostings(Retrieval.rawPostings(docs, "doc_id", "text"), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromIndex == fromText, "the two routes must be bit-identical")
+  }
 }
