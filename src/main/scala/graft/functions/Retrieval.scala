@@ -156,11 +156,22 @@ object Retrieval {
     * equi-join on (doc, position). No windows, no explode beyond the
     * one shared positional-postings pass. */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
-                   phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "empty phrase")
-    val toks = df
-      .select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
+                   phrase: Seq[String]): DataFrame =
+    phraseSearchFromPostings(positionalPostings(df, idCol, textCol), idCol, phrase)
+
+  /** Positional postings: one row per token OCCURRENCE (idCol, pos,
+    * token), 0-based — the persisted-index twin is the positional tier
+    * of [[TextIndex]]; the q153 gate depends on this being the single
+    * tokenize+position pipeline (the rawPostings rule). */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
       .select(col(idCol), col("pos"), col("col").as("token"))
+
+  /** [[phraseSearch]] evaluated over ANY positional-postings source —
+    * a fresh text pass or a committed index artifact. */
+  def phraseSearchFromPostings(toks: DataFrame, idCol: String,
+                               phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
     val anchor = toks.filter(col("token") === phrase.head)
       .select(col(idCol), col("pos").as("start_pos"))
     phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (w, i)) =>

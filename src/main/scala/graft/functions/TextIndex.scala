@@ -61,20 +61,21 @@ object TextIndex {
   def addShard(shard: DataFrame, idCol: String, textCol: String,
                dir: String): Unit =
     replaceForIds(rawPostings(shard, idCol, textCol),
-      shard.select(col(idCol).as("doc_id")).distinct(), dir)
+      shard.select(col(idCol).as("doc_id")).distinct(), postingsDir(dir))
 
   /** [[addShard]] at the postings level — for callers that already
     * hold (token, doc_id, tf) rows: every doc in `deleteIds` has its
     * committed postings replaced by its rows in `fresh` (none, for a
     * doc deleted or re-crawled to empty). */
   def addPostings(fresh: DataFrame, deleteIds: DataFrame, dir: String): Unit =
-    replaceForIds(fresh, deleteIds.select(col("doc_id")).distinct(), dir)
+    replaceForIds(fresh, deleteIds.select(col("doc_id")).distinct(),
+      postingsDir(dir))
 
   private def replaceForIds(fresh: DataFrame, ids: DataFrame,
-                            dir: String): Unit = {
-    val kept = AtomicTable.read(fresh.sparkSession, postingsDir(dir))
+                            tableDir: String): Unit = {
+    val kept = AtomicTable.read(fresh.sparkSession, tableDir)
       .join(ids, Seq("doc_id"), "left_anti")
-    AtomicTable.replace(kept.unionByName(fresh), postingsDir(dir))
+    AtomicTable.replace(kept.unionByName(fresh), tableDir)
   }
 
   /** The committed raw postings (current version). */
@@ -90,6 +91,45 @@ object TextIndex {
     * raw text in one pass). */
   def indexView(spark: SparkSession, dir: String, topK: Int = 16): DataFrame =
     Retrieval.indexFromPostings(postings(spark, dir), topK)
+
+  // ---------------------------------------------- positional tier
+  // Same artifact discipline for POSITION-carrying postings (doc_id,
+  // pos, token) — the tier that serves exact phrase search (q134's
+  // workload, q153's gate). Kept separate from the tf tier: positions
+  // cost ~tokens rows (vs the tf tier's distinct-(token,doc)), so a
+  // deployment indexes positions only for the fields it phrase-queries.
+
+  private def positionalDir(dir: String) = s"$dir/positional"
+
+  /** Build the positional artifact from scratch over `docs`. */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String): Unit =
+    AtomicTable.replace(
+      Retrieval.positionalPostings(docs, idCol, textCol)
+        .withColumnRenamed(idCol, "doc_id"),
+      positionalDir(dir))
+
+  /** Shard arrival for the positional tier — delete-then-insert by the
+    * shard's DOC IDS, the [[addShard]] contract. */
+  def addShardPositional(shard: DataFrame, idCol: String, textCol: String,
+                         dir: String): Unit =
+    replaceForIds(
+      Retrieval.positionalPostings(shard, idCol, textCol)
+        .withColumnRenamed(idCol, "doc_id"),
+      shard.select(col(idCol).as("doc_id")).distinct(), positionalDir(dir))
+
+  /** The committed positional postings (current version). */
+  def positionalPostings(spark: SparkSession, dir: String): DataFrame =
+    AtomicTable.read(spark, positionalDir(dir))
+
+  /** Exact phrase search SERVED FROM the committed positional tier —
+    * no query-time re-tokenization; each phrase term's postings are a
+    * token-filtered slice of the artifact scan. Output identical to
+    * [[Retrieval.phraseSearch]] over the same corpus. */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String]): DataFrame =
+    Retrieval.phraseSearchFromPostings(
+      positionalPostings(spark, dir), "doc_id", phrase)
 
   // ------------------------------------------------- streaming tier
   // The foreachBatch sink ([[graft.streaming.Events

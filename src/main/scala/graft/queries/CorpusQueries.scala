@@ -761,7 +761,37 @@ object CorpusQueries {
 
   private val q148Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q153 — phrase search SERVED FROM the persisted positional tier
+    * ([[TextIndex.phraseSearch]]): build the positional artifact over
+    * the base corpus (doc_id % 5 ≠ 0), index the held-out shard by
+    * arrival (delete-then-insert, no base rescan — the q148
+    * discipline on the position-carrying tier), and answer q134's
+    * exact phrase query from the committed artifact. The oracle is
+    * q134's consecutive-token predicate VERBATIM over the full
+    * corpus: index-served results must equal scanning the raw text.
+    * With q111→q148 (impact tier), q102→q152 (BM25 serving), and now
+    * q134→q153, every lexical-retrieval workload in the suite runs
+    * off the maintained index. */
+  val q153 = Q("q153_phrase_from_index",
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS start_pos
+      |FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+      |WHERE w[i] = 'part' AND w[i+1] = 'filter' AND w[i+2] = 'scan'""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tmp = q153Dirs.computeIfAbsent(d, _ =>
+        java.nio.file.Files.createTempDirectory("graft_posindex_").toString)
+      TextIndex.buildPositional(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", tmp)
+      TextIndex.addShardPositional(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", tmp)
+      TextIndex.phraseSearch(s, tmp, Seq("part", "filter", "scan"))
+  }
+
+  private val q153Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147, q148)
+    q134, q138, q139, q140, q146, q147, q148, q153)
 }

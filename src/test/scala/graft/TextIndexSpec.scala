@@ -113,6 +113,27 @@ class TextIndexSpec extends SparkSpec {
     assert(sortedRows(TextIndex.indexView(spark, dir)) == committed)
   }
 
+  test("positional tier: incremental ≡ full; index-served phrase ≡ text-scanned phrase") {
+    val base = docs(1L -> "a b c d", 2L -> "b c x")
+    val shard = docs(3L -> "a b c", 4L -> "c d")
+    val dir = tmpDir()
+    TextIndex.buildPositional(base, "doc_id", "text", dir)
+    TextIndex.addShardPositional(shard, "doc_id", "text", dir)
+    val union = base.unionByName(shard)
+    assert(sortedRows(TextIndex.positionalPostings(spark, dir)) ==
+      sortedRows(Retrieval.positionalPostings(union, "doc_id", "text")),
+      "incremental positional tier must equal the from-scratch explode")
+    val phrase = Seq("b", "c")
+    assert(sortedRows(TextIndex.phraseSearch(spark, dir, phrase)) ==
+      sortedRows(Retrieval.phraseSearch(union, "doc_id", "text", phrase)),
+      "index-served phrase hits must equal the text scan")
+    // re-crawl through the positional tier: doc 1 loses the phrase
+    TextIndex.addShardPositional(docs(1L -> "a d"), "doc_id", "text", dir)
+    val hits = TextIndex.phraseSearch(spark, dir, phrase)
+      .collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(1L), "stale positions must not serve old phrases")
+  }
+
   test("empty shard is a no-op on the index contents") {
     val dir = tmpDir()
     TextIndex.build(docs(1L -> "a b"), "doc_id", "text", dir)
