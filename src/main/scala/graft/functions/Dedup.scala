@@ -21,17 +21,22 @@ import org.apache.spark.sql.types._
   *    aggregate; used standalone at small scale or as the LSH verify
   *    stage at large scale.
   *
-  * Persist lifecycle (caller-owned): `minhashCandidates`,
-  * `minhashCandidatesIncremental`, `lshVerifiedJaccard`,
-  * `ngramJaccardPairs`, `ngramCosinePairs` and `rareGramEdges`
+  * Persist lifecycle (spill-and-release, round 12): `minhashCandidates`,
+  * `minhashCandidatesIncremental`, `decontaminateAgainst`,
+  * `lshVerifiedJaccard`, `ngramJaccardPairs`, `ngramCosinePairs`,
+  * `rareGramEdges`, `duplicateSpanPairs` and `maximalDuplicateSpans`
   * persist their internal index (the banded LSH index / the gram
-  * table) at MEMORY_AND_DISK so one explode feeds every consumer of
-  * the returned lazy plan. The block lives in the session's cache
-  * manager until the CALLER releases it — after the terminal action,
-  * call `spark.catalog.clearCache()` (or unpersist the specific
-  * entries) in any long-lived session that invokes these repeatedly,
-  * or the per-invocation indexes accrete (graft.Bench does exactly
-  * this between reps).
+  * table) at MEMORY_AND_DISK so one explode feeds every consumer —
+  * and RELEASE it before returning, by spilling the (small,
+  * df-capped) pair/span output to a JVM-scoped temp parquet
+  * ([[graft.pipeline.TempDirs.spillParquet]]). Callers therefore
+  * never inherit a live cache block: registered queries have no
+  * unpersist hook, and the round-10 bench measured 1.7× inflation
+  * from exactly this accretion. The cost is the functions being
+  * EAGER (the spill write runs at call time) — which is also the
+  * 100 TB shape: candidate pairs land on storage between the
+  * propose and verify/cluster stages. RegistrySpec tripwires the
+  * no-leak invariant over the whole registry.
   */
 object Dedup {
 
@@ -168,11 +173,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("a"), col("sig").as("sig_a"), col("band"), col("bh"))
     val b = banded.select(col(idCol).as("b"), col("sig").as("sig_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"), "inner")
+    val pairs = a.join(b, Seq("band", "bh"), "inner")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), estJaccard(k).as("est_jaccard"))
       .distinct() // a pair may collide in several bands
       .filter(col("est_jaccard") >= estThreshold)
+    // spill-and-release (TempDirs.spillParquet contract): the banded
+    // index must not outlive the call into a registered query
+    val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_lsh_pairs_")
+    banded.unpersist()
+    out
   }
 
   /** INCREMENTAL near-dup candidates — the shard-arrival path: pairs
@@ -193,12 +203,15 @@ object Dedup {
     val newBanded = bandedIndex(newSigs, idCol, k, bands, bandHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (crossShard, withinShard) = incrementalHalves(newBanded, index, idCol)
-    crossShard.unionByName(withinShard)
+    val pairs = crossShard.unionByName(withinShard)
       .select(least(col("a"), col("b")).as("pa"),
         greatest(col("a"), col("b")).as("pb"), estJaccard(k).as("est_jaccard"))
       .select(col("pa").as("a"), col("pb").as("b"), col("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
+    val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_lsh_inc_pairs_")
+    newBanded.unpersist()
+    out
   }
 
   /** CROSS-CORPUS decontamination at scale: drop every corpus document
@@ -238,7 +251,12 @@ object Dedup {
       .select(col("a").as(idCol), estJaccard(k).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
       .select(idCol).distinct()
-    corpus.join(flagged, Seq(idCol), "left_anti")
+    // spill the FLAGGED id set (small — contamination hits only), not
+    // the corpus-sized survivor frame, then release the banded
+    // reference index; the returned anti-join stays lazy/corpus-linear
+    val flaggedIds = graft.pipeline.TempDirs.spillParquet(flagged, "graft_decontam_ids_")
+    refIndex.unpersist()
+    corpus.join(flaggedIds, Seq(idCol), "left_anti")
   }
 
   /** The two halves of the incremental probe, pair provenance intact:
@@ -377,12 +395,15 @@ object Dedup {
       .join(g.select(col(idCol).as("a"), col("gram")), Seq("a"))
       .join(g.select(col(idCol).as("b"), col("gram")), Seq("b", "gram"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sizes.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val out = graft.pipeline.TempDirs.spillParquet(verified, "graft_lsh_verified_")
+    g.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard for all pairs sharing ≥1 gram, thresholded.
@@ -424,12 +445,18 @@ object Dedup {
       .join(kept.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col(idCol).as("a"), col("n_grams").as("na")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_grams").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (!persistGrams) pairs
+    else {
+      val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_ngram_jaccard_")
+      g.unpersist()
+      out
+    }
   }
 
   /** Per-document n-gram term frequencies — [[shingles]] WITH
@@ -480,7 +507,7 @@ object Dedup {
         Seq("gram"), "inner")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    dot
+    val pairs = dot
       .join(norms.select(col(idCol).as("a"), col("ss").as("ss_a")), Seq("a"))
       .join(norms.select(col(idCol).as("b"), col("ss").as("ss_b")), Seq("b"))
       .select(col("a"), col("b"),
@@ -488,6 +515,12 @@ object Dedup {
           (sqrt(col("ss_a").cast(DoubleType)) * sqrt(col("ss_b").cast(DoubleType))))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+    if (!persistTf) pairs
+    else {
+      val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_ngram_cosine_")
+      tf.unpersist()
+      out
+    }
   }
 
   /** Boilerplate-segment removal (the CCNet/RefinedWeb line-dedup shape
@@ -622,12 +655,18 @@ object Dedup {
         .filter(col("gram_df").between(2, maxDf))
         .select("gram"),
       Seq("gram"), "left_semi")
-    rare.select(col(idCol).as("a"), col("gram"))
+    val edges = rare.select(col(idCol).as("a"), col("gram"))
       .join(rare.select(col(idCol).as("b"), col("gram")), Seq("gram"), "inner")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select("a", "b")
+    // spill-and-release (TempDirs.spillParquet contract): six registered
+    // queries feed this edge set straight into the components loop; the
+    // gram cache must not outlive the call (edges are df-capped — tiny)
+    val out = graft.pipeline.TempDirs.spillParquet(edges, "graft_rare_edges_")
+    g.unpersist()
+    out
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
@@ -695,11 +734,14 @@ object Dedup {
         .filter(col("fp_df").between(2, maxDf))
         .select("fp"),
       Seq("fp"), "left_semi")
-    kept.select(col(idCol).as("a"), col("fp"))
+    val pairs = kept.select(col(idCol).as("a"), col("fp"))
       .join(kept.select(col(idCol).as("b"), col("fp")), Seq("fp"), "inner")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_span_pairs_")
+    f.unpersist()
+    out
   }
 
   /** MAXIMAL duplicated token spans between document pairs — the
@@ -765,13 +807,18 @@ object Dedup {
       .withColumn("diag", col("pa") - col("pb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a", "b", "diag").orderBy("pa")
-    matches
+    val spans = matches
       .withColumn("isl", col("pa") - row_number().over(w))
       .groupBy("a", "b", "diag", "isl")
       .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
         (count(lit(1)) + (n - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= minSpanTokens)
       .select("a", "b", "start_a", "start_b", "span_tokens")
+    // spill-and-release: spans are the df-capped pair islands (small);
+    // the positional-gram cache must not outlive the call
+    val out = graft.pipeline.TempDirs.spillParquet(spans, "graft_dup_spans_")
+    pg.unpersist()
+    out
   }
 
   /** Span-dedup APPLY — the Lee et al. 2022 ExactSubstr REMOVAL step

@@ -204,11 +204,15 @@ object Multimodal {
         .filter(col("frame_df").between(2, maxDf))
         .select("fhash"),
       Seq("fhash"), "left_semi")
-    kept.select(col("doc_id").as("a"), col("fhash"))
+    val pairs = kept.select(col("doc_id").as("a"), col("fhash"))
       .join(kept.select(col("doc_id").as("b"), col("fhash")), Seq("fhash"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    // spill-and-release (TempDirs.spillParquet contract)
+    val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_video_pairs_")
+    d.unpersist()
+    out
   }
 
   /** Audio-style ALIGNMENT matching over frame signatures — the Shazam
@@ -244,9 +248,13 @@ object Multimodal {
       .agg(count(lit(1)).as("votes"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("a", "b")
       .orderBy(col("votes").desc, col("shift"))
-    votes.withColumn("rn", row_number().over(w))
+    val best = votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("votes") >= minVotes)
       .select(col("a"), col("b"), col("shift").cast("long").as("best_shift"), col("votes"))
+    // spill-and-release (TempDirs.spillParquet contract)
+    val out = graft.pipeline.TempDirs.spillParquet(best, "graft_aligned_pairs_")
+    d.unpersist()
+    out
   }
 
   /** Frame-sampling metadata: every `stride`-th byte offset as a fake

@@ -436,9 +436,9 @@ object Similarity {
     val assigned = l2Assign(vectors, cents)
     // materialize the residuals ONCE: three consumers (the PQ training
     // sample collect, the encode pass, and the cell join) would each
-    // re-run the full IVF assign otherwise — the lloyd /
-    // cosineNearDupPairs discipline, caller-owned lifecycle as usual
-    // (Bench clears the cache between reps)
+    // re-run the full IVF assign otherwise. Released before return via
+    // the spill-and-release at the bottom — this operator feeds a
+    // registered query, which has no unpersist hook
     val residDf = assigned.join(broadcast(cbs), Seq("centroid_id"))
       .select(col("vec_id"), col("centroid_id"),
         resid(col("embedding"), col("c_emb")).as("embedding"))
@@ -470,20 +470,27 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_d2"))
-    Relational.topNPerGroup(
+    val top = Relational.topNPerGroup(
         scored.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2")),
         k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+    // spill-and-release (TempDirs.spillParquet contract): the top-k
+    // result is k rows per query — tiny next to the residual cache,
+    // which must not outlive this call into a registered query
+    val out = graft.pipeline.TempDirs.spillParquet(top, "graft_ivfpq_topk_")
+    residDf.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs via the IVF buckets: only
     * vectors sharing a centroid are compared (equi-join on centroid_id,
     * not an O(n²) cross join), then thresholded.
     *
-    * Persist lifecycle (caller-owned): the assignment is persisted at
-    * MEMORY_AND_DISK to feed both self-join sides; release it after the
-    * terminal action via `spark.catalog.clearCache()` in long-lived
-    * sessions (see the lifecycle note on [[graft.functions.Dedup]]). */
+    * Persist lifecycle: the assignment is persisted at MEMORY_AND_DISK
+    * to feed both self-join sides, and RELEASED before return — the
+    * thresholded pair set is spilled to a JVM-scoped temp parquet
+    * (TempDirs.spillParquet contract), so registered-query callers
+    * never inherit a live cache block. */
   def cosineNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
     // the assignment feeds both sides of the self-join — materialize the
     // IVF index once instead of re-running the whole assign pass per side
@@ -492,11 +499,14 @@ object Similarity {
       col("embedding").as("ea"), col("v_norm").as("na"))
     val b = ix.select(col("centroid_id"), col("vec_id").as("b"),
       col("embedding").as("eb"), col("v_norm").as("nb"))
-    a.join(b, Seq("centroid_id"), "inner")
+    val pairs = a.join(b, Seq("centroid_id"), "inner")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_cosine_pairs_")
+    ix.unpersist()
+    out
   }
 
   /** MUTUAL nearest-neighbor pairs between two vector groups within
@@ -553,6 +563,9 @@ object Similarity {
       .agg(max_by(col("a_id"),
         struct(col("cos_sim"), (-col("a_id")).as("nid"))).as("a_id"))
       .select(col("a_id"), col("b_id"))
-    bestForA.join(bestForB, Seq("a_id", "b_id"), "left_semi")
+    val mutual = bestForA.join(bestForB, Seq("a_id", "b_id"), "left_semi")
+    val out = graft.pipeline.TempDirs.spillParquet(mutual, "graft_mutual_nn_")
+    scored.unpersist()
+    out
   }
 }

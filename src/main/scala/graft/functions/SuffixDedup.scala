@@ -43,7 +43,10 @@ import org.apache.spark.sql.types.LongType
   * (the stopword run) sits on the join, where AQE skew-split applies —
   * not on a window function that would pin a hot group to one task.
   * Rounds persist and the previous round unpersists (the Components
-  * loop discipline), so lineage stays one round deep.
+  * loop discipline), so lineage stays one round deep; the FINAL round
+  * is spilled to a JVM-scoped temp parquet and unpersisted before
+  * return, so callers (registered queries with no unpersist hook)
+  * never inherit a live cache block.
   *
   * Measured recall delta vs the q110 approximation (SuffixDedupSpec,
   * sf0.001, win=8): exact spans cover 2,697 token positions where the
@@ -102,7 +105,21 @@ object SuffixDedup {
       labels = next
       len += step
     }
-    labels
+    // Truncate lineage through STORAGE, not cache, before returning:
+    // every consumer reads the final labels twice (the group-size
+    // aggregate + the join back), but the consumers are registered
+    // queries with no unpersist hook — returning a persisted frame
+    // would strand a corpus-positions-sized cache block for the rest
+    // of a 160-query Verify session (the round-10 accreted-state
+    // failure class, 1.7× bench inflation). Spilling the final round
+    // to a JVM-scoped temp parquet (deleted at exit, TempDirs) keeps
+    // the read-twice economics and is the 100 TB shape anyway: land
+    // the label table on durable storage once, derive both consumers
+    // from the files. RegistrySpec tripwires the invariant (no
+    // persisted RDDs survive any registered query's construction).
+    val out = graft.pipeline.TempDirs.spillParquet(labels, "graft_suffix_labels_")
+    labels.unpersist()
+    out
   }
 
   /** Duplicated length-`win` windows: every (doc, pos) whose window's

@@ -36,6 +36,15 @@ import graft.pipeline.AtomicTable
   * space (the house partitioned-append path, Medallion K1) — the
   * all-at-once `replace` here keeps the gate-scale artifact simple
   * while the delete-then-insert algebra is identical either way.
+  *
+  * Concurrency contract: [[addShard]]/[[addPostings]]/[[compactStream]]
+  * are read-modify-write over [[AtomicTable]], whose last-rename-wins
+  * commit means a racing writer's delta can be absent from the winner's
+  * base (the `upsert` contract, restated here because this is the
+  * public maintenance API). Serialize arrivals per index externally —
+  * the reference does this implicitly: Airflow runs one job instance
+  * per table at a time. Readers are always safe: they hold a committed
+  * version pointer for the duration of a scan.
   */
 object TextIndex {
 

@@ -80,7 +80,15 @@ object Unigram {
     * That is the OOV signal, not an error: callers filter or bucket on
     * it the way q115 treats OOV tokens (UnigramSpec pins the
     * behavior). Within one corpus the single-char fallback makes every
-    * word finite. */
+    * word finite.
+    *
+    * Oracle seam (r11 advice): the q151 DuckDB shape DROPS an
+    * unsegmentable word entirely — no complete-segmentation row
+    * survives its join — while this column Inf-scores it into the
+    * per-doc total. In-gate the two agree because scoring corpus =
+    * training corpus (every word finite); any CROSS-corpus oracle
+    * comparison must filter `cost ≥ 2²⁸` rows on the Spark side first
+    * or the totals diverge structurally, not numerically. */
   def packedBest(w: Column, vocab: Map[String, Long]): Column = {
     require(vocab.nonEmpty, "empty vocab")
     val costs = typedLit(vocab)

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.pipeline.AtomicTable
+import graft.operators.Relational
 
 /** Persisted, incrementally-maintained IVF vector index — q101's
   * incremental-artifact discipline applied to the embedding side.
@@ -98,4 +100,136 @@ object VectorIndex {
            k: Int, nprobe: Int): DataFrame =
     Similarity.ivfTopK(assigned(spark, dir), codebook(spark, dir),
       queries, k, nprobe)
+
+  // ------------------------------------------------ persisted PQ tier
+  // The compression half of IVF-PQ, one tier down from the inverted
+  // lists: at 100 TB the PQ codes ARE the index (a 256 B float vector
+  // becomes m bytes), so they must live under the same artifact
+  // discipline as the lists — frozen sub-codebooks, shard-incremental
+  // encode, never retrain on arrival. q108's in-memory ivfPqTopK
+  // retrains its books per invocation; this tier persists them:
+  //
+  //   dir/pq_books  (block, code_id, sc_emb)            — FROZEN after buildPq
+  //   dir/pq_codes  (vec_id, centroid_id, block, code)  — one version per shard
+  //
+  // Residuals (embedding − its frozen centroid) are f32 zip_with
+  // subtraction — the compact production representation; the encode
+  // argmin runs in double (L2SqF32). Because encoding is per-row
+  // against FIXED books, shard-encode ≡ full re-encode — the exact
+  // invariant VectorIndexSpec pins, and what makes the incremental
+  // path safe: a shard arrival can never perturb existing codes.
+
+  private def pqBooksDir(dir: String) = s"$dir/pq_books"
+  private def pqCodesDir(dir: String) = s"$dir/pq_codes"
+
+  /** f32 residuals of IVF-assigned rows vs the frozen codebook. */
+  private def residualsOf(rows: DataFrame, cents: DataFrame): DataFrame =
+    rows.join(broadcast(cents.select(col("centroid_id"), col("c_emb"))),
+        Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("r_emb"))
+
+  private def encode(res: DataFrame, books: DataFrame, m: Int, dim: Int): DataFrame =
+    Similarity.pqAssign(res.select(col("vec_id"), col("r_emb").as("embedding")),
+        books, m, dim)
+      .join(res.select("vec_id", "centroid_id"), Seq("vec_id"))
+      .select("vec_id", "centroid_id", "block", "code")
+
+  /** Train (or deterministically sample) the residual sub-codebooks
+    * over the COMMITTED inverted lists, freeze them, and encode every
+    * committed vector — the PQ-tier bootstrap ([[build]] one tier
+    * down). `trained = false` uses the id-sample books (the q99/q52
+    * oracle discipline); `trained = true` runs per-block L2 Lloyd
+    * ([[Similarity.pqCodebooksTrained]], the production setting). */
+  def buildPq(spark: SparkSession, dir: String, m: Int, c: Int, dim: Int,
+              trained: Boolean = false, iters: Int = 1): Unit = {
+    val res = residualsOf(assigned(spark, dir), codebook(spark, dir))
+    val rv = res.select(col("vec_id"), col("r_emb").as("embedding"))
+    val books =
+      if (trained) Similarity.pqCodebooksTrained(rv, m, c, dim, iters)
+      else Similarity.pqCodebooks(rv, m, c, dim)
+    AtomicTable.replace(books, pqBooksDir(dir))
+    // encode against the PERSISTED books (the build() rationale): the
+    // artifact is the source of truth from the first write on
+    AtomicTable.replace(encode(res, pqBooks(spark, dir), m, dim),
+      pqCodesDir(dir))
+  }
+
+  /** The frozen residual sub-codebooks (block, code_id, sc_emb). */
+  def pqBooks(spark: SparkSession, dir: String): DataFrame =
+    AtomicTable.read(spark, pqBooksDir(dir))
+
+  /** Spec hook for the "addShardPq never retrains" invariant. */
+  def pqBooksVersion(spark: SparkSession, dir: String): Option[String] =
+    AtomicTable.currentVersion(spark, pqBooksDir(dir))
+
+  /** The committed PQ codes (vec_id, centroid_id, block, code). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    AtomicTable.read(spark, pqCodesDir(dir))
+
+  /** Shard arrival one tier down: IVF-assign the shard against the
+    * frozen codebook (shard-only scan — the [[addShard]] shape), PQ-
+    * encode its residuals against the FROZEN sub-codebooks, and merge
+    * the codes in as one committed version (delete-then-insert by
+    * vec_id: a re-embedded doc replaces all m of its code rows). The
+    * books are read, never written. Callers normally pair this with
+    * [[addShard]] so lists and codes describe the same corpus. */
+  def addShardPq(shard: DataFrame, dir: String, m: Int, dim: Int): String = {
+    val spark = shard.sparkSession
+    val cents = codebook(spark, dir)
+    val res = residualsOf(
+      Similarity.ivfAssign(shard, cents).select("vec_id", "embedding", "centroid_id"),
+      cents)
+    AtomicTable.upsert(encode(res, pqBooks(spark, dir), m, dim),
+      pqCodesDir(dir), "vec_id")
+  }
+
+  /** ADC top-k SERVED from the persisted PQ tier — [[Similarity
+    * .ivfPqTopK]]'s probe half over the committed artifacts, nothing
+    * retrained and the corpus embeddings never read: rank cells by
+    * cosine against the frozen codebook (the artifact's assignment
+    * metric), build each (query, cell)'s m·c residual lookup table
+    * against the frozen books, and score the committed codes as m
+    * table lookups summed per vector. Metric seam, documented: cell
+    * RANKING is cosine (matching [[build]]'s ivfAssign) while ADC is
+    * residual L2 — the FAISS IndexIVFPQ pairing under inner-product
+    * coarse quantizers; q108's all-L2 variant trades assignment
+    * cosine for ~0.2 higher recall on this corpus (its scaladoc). */
+  def pqTopKFromIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val cb = codebook(spark, dir).select(col("centroid_id"), col("c_emb"),
+      Similarity.norm(col("c_emb")).as("c_norm"))
+    val books = pqBooks(spark, dir)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm"))
+    val probes = Relational.topNPerGroup(
+      q.crossJoin(broadcast(cb))
+        .select(col("query_id"), col("q_emb"), col("centroid_id"), col("c_emb"),
+          (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+            .as("c_sim")),
+      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col("q_emb"), col("c_emb"), (x, y) => x - y).as("q_resid"))
+    val lut = probes
+      .select(col("query_id"), col("centroid_id"),
+        explode(array((0 until m).map { b =>
+          struct(lit(b).as("block"),
+            slice(col("q_resid"), b * subDim + 1, subDim).as("sub"))
+        }: _*)).as("bs"))
+      .select(col("query_id"), col("centroid_id"),
+        col("bs.block").as("block"), col("bs.sub").as("sub"))
+      .join(broadcast(books), Seq("block"))
+      .select(col("query_id"), col("centroid_id"), col("block"),
+        col("code_id").as("code"), Similarity.l2sq(col("sub"), col("sc_emb")).as("d2"))
+    val scored = pqCodes(spark, dir)
+      .join(broadcast(lut), Seq("centroid_id", "block", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    Relational.topNPerGroup(
+        scored.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2")),
+        k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
+      .select("query_id", "neighbor_id", "adc_d2", "rank")
+  }
 }

@@ -103,7 +103,14 @@ object Components {
         s"connectedComponents did not converge within maxIters=$maxIters " +
         "(graph diameter exceeds the iteration bound; raise maxIters or " +
         "use connectedComponentsStar)")
-    labels.select(col("v"), col("label").as("component"))
+    // spill-and-release (TempDirs.spillParquet contract): the fixpoint
+    // labels must not reach a registered query as a live checkpoint
+    // block — |V| rows of two int64s, a trivial write
+    val out = graft.pipeline.TempDirs.spillParquet(
+      labels.select(col("v"), col("label").as("component")),
+      "graft_components_")
+    dropCheckpoint(labels)
+    out
   }
 
   /** Connected components by alternating large-star/small-star
@@ -220,6 +227,10 @@ object Components {
       .select(col("v"),
         least(col("v").cast("long"), coalesce(col("nmin"), col("v")).cast("long"))
           .as("component"))
-    (labels, rounds)
+    // spill-and-release: reading labels off the star forest is the last
+    // consumer of the checkpointed edge set — release it before return
+    val out = graft.pipeline.TempDirs.spillParquet(labels, "graft_components_star_")
+    dropCheckpoint(e)
+    (out, rounds)
   }
 }

@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   * mins.
   *
   * Plan-reuse contract: the stage branches are INDEPENDENT subtrees
-  * over `df`, and Catalyst does not common-subexpression a DataFrame —
-  * an n-stage funnel re-evaluates `df` n times. When `df` is itself
+  * over `df`, and Catalyst does not common-subexpression a DataFrame.
+  * [[stageFrontiers]] alone re-evaluates `df` n times (stage n's plan
+  * embeds one fresh scan per stage), but [[stageCounts]] UNIONS the
+  * whole frontier prefix-chain — stage i's count branch contains all i
+  * of its frontier scans, so `df` is evaluated a TRIANGULAR
+  * n·(n+1)/2 times (6 scans for 3 stages), not n. When `df` is itself
   * expensive (a sessionizer window over the raw event log, as in
-  * q150), `persist()` it before calling, or each stage re-scans the
-  * corpus.
+  * q150), `persist()` it before calling — the caller owns that
+  * lifecycle — or every stage's count re-derives the whole chain.
   */
 object Funnel {
 

@@ -76,7 +76,12 @@ object PageRank {
       Components.dropCheckpoint(ranks)
       ranks = next
     }
+    // spill-and-release (TempDirs.spillParquet contract): the converged
+    // ranks must not reach a registered query as a live checkpoint block
+    val out = graft.pipeline.TempDirs.spillParquet(
+      ranks.select(col("v").as(idCol), col("rank")), "graft_pagerank_")
+    Components.dropCheckpoint(ranks)
     sym.unpersist()
-    ranks.select(col("v").as(idCol), col("rank"))
+    out
   }
 }

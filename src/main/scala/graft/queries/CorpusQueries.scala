@@ -752,8 +752,8 @@ object CorpusQueries {
     // one artifact dir per (JVM, sfDir): bench reps and repeated verify
     // runs re-commit fresh versions into the SAME bounded dir instead
     // of leaking a new /tmp index per invocation
-    val tmp = q148Dirs.computeIfAbsent(d, _ =>
-      java.nio.file.Files.createTempDirectory("graft_textindex_").toString)
+    val tmp = q148Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+      graft.pipeline.TempDirs.scoped("graft_textindex_"))
     TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tmp)
     TextIndex.addShard(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tmp)
     TextIndex.indexView(s, tmp, topK = 16)
@@ -780,8 +780,8 @@ object CorpusQueries {
       |WHERE w[i] = 'part' AND w[i+1] = 'filter' AND w[i+2] = 'scan'""".stripMargin) {
     (s, d) =>
       val docs = Tables.documents(s, d)
-      val tmp = q153Dirs.computeIfAbsent(d, _ =>
-        java.nio.file.Files.createTempDirectory("graft_posindex_").toString)
+      val tmp = q153Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+        graft.pipeline.TempDirs.scoped("graft_posindex_"))
       TextIndex.buildPositional(docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", tmp)
       TextIndex.addShardPositional(docs.filter(col("doc_id") % 5 === 0),

@@ -1322,11 +1322,186 @@ object ExtensionQueries {
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY c_sim DESC, centroid_id) AS rn
        |  FROM scored) WHERE rn = 1""".stripMargin) { (s, d) =>
+    VectorIndex.assigned(s, vecIndexDir(s, d)).select("vec_id", "centroid_id")
+  }
+
+  /** One vector-index artifact per (JVM, fixture stamp), built on first
+    * touch and shared by the whole serving family (q136 lists, q154
+    * probe, q155 codes, q156 ADC): bench reps measure the committed-
+    * artifact read path — the thing an incremental index exists to
+    * serve — not a from-scratch rebuild, and /tmp stops accumulating
+    * index dirs (r11 verdict items 1/3/4). Build order is the frozen-
+    * artifact discipline: IVF codebook + base lists, then the PQ books
+    * over the BASE residuals (frozen before any arrival), then the
+    * shard arrives through both tiers without retraining either. */
+  private def vecIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    q136Dirs.computeIfAbsent(Q.dataStamp(d), _ => {
+      val t = graft.pipeline.TempDirs.scoped("graft_vecindex_")
+      val vecs = Tables.embeddings(s, d)
+      val base = vecs.filter(col("vec_id") % 5 =!= 0)
+      val shard = vecs.filter(col("vec_id") % 5 === 0)
+      VectorIndex.build(base, t)
+      VectorIndex.buildPq(s, t, m = 4, c = 16, dim = 64)
+      VectorIndex.addShard(shard, t)
+      VectorIndex.addShardPq(shard, t, m = 4, dim = 64)
+      t
+    })
+
+  private val q136Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q154 — ANN top-k SERVED FROM the persisted [[VectorIndex]]
+    * artifact (q24's workload answered by the committed codebook +
+    * inverted lists, the q152 serving discipline applied to the vector
+    * side): nothing is trained or assigned at query time — the probe
+    * ranks the FROZEN codebook, joins the committed lists, exact-
+    * scores only the probed cells. Completes the serving matrix
+    * (lexical q148/q152/q153 ✓; vector build/assign q136 ✓, serve —
+    * this). Fully oracled, unlike q24: the artifact's id-sample
+    * codebook is SQL-derivable from the BASE corpus, so DuckDB replays
+    * build → freeze → shard-assign → probe bit-for-bit (the q136
+    * oracle extended by the probe half; cosines via the q23
+    * left-to-right double discipline). */
+  val q154 = Q("q154_ann_from_index",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |n AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS c FROM base),
+       |cents AS (
+       |  SELECT centroid_id, ce FROM (
+       |    SELECT vec_id AS centroid_id, e AS ce,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk FROM base), n
+       |  WHERE rnk <= n.c),
+       |scored AS (
+       |  SELECT v.vec_id, cents.centroid_id,
+       |         ${dotSql("v.e", "cents.ce")}
+       |         / (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("cents.ce", "cents.ce")})) AS c_sim
+       |  FROM v CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, e AS qe, sqrt(${dotSql("v.e", "v.e")}) AS qn
+       |  FROM v WHERE vec_id < 5),
+       |qprobe AS (
+       |  SELECT query_id, centroid_id, qe, qn FROM (
+       |    SELECT q.query_id, cents.centroid_id, q.qe, q.qn,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${dotSql("q.qe", "cents.ce")}
+       |                                       / (q.qn * sqrt(${dotSql("cents.ce", "cents.ce")})) DESC,
+       |                                       cents.centroid_id) AS rn
+       |    FROM q CROSS JOIN cents), n
+       |  WHERE rn <= GREATEST(2, n.c // 4)),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("p.qe", "v.e")} / (p.qn * sqrt(${dotSql("v.e", "v.e")})) AS cos_sim
+       |  FROM qprobe p
+       |  JOIN assigned a ON a.centroid_id = p.centroid_id
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val dir = vecIndexDir(s, d)
     val vecs = Tables.embeddings(s, d)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_vecindex_").toString
-    VectorIndex.build(vecs.filter(col("vec_id") % 5 =!= 0), tmp)
-    VectorIndex.addShard(vecs.filter(col("vec_id") % 5 === 0), tmp)
-    VectorIndex.assigned(s, tmp).select("vec_id", "centroid_id")
+    val baseN = vecs.filter(col("vec_id") % 5 =!= 0).count()
+    val nprobe = math.max(2, Similarity.codebookSize(baseN) / 4)
+    VectorIndex.topK(s, dir, vecs.filter(col("vec_id") < 5), k = 10,
+      nprobe = nprobe)
+  }
+
+  /** q155 — the PERSISTED PQ tier's codes, read back from the artifact
+    * (r11 verdict item 4: "at 100 TB the PQ codes ARE the index"):
+    * residual sub-codebooks trained on the BASE corpus's residuals and
+    * FROZEN as an AtomicTable version, base codes committed, then the
+    * shard arrives and is PQ-encoded against the frozen books WITHOUT
+    * retraining (q136's discipline one tier down — and because the
+    * encode argmin is per-row against fixed books, shard-encode ≡ full
+    * re-encode, which is exactly what the oracle computes: codebook
+    * and books from BASE ONLY, every vector encoded). Residuals are
+    * f32 zip_with subtraction (the compact production representation);
+    * the oracle reproduces the f32 rounding by CAST(diff AS FLOAT)
+    * before widening — exact, since a double difference of two f32
+    * values is itself exact. Code distances follow q99's left-to-right
+    * double discipline. */
+  val q155 = Q("q155_pq_codes_from_index",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS f,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |n AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS c FROM base),
+       |cents AS (
+       |  SELECT centroid_id, ce, cf FROM (
+       |    SELECT vec_id AS centroid_id, e AS ce, f AS cf,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk FROM base), n
+       |  WHERE rnk <= n.c),
+       |scored AS (
+       |  SELECT v.vec_id, cents.centroid_id,
+       |         ${dotSql("v.e", "cents.ce")}
+       |         / (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("cents.ce", "cents.ce")})) AS c_sim
+       |  FROM v CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(v.f[i] - c.cf[i] AS FLOAT) AS DOUBLE)) AS r
+       |  FROM assigned a
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN cents c ON c.centroid_id = a.centroid_id),
+       |books AS (
+       |  SELECT code_id, bres FROM (
+       |    SELECT vec_id AS code_id, r AS bres,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk
+       |    FROM resid WHERE vec_id % 5 <> 0)
+       |  WHERE rnk <= 16),
+       |blocks AS (SELECT unnest(range(0, 4)) AS block),
+       |vb AS (SELECT r.vec_id, r.centroid_id, b.block,
+       |              list_slice(r.r, b.block*16 + 1, b.block*16 + 16) AS sub
+       |       FROM resid r CROSS JOIN blocks b),
+       |cb AS (SELECT b.block, k.code_id,
+       |              list_slice(k.bres, b.block*16 + 1, b.block*16 + 16) AS sc
+       |       FROM books k CROSS JOIN blocks b),
+       |bd AS (
+       |  SELECT vb.vec_id, vb.centroid_id, vb.block, cb.code_id,
+       |         list_reduce(list_transform(range(1, 17),
+       |                       i -> (vb.sub[i] - cb.sc[i]) * (vb.sub[i] - cb.sc[i])),
+       |                     (x, y) -> x + y) AS d2
+       |  FROM vb JOIN cb ON vb.block = cb.block)
+       |SELECT vec_id, centroid_id, block, code FROM (
+       |  SELECT vec_id, centroid_id, block, code_id AS code,
+       |         row_number() OVER (PARTITION BY vec_id, block
+       |                            ORDER BY d2, code_id) AS rn
+       |  FROM bd) WHERE rn = 1""".stripMargin) { (s, d) =>
+    VectorIndex.pqCodes(s, vecIndexDir(s, d))
+  }
+
+  /** q156 — ADC top-10 SERVED FROM the persisted PQ tier
+    * ([[VectorIndex.pqTopKFromIndex]]): q108's workload with nothing
+    * trained at query time — frozen codebook ranks the cells, frozen
+    * books build the per-(query, cell) residual lookup tables, the
+    * committed codes score as m table lookups per vector. Approximate
+    * (quantized) ⇒ rows-only, the q108/q100 convention; the exact
+    * halves are oracled (q52/q136 assign, q155 codes), and serve-from-
+    * artifact ≡ recompute-with-same-artifacts is pinned in
+    * VectorIndexSpec. */
+  val q156 = Q.noOracle("q156_ivfpq_from_index") { (s, d) =>
+    val dir = vecIndexDir(s, d)
+    val vecs = Tables.embeddings(s, d)
+    val baseN = vecs.filter(col("vec_id") % 5 =!= 0).count()
+    val nprobe = math.max(2, Similarity.codebookSize(baseN) / 4)
+    VectorIndex.pqTopKFromIndex(s, dir, vecs.filter(col("vec_id") < 5),
+      k = 10, nprobe = nprobe, m = 4, dim = 64)
   }
 
   /** q144 — bitext-style MUTUAL nearest-neighbor mining
@@ -1383,5 +1558,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149)
+    q144, q149, q154, q155, q156)
 }

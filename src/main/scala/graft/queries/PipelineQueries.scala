@@ -33,7 +33,7 @@ object PipelineQueries {
       |LEFT JOIN part ON p_partkey = l_partkey
       |WHERE l_quantity > 0 AND l_extendedprice > 0
       |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_medallion_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_medallion_")
     // bronze: incremental load into an empty sink = the full-load branch.
     // Partition granularity is year/month here: this is a multi-year
     // BACKFILL, and day-grain hive partitioning of a backfill produces
@@ -72,7 +72,7 @@ object PipelineQueries {
       |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
       |            ELSE c_acctbal END AS balance
       |FROM customer""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_upsert_")
     val base = Tables.customer(s, d).select(
       col("c_custkey"), col("c_name"), col("c_mktsegment"),
       col("c_acctbal").as("balance"))
@@ -93,7 +93,7 @@ object PipelineQueries {
   val q87 = Q("q87_compacted_table",
     """SELECT c_custkey, c_name, c_mktsegment, c_acctbal AS balance
       |FROM customer""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_compact_")
     val base = Tables.customer(s, d).select(
       col("c_custkey"), col("c_name"), col("c_mktsegment"),
       col("c_acctbal").as("balance"))
@@ -118,7 +118,7 @@ object PipelineQueries {
       |UNION ALL
       |SELECT c_custkey + 1000000, 'insert', CAST(NULL AS DOUBLE), c_acctbal + 5000.0
       |FROM customer WHERE c_custkey % 13 = 0""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_cdc_")
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal").as("balance"))
     val v1 = AtomicTable.replace(base, tmp)
@@ -144,7 +144,7 @@ object PipelineQueries {
   val q91 = Q("q91_clustered_table",
     """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
       |FROM lineitem""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_cluster_")
     val fact = graft.Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     graft.pipeline.Lakehouse.clusteredWrite(
@@ -185,7 +185,7 @@ object PipelineQueries {
     * (the spec pins the marker/pointer mechanics). */
   val q95 = Q("q95_restore",
     """SELECT c_custkey, c_acctbal AS balance FROM customer""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_restore_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_restore_")
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal").as("balance"))
     val good = AtomicTable.replace(base, tmp)
@@ -242,7 +242,7 @@ object PipelineQueries {
       |FROM v2 GROUP BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val money = DecimalType(18, 2)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_").toString
+    val tmp = graft.pipeline.TempDirs.scoped("graft_ivm_")
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
     val k = col("o_orderkey")

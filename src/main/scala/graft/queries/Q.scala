@@ -17,4 +17,17 @@ object Q {
     Q(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** Cache key for per-JVM artifact dirs (the q148Dirs pattern): the
+    * fixture dir PLUS the max mtime under it, so a fixture regenerated
+    * at the same path within one JVM session invalidates the cached
+    * index instead of serving stale postings/lists against a fresh
+    * oracle (the r11 q152 stale-cache seam). */
+  def dataStamp(dir: String): String = {
+    def maxMtime(f: java.io.File): Long = {
+      val children = Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+      (f.lastModified +: children.map(maxMtime).toSeq).max
+    }
+    s"$dir@${maxMtime(new java.io.File(dir))}"
+  }
 }

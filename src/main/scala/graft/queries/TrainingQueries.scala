@@ -1180,8 +1180,11 @@ object TrainingQueries {
       |  FROM scored)
       |WHERE rank <= 20""".stripMargin) { (s, d) =>
     import graft.functions.TextIndex
-    val dir = q152Dirs.computeIfAbsent(d, _ => {
-      val t = java.nio.file.Files.createTempDirectory("graft_bm25index_").toString
+    // keyed by fixture STAMP (dir + max mtime), not dir alone: a fixture
+    // regenerated at the same path mid-JVM gets a fresh build instead of
+    // a stale index scored against the new data (r11 advice)
+    val dir = q152Dirs.computeIfAbsent(Q.dataStamp(d), _ => {
+      val t = graft.pipeline.TempDirs.scoped("graft_bm25index_")
       TextIndex.build(Tables.documents(s, d), "doc_id", "text", t)
       t
     })

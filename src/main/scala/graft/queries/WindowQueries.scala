@@ -239,9 +239,10 @@ object WindowQueries {
     (s, d) =>
       // NOT persisted: a registered query has no unpersist hook, and a
       // leaked cache block would squat executor memory for the rest of
-      // a 160-query Verify session. The three stage branches re-derive
-      // the sessionizer (small here); a production caller owning the
-      // lifecycle persists per Funnel's plan-reuse contract.
+      // a 160-query Verify session. stageCounts' unioned prefix-chains
+      // re-derive the sessionizer a TRIANGULAR 6 times for 3 stages
+      // (Funnel's plan-reuse contract), not 3 — sub-second here; a
+      // production caller owning the lifecycle persists first.
       val sess = graft.operators.Sessionize.assignSessions(
         Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
         "user_id", "event_id", "ts", gap = 1800000000000L)

@@ -40,6 +40,47 @@ class RegistrySpec extends SparkSpec {
       s"\nnon-atomic output columns (driver canonicalizer would crash):\n${offenders.mkString("\n")}")
   }
 
+  test("no registered query leaves a persisted RDD behind (the r11 SuffixDedup leak class)") {
+    // r11 failure class: an operator persisted its final frame and
+    // returned it to a registered query, which has no unpersist hook —
+    // the cache block squats executor memory for the rest of a
+    // 160-query Verify session (round 10 measured 1.7× bench inflation
+    // from exactly this accretion). `persist()` registers in
+    // `getPersistentRDDs` at MARK time, before any action, so plan
+    // construction alone (which also runs any operator-internal eager
+    // stages, e.g. the prefix-doubling loop) is enough to surface it.
+    // `Dataset.persist` registers in getPersistentRDDs only once an
+    // ACTION materializes the cache, so each query is materialized
+    // (noop write — the Bench action) before probing, or lazy cache
+    // marks (e.g. an LSH index persisted inside a returned plan) slip
+    // through and accrete in the real 164-query Verify session.
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // negative control: the probe itself must see a deliberate leak
+    val leak = spark.range(3).toDF("x").persist()
+    leak.count()
+    assert(sc.getPersistentRDDs.nonEmpty,
+      "fixture: a persisted frame must register in getPersistentRDDs")
+    leak.unpersist(blocking = true)
+    spark.catalog.clearCache()
+    assert(sc.getPersistentRDDs.isEmpty, "fixture: unpersist must deregister")
+    val leakers = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val hit =
+        try {
+          fn(spark, sf).write.format("noop").mode("overwrite").save()
+          if (sc.getPersistentRDDs.nonEmpty) Some(n) else None
+        }
+        catch { case _: Throwable => None } // analysis failures are the first test's business
+      if (hit.isDefined) { // reset so one leaker doesn't get blamed on the rest
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      hit
+    }
+    assert(leakers.isEmpty,
+      s"\nqueries leaving persisted RDDs behind (no unpersist hook exists downstream):\n${leakers.mkString("\n")}")
+  }
+
   test("oracle SQL lint: no uncast SUM reaches a final SELECT (DuckDB HUGEINT seam)") {
     val violations = OracleLint.checkRegistry()
     assert(violations.isEmpty, s"\n${violations.mkString("\n")}")
