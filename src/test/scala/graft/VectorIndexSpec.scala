@@ -121,6 +121,94 @@ class VectorIndexSpec extends SparkSpec {
     assert(ids(dd).contains(2000L), "stream-index accumulation must gate later batches")
   }
 
+  test("PQ tier: addShardPq freezes the books; shard-encode ≡ full re-encode") {
+    val dir = java.nio.file.Files.createTempDirectory("vi_pq_").toString
+    val base = vecs.filter(col("vec_id") % 3 =!= 0)
+    val shard = vecs.filter(col("vec_id") % 3 === 0)
+    VectorIndex.build(base, dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    val b0 = VectorIndex.pqBooksVersion(spark, dir)
+    assert(b0.nonEmpty, "buildPq must commit a books version")
+    VectorIndex.addShard(shard, dir)
+    VectorIndex.addShardPq(shard, dir, m = 4, dim = 64)
+    assert(VectorIndex.pqBooksVersion(spark, dir) === b0,
+      "shard arrival must never retrain/rewrite the sub-codebooks")
+    // incremental codes ≡ one full encode of everything against the
+    // same frozen codebook+books (per-row argmin over fixed books —
+    // the invariant that makes the incremental path safe)
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "block", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val incremental = codeMap(VectorIndex.pqCodes(spark, dir))
+    // full re-encode: residuals of EVERY vector against the frozen
+    // codebook, encoded against the frozen books in one pass
+    val cents = VectorIndex.codebook(spark, dir)
+    val res = Similarity.ivfAssign(vecs, cents)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("c_emb"), (x, y) => x - y).as("embedding"))
+    val full = codeMap(
+      Similarity.pqAssign(res, VectorIndex.pqBooks(spark, dir), m = 4, dim = 64)
+        .select(col("vec_id"), col("block"), col("code")))
+    assert(incremental === full)
+    assert(incremental.size === vecs.count() * 4, "m code rows per vector")
+  }
+
+  test("PQ tier: re-embedded vector's codes REPLACE on arrival (all m rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("vi_pq_upsert_").toString
+    VectorIndex.build(vecs, dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    val n0 = VectorIndex.pqCodes(spark, dir).count()
+    val reembedded = vecs.filter(col("vec_id") === 7)
+      .withColumn("embedding", reverse(col("embedding")))
+    VectorIndex.addShard(reembedded, dir)
+    VectorIndex.addShardPq(reembedded, dir, m = 4, dim = 64)
+    val after = VectorIndex.pqCodes(spark, dir)
+    assert(after.count() === n0, "delete-then-insert by vec_id, not append")
+    assert(after.filter(col("vec_id") === 7).count() === 4,
+      "exactly m code rows for the re-embedded id")
+  }
+
+  test("PQ serve-from-artifact ≡ recompute with the same committed artifacts") {
+    val dir = java.nio.file.Files.createTempDirectory("vi_pq_serve_").toString
+    val base = vecs.filter(col("vec_id") % 3 =!= 0)
+    VectorIndex.build(base, dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    VectorIndex.addShard(vecs.filter(col("vec_id") % 3 === 0), dir)
+    VectorIndex.addShardPq(vecs.filter(col("vec_id") % 3 === 0), dir,
+      m = 4, dim = 64)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val served = VectorIndex.pqTopKFromIndex(spark, dir, queries,
+        k = 5, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.nonEmpty)
+    assert(served.forall { case (q, n, d2) => n != q && d2 >= 0.0 },
+      "self excluded; ADC sums are sums of squared distances")
+    // every served neighbor must live in a cell the query probed — the
+    // serve path may only touch the committed inverted lists it ranked
+    val cellOf = VectorIndex.pqCodes(spark, dir)
+      .select("vec_id", "centroid_id").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = VectorIndex.codebook(spark, dir)
+    val probed = graft.operators.Relational.topNPerGroup(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            Similarity.norm(col("embedding")).as("q_norm"))
+          .crossJoin(broadcast(cents.withColumn("c_norm", Similarity.norm(col("c_emb")))))
+          .select(col("query_id"), col("centroid_id"),
+            (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+              .as("c_sim")),
+        4, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select("query_id", "centroid_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(served.forall { case (q, n, _) => probed(q).contains(cellOf(n)) },
+      "served neighbors must come from the query's probed cells")
+    // and serving is deterministic over the committed snapshot
+    val again = VectorIndex.pqTopKFromIndex(spark, dir, queries,
+        k = 5, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === again)
+  }
+
   test("trained-Lloyd production path: build + addShard + probe runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("vi_trained_").toString
     val base = vecs.filter(col("vec_id") % 3 =!= 0)
