@@ -67,6 +67,74 @@ object Retrieval {
       "doc_id", terms, k1, b)
   }
 
+  /** QUERY-TABLE-driven BM25 top-k — the production multi-tenant
+    * serving shape (r11 verdict item 5): instead of one hardcoded term
+    * list compiled into the plan, the query workload arrives as a
+    * RELATION `queryTerms(query_id, slot, term)` and every query is
+    * answered in ONE pass over the postings artifact. The query table
+    * is broadcast (a serving batch is small next to the corpus); the
+    * postings join fans each matching posting out to the queries
+    * naming its token, one integer slot-pivot aggregate builds the
+    * per-(query, doc) tf row, and the SAME fixed-shape double
+    * expression as [[bm25Scores]] scores slot 1 + slot 2 + slot 3 in
+    * written order — so DuckDB replays every double bit-for-bit (the
+    * summed-in-written-term-order discipline generalizes to a fixed
+    * SLOT order, which is what makes a data-driven term list
+    * hash-oracleable at all).
+    *
+    * Candidate semantics: a doc scores for a query iff it matches ≥ 1
+    * of the query's terms (the postings-driven serving shape — a
+    * zero-match doc can never surface from an index); zero-tf slots
+    * contribute exactly 0 (the tf factor zeroes the idf), matching
+    * the all-docs q102 ranking on every candidate.
+    *
+    * Contract: every query has exactly `slots` terms in slots
+    * 1..`slots`, distinct within the query. Output: (query_id,
+    * doc_id, score, rank ≤ k). Scale: corpus stats are one broadcast
+    * row; per-slot dfs are one broadcast row per query; the only
+    * corpus-sized shuffles are the per-doc length aggregate and the
+    * (query, doc) pivot — both keyed, both map-side combined. */
+  def bm25QueryTable(postings: DataFrame, queryTerms: DataFrame, slots: Int,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val termDf = postings
+      .join(broadcast(queryTerms.select(col("term")).distinct()),
+        postings("token") === col("term"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token").as("term"), col("df"))
+    val qt = queryTerms.join(termDf, Seq("term"), "left")
+      .select(col("query_id"), col("slot"), col("term"),
+        coalesce(col("df"), lit(0L)).as("df"))
+    val qdfAggs = (1 to slots).map(i =>
+      max(when(col("slot") === i, col("df"))).as(s"df_$i"))
+    val qdf = qt.groupBy(col("query_id")).agg(qdfAggs.head, qdfAggs.tail: _*)
+    val matched = postings.join(broadcast(qt.select("query_id", "slot", "term")),
+        postings("token") === col("term"))
+      .select(col("query_id"), col("doc_id"), col("slot"), col("tf"))
+    val pivAggs = (1 to slots).map(i =>
+      sum(when(col("slot") === i, col("tf")).otherwise(0L)).as(s"tf_$i"))
+    val piv = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(pivAggs.head, pivAggs.tail: _*)
+    val avgdl = col("t_total").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    def slotScore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast(DoubleType)
+      val dfT = col(s"df_$i").cast(DoubleType)
+      val idf = (col("n_docs").cast(DoubleType) - dfT + lit(0.5)) / (dfT + lit(0.5))
+      idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / avgdl)))
+    }
+    val scored = piv
+      .join(perDoc, Seq("doc_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (1 to slots).map(slotScore).reduce(_ + _).as("score"))
+    graft.operators.Relational.topNPerGroup(scored, k,
+        Seq(col("query_id")), col("score"), col("doc_id"))
+      .select("query_id", "doc_id", "score", "rank")
+  }
+
   /** The shared BM25 tail: integer per-doc rows → corpus stats → the
     * one fixed-shape double expression (see [[bm25Scores]]'s
     * oracle-exactness note). */

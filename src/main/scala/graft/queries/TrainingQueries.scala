@@ -1198,7 +1198,83 @@ object TrainingQueries {
 
   private val q152Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q157 — QUERY-TABLE-driven BM25 serving ([[Retrieval
+    * .bm25QueryTable]], r11 verdict item 5): four distinct 3-term
+    * queries arrive as a broadcast RELATION and are all answered in
+    * ONE pass over q152's persisted postings artifact — the
+    * multi-tenant production shape, vs q102/q152's single hardcoded
+    * term list compiled into the plan. Fully oracled: the oracle
+    * carries the same query table as a VALUES CTE, pivots tf/df by
+    * slot, and sums the q102 fixed-shape double expression in slot
+    * order — the written-term-order discipline generalized to a fixed
+    * SLOT order, which is what keeps a data-driven term list under
+    * the exact gate. Candidates are docs matching ≥ 1 query term (an
+    * index can never surface a zero-match doc); top-10 per query,
+    * doc_id tiebreak. */
+  val q157 = Q("q157_bm25_query_table", {
+    def slotExpr(i: Int): String =
+      s"""((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * ((CAST(tf_$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |         / (CAST(tf_$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+    s"""WITH qt(query_id, slot, term) AS (
+       |  VALUES (CAST(1 AS BIGINT), 1, 'dup'), (2, 1, 'window'),
+       |         (3, 1, 'part'), (4, 1, 'stream'),
+       |         (1, 2, 'spark'), (2, 2, 'filter'),
+       |         (3, 2, 'join'), (4, 2, 'batch'),
+       |         (1, 3, 'merge'), (2, 3, 'scan'),
+       |         (3, 3, 'hash'), (4, 3, 'row')),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       |posting AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |per_doc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM posting GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_total FROM per_doc),
+       |tdf AS (SELECT token AS term, COUNT(*) AS df FROM posting
+       |        WHERE token IN (SELECT term FROM qt) GROUP BY 1),
+       |qdf AS (SELECT q.query_id,
+       |               MAX(CASE WHEN q.slot = 1 THEN COALESCE(d.df, 0) END) AS df_1,
+       |               MAX(CASE WHEN q.slot = 2 THEN COALESCE(d.df, 0) END) AS df_2,
+       |               MAX(CASE WHEN q.slot = 3 THEN COALESCE(d.df, 0) END) AS df_3
+       |        FROM qt q LEFT JOIN tdf d ON d.term = q.term GROUP BY 1),
+       |matched AS (
+       |  SELECT q.query_id, p.doc_id,
+       |         CAST(SUM(CASE WHEN q.slot = 1 THEN p.tf ELSE 0 END) AS BIGINT) AS tf_1,
+       |         CAST(SUM(CASE WHEN q.slot = 2 THEN p.tf ELSE 0 END) AS BIGINT) AS tf_2,
+       |         CAST(SUM(CASE WHEN q.slot = 3 THEN p.tf ELSE 0 END) AS BIGINT) AS tf_3
+       |  FROM posting p JOIN qt q ON p.token = q.term
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT m.query_id, m.doc_id,
+       |    ${slotExpr(1)}
+       |    + ${slotExpr(2)}
+       |    + ${slotExpr(3)}
+       |    AS score
+       |  FROM matched m
+       |  JOIN per_doc pd ON pd.doc_id = m.doc_id
+       |  JOIN qdf ON qdf.query_id = m.query_id, stats)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextIndex
+    val dir = q152Dirs.computeIfAbsent(Q.dataStamp(d), _ => {
+      val t = graft.pipeline.TempDirs.scoped("graft_bm25index_")
+      TextIndex.build(Tables.documents(s, d), "doc_id", "text", t)
+      t
+    })
+    val queryTable = Seq(
+      (1L, 1, "dup"), (1L, 2, "spark"), (1L, 3, "merge"),
+      (2L, 1, "window"), (2L, 2, "filter"), (2L, 3, "scan"),
+      (3L, 1, "part"), (3L, 2, "join"), (3L, 3, "hash"),
+      (4L, 1, "stream"), (4L, 2, "batch"), (4L, 3, "row"))
+      .toDF("query_id", "slot", "term")
+    Retrieval.bm25QueryTable(TextIndex.postings(s, dir), queryTable,
+      slots = 3, k = 10)
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142, q145, q151, q152)
+    q131, q137, q141, q142, q145, q151, q152, q157)
 }
