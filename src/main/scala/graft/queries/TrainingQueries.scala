@@ -1274,7 +1274,100 @@ object TrainingQueries {
       slots = 3, k = 10)
   }
 
+  /** q158 — unigram-LM segment scores under the HARD-EM-TRAINED vocab
+    * ([[graft.functions.Unigram.trainVocabEm]], r11 verdict item 6 —
+    * the trainer that fills q151's self-documented stub seam): q151's
+    * frequency-heuristic vocab is only the INIT; one E/M round then
+    * re-estimates every piece's cost from its count across the corpus'
+    * Viterbi-best segmentations (prune to top-256, single-char
+    * coverage floor at count 0) and the registered output is q151's
+    * per-doc totals under the RE-ESTIMATED costs. The oracle replays
+    * the entire loop: init vocab → enumerate all segmentations per
+    * word (recursive CTE) → canonical best path (min packed cost,
+    * then lexicographically-min REVERSED length string — exactly the
+    * engine's smallest-last-piece backtrack) → piece counts → pruned
+    * vocab₁ → re-segment → totals. Multi-round EM and the
+    * convergence behavior are pinned against a driver-side reference
+    * trainer in UnigramSpec (the q106 BPE-trainer discipline). */
+  val q158 = Q("q158_unigram_em",
+    """WITH RECURSIVE
+      |w0 AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      |       FROM documents),
+      |words AS (SELECT doc_id, w FROM w0 WHERE len(w) BETWEEN 1 AND 12),
+      |occ AS (SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY 1, 2),
+      |wc AS (SELECT w, CAST(SUM(n) AS BIGINT) AS wc FROM occ GROUP BY 1),
+      |cand AS (
+      |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS freq FROM (
+      |    SELECT wc,
+      |           unnest(flatten(list_transform(range(1, len(w) + 1), gs ->
+      |             list_transform(range(1, least(4, len(w) - gs + 1) + 1),
+      |                            gl -> substr(w, gs, gl))))) AS piece
+      |    FROM wc)
+      |  GROUP BY 1),
+      |top0 AS (SELECT piece, freq FROM (
+      |          SELECT piece, freq,
+      |                 row_number() OVER (ORDER BY freq DESC, piece) AS rn
+      |          FROM cand) WHERE rn <= 256),
+      |vocab0 AS (
+      |  SELECT DISTINCT piece, 64 - length(bin(freq)) AS cost FROM (
+      |    SELECT * FROM top0
+      |    UNION ALL SELECT piece, freq FROM cand WHERE len(piece) = 1)),
+      |seg0(w, pos, enc, lens) AS (
+      |  SELECT w, 0, CAST(0 AS BIGINT), '' FROM wc
+      |  UNION ALL
+      |  SELECT s.w, s.pos + len(v.piece), s.enc + v.cost * 4096 + 1,
+      |         s.lens || CAST(len(v.piece) AS VARCHAR)
+      |  FROM seg0 s JOIN vocab0 v
+      |    ON v.piece = substr(s.w, s.pos + 1, len(v.piece))),
+      |best0 AS (
+      |  SELECT w, lens FROM (
+      |    SELECT w, lens,
+      |           row_number() OVER (PARTITION BY w
+      |                              ORDER BY enc, reverse(lens)) AS rn
+      |    FROM seg0 WHERE pos = len(w)) WHERE rn = 1),
+      |bp AS (
+      |  SELECT b.w,
+      |         substr(b.w,
+      |           1 + CAST(COALESCE(list_sum(list_transform(range(1, i),
+      |                 j -> CAST(substr(b.lens, CAST(j AS INT), 1) AS INT))), 0) AS INT),
+      |           CAST(substr(b.lens, CAST(i AS INT), 1) AS INT)) AS piece
+      |  FROM best0 b, unnest(range(1, len(b.lens) + 1)) AS u(i)),
+      |cnts AS (SELECT p.piece, CAST(SUM(wc.wc) AS BIGINT) AS cnt
+      |         FROM bp p JOIN wc ON wc.w = p.w GROUP BY 1),
+      |top1 AS (SELECT piece, cnt FROM (
+      |          SELECT piece, cnt,
+      |                 row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |          FROM cnts) WHERE rn <= 256),
+      |singles AS (
+      |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+      |  FROM wc, unnest(range(1, len(w) + 1)) AS u(i)),
+      |vocab1 AS (
+      |  SELECT DISTINCT piece, 64 - length(bin(cnt)) AS cost FROM (
+      |    SELECT piece, cnt FROM top1
+      |    UNION ALL
+      |    SELECT s.piece, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+      |    FROM singles s LEFT JOIN cnts c ON c.piece = s.piece)),
+      |seg1(w, pos, enc) AS (
+      |  SELECT w, 0, CAST(0 AS BIGINT) FROM wc
+      |  UNION ALL
+      |  SELECT s.w, s.pos + len(v.piece), s.enc + v.cost * 4096 + 1
+      |  FROM seg1 s JOIN vocab1 v
+      |    ON v.piece = substr(s.w, s.pos + 1, len(v.piece))),
+      |best1 AS (SELECT w, MIN(enc) AS enc FROM seg1
+      |          WHERE pos = len(w) GROUP BY w)
+      |SELECT o.doc_id,
+      |       CAST(SUM(o.n) AS BIGINT) AS n_words,
+      |       CAST(SUM(o.n * (b.enc // 4096)) AS BIGINT) AS total_cost,
+      |       CAST(SUM(o.n * (b.enc % 4096)) AS BIGINT) AS total_pieces
+      |FROM occ o JOIN best1 b ON b.w = o.w
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = graft.functions.Unigram.trainVocabEm(docs, "doc_id", "text",
+      rounds = 1)
+    graft.functions.Unigram.segmentScores(docs, "doc_id", "text", vocab)
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142, q145, q151, q152, q157)
+    q131, q137, q141, q142, q145, q151, q152, q157, q158)
 }
