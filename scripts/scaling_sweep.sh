@@ -10,12 +10,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# q150 is excluded: ScaleUp copies the events table verbatim (only
-# documents/embeddings replicate), so a funnel "scale point" would
-# re-measure constant input. The underscore after each short prefix is
-# MANDATORY — 'q15' with an optional separator would also match
-# q150_funnel.
-REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q151_|q152_|q153_)'
+# The underscore after each short prefix is MANDATORY — 'q15' with an
+# optional separator would also match q150_funnel. q150 itself entered
+# the sweep in round 12 when ScaleUp.scaleEvents started replicating
+# the events table (it copied verbatim before, which would have
+# "scaled" the funnel over constant input).
+REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q150_|q151_|q152_|q153_|q154_|q155_|q156_|q157_|q158_)'
 mkdir -p target/scale
 for sf in 0.1 0.5 1.0; do
   if [ "$sf" = "0.1" ]; then DIR=/root/testdata/sf0.1; else DIR="target/scale/sf$sf"; fi

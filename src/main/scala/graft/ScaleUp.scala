@@ -65,6 +65,24 @@ object ScaleUp {
     }.reduce(_ unionAll _)
   }
 
+  /** Events replica model (r11 item 7's ScaleUp gap — events used to
+    * copy VERBATIM, so q150's funnel would have "scaled" over constant
+    * input and was excluded from the sweep): replica r offsets user_id
+    * and event_id by r·(max+1), so every user's event stream — gaps,
+    * ordering, type mix — recurs once per replica and the
+    * sessionize/funnel/as-of tier does honest ×k work. `ts` stays in
+    * its source physical layout untouched (Tables.events normalizes
+    * at read; the replicator must not impose a layout the generator
+    * didn't). */
+  def scaleEvents(ev: DataFrame, k: Int): DataFrame = {
+    val userStep = ev.agg(max("user_id")).first().getLong(0) + 1
+    val eventStep = ev.agg(max("event_id")).first().getLong(0) + 1
+    (0 until k).map { r =>
+      ev.withColumn("user_id", col("user_id") + lit(r * userStep))
+        .withColumn("event_id", col("event_id") + lit(r * eventStep))
+    }.reduce(_ unionAll _)
+  }
+
   def scaleEmbeddings(emb: DataFrame, k: Int): DataFrame = {
     val idStep = emb.agg(max("vec_id")).first().getLong(0) + 1
     (0 until k).map { r =>
@@ -91,8 +109,11 @@ object ScaleUp {
       .repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
     scaleEmbeddings(Tables.embeddings(spark, src), k)
       .repartition(4).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // raw read (not Tables.events): replicas keep the source ts layout
+    scaleEvents(spark.read.parquet(s"$src/events.parquet"), k)
+      .repartition(4).write.mode("overwrite").parquet(s"$dst/events.parquet")
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "orders", "lineitem")
     others.foreach { t =>
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       val to = java.nio.file.Paths.get(s"$dst/$t.parquet")
