@@ -42,11 +42,14 @@ import org.apache.spark.sql.types.LongType
   * order is dropped and hash partitioning suffices. Hot-window skew
   * (the stopword run) sits on the join, where AQE skew-split applies —
   * not on a window function that would pin a hot group to one task.
-  * Rounds persist and the previous round unpersists (the Components
-  * loop discipline), so lineage stays one round deep; the FINAL round
-  * is spilled to a JVM-scoped temp parquet and unpersisted before
-  * return, so callers (registered queries with no unpersist hook)
-  * never inherit a live cache block.
+  * Rounds localCheckpoint and the previous round's blocks drop (the
+  * Components loop discipline) — checkpointing rather than persisting
+  * because each round references its parent TWICE, so an untruncated
+  * logical plan doubles per round and its per-action string rendering
+  * alone OOMs at the win=50 production window. The FINAL round is
+  * spilled to a JVM-scoped temp parquet and released before return,
+  * so callers (registered queries with no unpersist hook) never
+  * inherit a live block.
   *
   * Measured recall delta vs the q110 approximation (SuffixDedupSpec,
   * sf0.001, win=8): exact spans cover 2,697 token positions where the
@@ -88,20 +91,33 @@ object SuffixDedup {
       grouped.join(reps, keys)
         .select(col(idCol), col("pos"), col("__rep").as("label"))
     }
-    var labels = relabel(toks, Seq("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, NOT persist: each round references the previous
+    // round TWICE (the shifted self-join), so without LINEAGE
+    // truncation the logical plan doubles per round — 2^⌈log₂ win⌉
+    // copies of the scan subtree. persist() truncates only EXECUTION;
+    // analysis and the per-action plan-string rendering (SQL-UI events
+    // run on every count) still walk the full tree, and at the
+    // ExactSubstr production window (win=50, 6 rounds) the plan string
+    // alone OOMed the driver heap (found by SuffixProbe, round 12).
+    // localCheckpoint collapses each round to a LogicalRDD — the
+    // Components/PageRank loop discipline — and dropCheckpoint frees
+    // the parent round's blocks (Dataset.unpersist doesn't reach
+    // checkpoint RDDs).
+    var labels = relabel(toks, Seq("token")).localCheckpoint()
     var len = 1
     while (len < win) {
       val step = math.min(len, win - len)
       val shifted = labels.select(col(idCol), (col("pos") - step).as("pos"),
         col("label").as("label2"))
       val paired = labels.join(shifted, Seq(idCol, "pos"))
+      // lazy checkpoint; the count right below is the materializing
+      // action, so each round runs ONE job (the Components rationale)
       val next = relabel(
           paired.select(col(idCol), col("pos"), col("label"), col("label2")),
           Seq("label", "label2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       next.count() // materialize before releasing the parent round
-      labels.unpersist()
+      graft.operators.Components.dropCheckpoint(labels)
       labels = next
       len += step
     }
@@ -118,7 +134,7 @@ object SuffixDedup {
     // from the files. RegistrySpec tripwires the invariant (no
     // persisted RDDs survive any registered query's construction).
     val out = graft.pipeline.TempDirs.spillParquet(labels, "graft_suffix_labels_")
-    labels.unpersist()
+    graft.operators.Components.dropCheckpoint(labels)
     out
   }
 
