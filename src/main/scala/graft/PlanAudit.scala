@@ -97,7 +97,18 @@ object PlanAudit {
       "q108_ivfpq_topk" -> annQuery,
       "q132_pca_prefilter_topk" -> annQuery,
       "q137_rrf_fusion" -> (annQuery +
-        " (the dense input is q23's single-query brute-force top-20)"))
+        " (the dense input is q23's single-query brute-force top-20)"),
+      "q154_ann_from_index" -> (annQuery +
+        "; the other hinted side is the artifact's FROZEN codebook — " +
+        "√n rows by the codebookSize contract, committed driver-side"),
+      "q156_ivfpq_from_index" -> (annQuery +
+        "; the remaining hinted sides are the frozen codebook (√n) and " +
+        "the frozen PQ sub-codebooks (m·c rows — the pqCodebooks " +
+        "'driver-tiny, always broadcast' contract)"),
+      "q157_bm25_query_table" ->
+        ("the hinted sides are the QUERY TABLE (a serving batch — small " +
+         "next to the corpus by the bm25QueryTable contract) and its " +
+         "per-query df row (one row per query)"))
   }
   /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
     * record (`target/bench_last.json`, written by [[Bench]]) against the
