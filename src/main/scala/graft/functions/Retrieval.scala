@@ -235,6 +235,39 @@ object Retrieval {
     df.select(col(idCol), posexplode(split(trim(col(textCol)), " ")))
       .select(col(idCol), col("pos"), col("col").as("token"))
 
+  /** QUERY-TABLE-driven phrase search — [[bm25QueryTable]]'s
+    * multi-tenant discipline on the positional tier: N phrases (of
+    * MIXED lengths) arrive as a broadcast RELATION
+    * `phrases(phrase_id, slot, term)` (each phrase's slots contiguous
+    * 1..len, 1-based) and are all answered in ONE pass over the
+    * positional postings. Each matching posting votes for the start
+    * its slot implies (`pos − (slot − 1)`); a (phrase, doc, start)
+    * cell collecting one vote per slot is a complete consecutive
+    * occurrence — the per-term-join intersection of
+    * [[phraseSearchFromPostings]] re-expressed as one
+    * map-side-combined integer aggregate, which is the shape that
+    * serves a query BATCH without one join chain per phrase. Postings
+    * are unique per (doc, pos) and a slot fixes its pos once the start
+    * is fixed, so `count(*)` counts DISTINCT matched slots exactly —
+    * repeated terms inside one phrase included; completeness is
+    * `count == max(slot)`, derived per phrase from the relation
+    * itself (no per-call length parameter, so one batch mixes 2-grams
+    * with 5-grams). Output: (phrase_id, idCol, start_pos), 0-based
+    * starts (the [[positionalPostings]] convention). */
+  def phraseQueryTable(toks: DataFrame, idCol: String,
+                       phrases: DataFrame): DataFrame = {
+    val lens = phrases.groupBy("phrase_id").agg(max("slot").as("__len"))
+    toks.join(broadcast(phrases), toks("token") === phrases("term"))
+      .select(col("phrase_id"), col(idCol),
+        (col("pos") - (col("slot") - 1)).as("start_pos"))
+      .filter(col("start_pos") >= 0) // a late slot at an early pos can never complete
+      .groupBy(col("phrase_id"), col(idCol), col("start_pos"))
+      .agg(count(lit(1)).as("__votes"))
+      .join(broadcast(lens), "phrase_id")
+      .filter(col("__votes") === col("__len"))
+      .select(col("phrase_id"), col(idCol), col("start_pos"))
+  }
+
   /** [[phraseSearch]] evaluated over ANY positional-postings source —
     * a fresh text pass or a committed index artifact. */
   def phraseSearchFromPostings(toks: DataFrame, idCol: String,

@@ -791,7 +791,60 @@ object CorpusQueries {
 
   private val q153Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q159 — QUERY-TABLE-driven phrase search over the persisted
+    * positional tier ([[Retrieval.phraseQueryTable]]): a MIXED-LENGTH
+    * batch (four 3-term phrases + one 2-term) arrives as a broadcast
+    * relation and is answered in ONE pass over q153's committed
+    * positional artifact — closing the r11 "one hardcoded phrase" gap
+    * the way q157 closed it for BM25. Instead of one per-term join
+    * chain per phrase, every matching posting votes for the start its
+    * slot implies and a (phrase, doc, start) cell with one vote per
+    * slot is a consecutive occurrence — one map-side-combined integer
+    * aggregate for the whole batch, completeness checked against each
+    * phrase's own length. The oracle carries the same phrase table as
+    * a VALUES CTE over the raw text (index-served ≡ text-scanned, the
+    * q153 contract), grouped by the same start-vote rule with the same
+    * per-phrase HAVING bound. */
+  val q159 = Q("q159_phrase_query_table",
+    """WITH pt(phrase_id, slot, term) AS (
+      |  VALUES (CAST(1 AS BIGINT), 1, 'slow'), (2, 1, 'part'),
+      |         (3, 1, 'row'), (4, 1, 'data'), (5, 1, 'merge'),
+      |         (1, 2, 'hash'), (2, 2, 'filter'),
+      |         (3, 2, 'column'), (4, 2, 'merge'), (5, 2, 'order'),
+      |         (1, 3, 'batch'), (2, 3, 'scan'),
+      |         (3, 3, 'sort'), (4, 3, 'group')),
+      |pl AS (SELECT phrase_id, MAX(slot) AS len FROM pt GROUP BY 1),
+      |t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |      FROM documents WHERE text IS NOT NULL),
+      |pos AS (SELECT doc_id, i, w[i] AS tok
+      |        FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+      |votes AS (
+      |  SELECT p.phrase_id, x.doc_id, x.i - (p.slot - 1) AS s
+      |  FROM pos x JOIN pt p ON x.tok = p.term)
+      |SELECT v.phrase_id, v.doc_id, CAST(v.s - 1 AS INT) AS start_pos
+      |FROM votes v JOIN pl ON v.phrase_id = pl.phrase_id
+      |WHERE v.s >= 1
+      |GROUP BY 1, 2, v.s, pl.len HAVING COUNT(*) = pl.len""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tmp = q153Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+      graft.pipeline.TempDirs.scoped("graft_posindex_"))
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", tmp)
+    TextIndex.addShardPositional(docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", tmp)
+    val phrases = Seq(
+      (1L, 1, "slow"), (1L, 2, "hash"), (1L, 3, "batch"),
+      (2L, 1, "part"), (2L, 2, "filter"), (2L, 3, "scan"),
+      (3L, 1, "row"), (3L, 2, "column"), (3L, 3, "sort"),
+      (4L, 1, "data"), (4L, 2, "merge"), (4L, 3, "group"),
+      (5L, 1, "merge"), (5L, 2, "order"))
+      .toDF("phrase_id", "slot", "term")
+    Retrieval.phraseQueryTable(
+      TextIndex.positionalPostings(s, tmp), "doc_id", phrases)
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147, q148, q153)
+    q134, q138, q139, q140, q146, q147, q148, q153, q159)
 }

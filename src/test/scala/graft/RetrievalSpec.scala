@@ -87,6 +87,39 @@ class RetrievalSpec extends SparkSpec {
     assert(hits("a") === Set((1L, 0), (1L, 3), (2L, 1), (2L, 4), (3L, 0)))
   }
 
+  test("phraseQueryTable: batch answers == per-phrase phraseSearch; repeated term exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c a b"),
+      (2L, "b a c b a"),
+      (3L, "a a a"),      // overlapping occurrences of "a a" at 0 and 1
+      (4L, "a b a")).toDF("doc_id", "text")
+    val toks = Retrieval.positionalPostings(corpus, "doc_id", "text")
+    val phrases = Seq(
+      (1L, 1, "a"), (1L, 2, "b"),
+      (2L, 1, "b"), (2L, 2, "a"),
+      (3L, 1, "a"), (3L, 2, "a"), // repeated term inside one phrase
+      (4L, 1, "b"), (4L, 2, "a"), (4L, 3, "c")) // mixed length in one batch
+      .toDF("phrase_id", "slot", "term")
+    val got = Retrieval.phraseQueryTable(toks, "doc_id", phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // each phrase must match its single-phrase join-chain evaluation
+    val want = Seq(1L -> Seq("a", "b"), 2L -> Seq("b", "a"),
+      3L -> Seq("a", "a"), 4L -> Seq("b", "a", "c"))
+      .flatMap { case (pid, p) =>
+        Retrieval.phraseSearch(corpus, "doc_id", "text", p)
+          .collect().map(r => (pid, r.getLong(0), r.getInt(1)))
+      }.toSet
+    assert(got === want)
+    // the 3-gram is not granted completeness by the 2-gram bound
+    assert(got.filter(_._1 == 4L) === Set((4L, 2L, 0)))
+    // the repeated-term phrase found both overlapping starts in doc 3
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)) === Set((3L, 0), (3L, 1)))
+    // a vote cell can never be completed by two slots at one position:
+    // doc 4 "a b a" has 'a' twice but never consecutively
+    assert(!got.contains((3L, 4L, 0)) && !got.contains((3L, 4L, 1)))
+  }
+
   test("hourly anomaly flags: spike flagged, steady baseline not, warm-up withheld") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
