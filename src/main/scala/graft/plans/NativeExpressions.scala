@@ -356,6 +356,80 @@ case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** WordPiece-style GREEDY LONGEST-MATCH-FIRST subword encode of one
+  * word against a fixed vocabulary (the BERT tokenizer's inference
+  * rule): repeatedly take the longest vocab piece that prefixes the
+  * remaining suffix, continuation pieces carrying the `##` marker; if
+  * some position matches nothing the WHOLE word encodes as `[UNK]`
+  * (the standard all-or-nothing rule — a corpus-derived vocab that
+  * includes every observed single character never triggers it, so the
+  * relational/oracle path can ignore UNK while the kernel stays
+  * faithful for out-of-corpus input). Per-word cost is
+  * O(len · maxPieceLen) hash probes in ONE codegen'd projection — the
+  * vocab (bounded: topK + single-char closure) rides in the expression
+  * and deserializes once per JVM, the [[BloomContainsLong]] discipline.
+  * Piece lengths count String chars (UTF-16 units), matching DuckDB's
+  * substr on the ASCII corpus; `maxPieceLen` bounds CONTENT length
+  * (the `##` marker doesn't count). Empty word ⇒ empty array.
+  */
+case class WordPieceEncode(child: Expression, vocab: Seq[String], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_wordpiece expects string word, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add); s
+  }
+
+  /** Instance entry point the generated code calls. */
+  def encode(w: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    WordPieceEncode.greedyEncode(w.toString, vocabSet, maxPieceLen)
+
+  override def nullSafeEval(v: Any): Any =
+    encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWp", this, classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordPieceEncode {
+  import org.apache.spark.unsafe.types.UTF8String
+  val Unk = "[UNK]"
+
+  def greedyEncode(w: String, vocab: java.util.HashSet[String],
+                   maxPieceLen: Int): ArrayData = {
+    val n = w.length
+    val out = new java.util.ArrayList[AnyRef](4)
+    var off = 0
+    while (off < n) {
+      var l = math.min(maxPieceLen, n - off)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand =
+          if (off == 0) w.substring(0, l) else "##" + w.substring(off, off + l)
+        if (vocab.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit == null)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[AnyRef](UTF8String.fromString(Unk)))
+      out.add(UTF8String.fromString(hit)); off += l
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def dotF32(a: Column, b: Column): Column =
@@ -378,6 +452,9 @@ object NativeExpressions {
 
   def bloomContains(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomContainsLong(ColumnBridge.expression(key), bloomBytes))
+
+  def wordpiece(word: Column, vocab: Seq[String], maxPieceLen: Int): Column =
+    ColumnBridge.column(WordPieceEncode(ColumnBridge.expression(word), vocab, maxPieceLen))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates

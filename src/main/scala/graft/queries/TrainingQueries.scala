@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Cols, Tables}
-import graft.functions.{Dedup, Retrieval, Similarity, Text}
+import graft.functions.{Dedup, Retrieval, Similarity, Text, WordPiece}
 
 /** Round-4 training-data-pipeline batch: corpus vocabulary building,
   * stratified sampling, benchmark-contamination detection, boilerplate
@@ -1367,7 +1367,78 @@ object TrainingQueries {
     graft.functions.Unigram.segmentScores(docs, "doc_id", "text", vocab)
   }
 
+  /** q160 — WORDPIECE greedy longest-match-first subword encode
+    * ([[WordPiece]]): the third tokenizer (BERT's inference rule) next
+    * to BPE (q120) and unigram-LM Viterbi (q151/q158) — greedy-longest
+    * is neither the merge-rank order nor the Viterbi optimum, so the
+    * family needs all three. Vocab = position-aware top-24 substrings
+    * (prefix pieces plain, interior `##`-marked) ∪ the single-char
+    * closure; encode = one codegen'd kernel over DISTINCT words
+    * (dictionary-encode discipline) joined back to occurrences. The
+    * oracle re-derives the vocab and replays greedy longest-match as a
+    * recursive CTE whose step picks, per position, the max matching
+    * vocab content-length — exactly the kernel's scan order. topK=24
+    * (not 512) so the cutoff BITES on this corpus (31 word types):
+    * words fragment into 1–6 mixed-length pieces instead of surviving
+    * whole. */
+  val q160 = Q("q160_wordpiece_encode",
+    """WITH RECURSIVE
+      |occf AS (SELECT word FROM (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS word
+      |  FROM documents WHERE text IS NOT NULL) WHERE length(word) >= 1),
+      |pieces AS (
+      |  SELECT CASE WHEN s = 1 THEN substr(word, s, l)
+      |              ELSE '##' || substr(word, s, l) END AS piece
+      |  FROM occf,
+      |       unnest(range(1, length(word) + 1)) AS so(s),
+      |       unnest(range(1, least(6, length(word) - s + 1) + 1)) AS lo(l)),
+      |counts AS (SELECT piece, COUNT(*) AS freq FROM pieces GROUP BY 1),
+      |ranked AS (SELECT piece,
+      |                  row_number() OVER (ORDER BY freq DESC, piece) AS rn
+      |           FROM counts),
+      |vocab AS (
+      |  SELECT piece FROM ranked WHERE rn <= 24
+      |  UNION
+      |  SELECT piece FROM counts
+      |  WHERE (piece NOT LIKE '##%' AND length(piece) = 1)
+      |     OR (piece LIKE '##%' AND length(piece) = 3)),
+      |wt AS (SELECT DISTINCT word FROM occf),
+      |step(word, off, ord, piece) AS (
+      |  SELECT word, 1, 0, CAST(NULL AS VARCHAR) FROM wt
+      |  UNION ALL
+      |  SELECT word, off + wl, ord + 1,
+      |         CASE WHEN off = 1 THEN substr(word, off, wl)
+      |              ELSE '##' || substr(word, off, wl) END
+      |  FROM (
+      |    SELECT word, off, ord,
+      |      (SELECT max(length(v.piece) - CASE WHEN off = 1 THEN 0 ELSE 2 END)
+      |       FROM vocab v
+      |       WHERE (CASE WHEN off = 1 THEN v.piece NOT LIKE '##%'
+      |                   ELSE v.piece LIKE '##%' END)
+      |         AND length(v.piece) - CASE WHEN off = 1 THEN 0 ELSE 2 END
+      |             BETWEEN 1 AND length(word) - off + 1
+      |         AND v.piece = CASE WHEN off = 1 THEN '' ELSE '##' END
+      |                       || substr(word, off,
+      |                                 length(v.piece)
+      |                                 - CASE WHEN off = 1 THEN 0 ELSE 2 END)
+      |      ) AS wl
+      |    FROM step WHERE off <= length(word)) s
+      |  WHERE wl IS NOT NULL),
+      |tok AS (
+      |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |        FROM documents WHERE text IS NOT NULL),
+      |       unnest(range(1, len(w) + 1)) AS u(i)
+      |  WHERE length(w[i]) >= 1)
+      |SELECT t.doc_id, t.word_pos, CAST(s.ord AS INT) AS piece_ord, s.piece
+      |FROM tok t JOIN step s ON t.word = s.word
+      |WHERE s.piece IS NOT NULL""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val vocab = WordPiece.trainVocab(docs, "text", topK = 24)
+    WordPiece.encodeDocs(docs, "doc_id", "text", vocab)
+  }
+
   val all: Seq[Q] = Seq(q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q89, q89p, q90, q94, q97, q102, q105, q106, q107, q120, q126,
-    q131, q137, q141, q142, q145, q151, q152, q157, q158)
+    q131, q137, q141, q142, q145, q151, q152, q157, q158, q160)
 }
