@@ -232,4 +232,75 @@ object VectorIndex {
         k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
       .select("query_id", "neighbor_id", "adc_d2", "rank")
   }
+
+  /** ADC shortlist + EXACT re-rank — the FAISS refine pattern
+    * (IndexRefineFlat): the committed codes pick a `rerank`-deep
+    * candidate shortlist per query (the cheap m-lookups-per-vector
+    * scan), then ONLY those candidates' full vectors are fetched and
+    * exactly cosine-scored for the final top-k. At 100 TB this is the
+    * production serving shape — the quantized scan touches m bytes per
+    * vector, the exact pass touches `rerank` vectors per query, never
+    * the corpus.
+    *
+    * Unlike [[pqTopKFromIndex]] (rows-only by the q108/q100
+    * convention), every number here is DETERMINISTIC and so
+    * SQL-replayable: the ADC total folds its m block distances in
+    * BLOCK ORDER (`sort_array` then a left-to-right `aggregate` — a
+    * plain float `sum()` over the block rows would be
+    * addition-order-nondeterministic, exactly why the unrefined ADC
+    * stays rows-only), shortlist ties break on vec_id, and the refine
+    * cosine is the q23 left-to-right double discipline. `vectors` is
+    * the exact-vector store the refine fetches from (in production a
+    * separate lookup table; here the corpus relation). */
+  def pqTopKRefined(spark: SparkSession, dir: String, queries: DataFrame,
+                    vectors: DataFrame, k: Int, rerank: Int, nprobe: Int,
+                    m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val cb = codebook(spark, dir).select(col("centroid_id"), col("c_emb"),
+      Similarity.norm(col("c_emb")).as("c_norm"))
+    val books = pqBooks(spark, dir)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm"))
+    val probes = Relational.topNPerGroup(
+      q.crossJoin(broadcast(cb))
+        .select(col("query_id"), col("q_emb"), col("centroid_id"), col("c_emb"),
+          (Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+            .as("c_sim")),
+      nprobe, Seq(col("query_id")), col("c_sim"), col("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        zip_with(col("q_emb"), col("c_emb"), (x, y) => x - y).as("q_resid"))
+    val lut = probes
+      .select(col("query_id"), col("centroid_id"),
+        explode(array((0 until m).map { b =>
+          struct(lit(b).as("block"),
+            slice(col("q_resid"), b * subDim + 1, subDim).as("sub"))
+        }: _*)).as("bs"))
+      .select(col("query_id"), col("centroid_id"),
+        col("bs.block").as("block"), col("bs.sub").as("sub"))
+      .join(broadcast(books), Seq("block"))
+      .select(col("query_id"), col("centroid_id"), col("block"),
+        col("code_id").as("code"), Similarity.l2sq(col("sub"), col("sc_emb")).as("d2"))
+    val adc = pqCodes(spark, dir)
+      .join(broadcast(lut), Seq("centroid_id", "block", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("block"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adc_d2"))
+    val shortlist = Relational.topNPerGroup(
+        adc.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2")),
+        rerank, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val refined = shortlist
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"),
+        Similarity.norm(col("embedding")).as("n_norm")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")))
+          .as("cos_sim"))
+    Relational.topNPerGroup(refined, k, Seq(col("query_id")),
+        col("cos_sim"), col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
 }

@@ -1504,6 +1504,133 @@ object ExtensionQueries {
       k = 10, nprobe = nprobe, m = 4, dim = 64)
   }
 
+  /** q161 — ADC shortlist + EXACT re-rank from the persisted PQ tier
+    * ([[VectorIndex.pqTopKRefined]], the FAISS IndexRefineFlat
+    * pattern): the committed codes cheaply pick 30 candidates per
+    * query, then only THOSE full vectors are fetched and exactly
+    * cosine-scored for the final top-10. This is the production
+    * serving shape at 100 TB (m bytes per scanned vector, `rerank`
+    * exact fetches per query) — and unlike the raw ADC ranking (q156,
+    * rows-only because a float `sum()` over block rows is
+    * addition-order-nondeterministic), the refined path is FULLY
+    * oracled: the engine folds each vector's m block distances in
+    * block order, so DuckDB replays build → freeze → encode → probe →
+    * LUT → ADC shortlist → exact refine bit-for-bit (q155's f32
+    * residual trick + q23's left-to-right cosine discipline). */
+  val q161 = Q("q161_ivfpq_refine",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS f,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |n AS (SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS c FROM base),
+       |cents AS (
+       |  SELECT centroid_id, ce, cf FROM (
+       |    SELECT vec_id AS centroid_id, e AS ce, f AS cf,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk FROM base), n
+       |  WHERE rnk <= n.c),
+       |scored AS (
+       |  SELECT v.vec_id, cents.centroid_id,
+       |         ${dotSql("v.e", "cents.ce")}
+       |         / (sqrt(${dotSql("v.e", "v.e")}) * sqrt(${dotSql("cents.ce", "cents.ce")})) AS c_sim
+       |  FROM v CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(v.f[i] - c.cf[i] AS FLOAT) AS DOUBLE)) AS r
+       |  FROM assigned a
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN cents c ON c.centroid_id = a.centroid_id),
+       |books AS (
+       |  SELECT code_id, bres FROM (
+       |    SELECT vec_id AS code_id, r AS bres,
+       |           row_number() OVER (ORDER BY vec_id) AS rnk
+       |    FROM resid WHERE vec_id % 5 <> 0)
+       |  WHERE rnk <= 16),
+       |blocks AS (SELECT unnest(range(0, 4)) AS block),
+       |vb AS (SELECT r.vec_id, r.centroid_id, b.block,
+       |              list_slice(r.r, b.block*16 + 1, b.block*16 + 16) AS sub
+       |       FROM resid r CROSS JOIN blocks b),
+       |cb AS (SELECT b.block, k.code_id,
+       |              list_slice(k.bres, b.block*16 + 1, b.block*16 + 16) AS sc
+       |       FROM books k CROSS JOIN blocks b),
+       |bd AS (
+       |  SELECT vb.vec_id, vb.centroid_id, vb.block, cb.code_id,
+       |         list_reduce(list_transform(range(1, 17),
+       |                       i -> (vb.sub[i] - cb.sc[i]) * (vb.sub[i] - cb.sc[i])),
+       |                     (x, y) -> x + y) AS d2
+       |  FROM vb JOIN cb ON vb.block = cb.block),
+       |codes AS (
+       |  SELECT vec_id, centroid_id, block, code FROM (
+       |    SELECT vec_id, centroid_id, block, code_id AS code,
+       |           row_number() OVER (PARTITION BY vec_id, block
+       |                              ORDER BY d2, code_id) AS rn
+       |    FROM bd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, f AS qf, e AS qe,
+       |             sqrt(${dotSql("e", "e")}) AS qn
+       |      FROM v WHERE vec_id < 5),
+       |qprobe AS (
+       |  SELECT query_id, centroid_id, qf, cf FROM (
+       |    SELECT q.query_id, cents.centroid_id, q.qf, cents.cf,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${dotSql("q.qe", "cents.ce")}
+       |                                       / (q.qn * sqrt(${dotSql("cents.ce", "cents.ce")})) DESC,
+       |                                       cents.centroid_id) AS rn
+       |    FROM q CROSS JOIN cents), n
+       |  WHERE rn <= GREATEST(2, n.c // 4)),
+       |qres AS (
+       |  SELECT query_id, centroid_id,
+       |         list_transform(range(1, 65),
+       |           i -> CAST(CAST(qf[i] - cf[i] AS FLOAT) AS DOUBLE)) AS qr
+       |  FROM qprobe),
+       |qvb AS (SELECT s.query_id, s.centroid_id, b.block,
+       |               list_slice(s.qr, b.block*16 + 1, b.block*16 + 16) AS sub
+       |        FROM qres s CROSS JOIN blocks b),
+       |lut AS (
+       |  SELECT qvb.query_id, qvb.centroid_id, qvb.block, cb.code_id AS code,
+       |         list_reduce(list_transform(range(1, 17),
+       |                       i -> (qvb.sub[i] - cb.sc[i]) * (qvb.sub[i] - cb.sc[i])),
+       |                     (x, y) -> x + y) AS d2
+       |  FROM qvb JOIN cb ON qvb.block = cb.block),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id,
+       |         list_reduce(list(l.d2 ORDER BY l.block), (x, y) -> x + y) AS adc_d2
+       |  FROM lut l
+       |  JOIN codes c ON c.centroid_id = l.centroid_id
+       |              AND c.block = l.block AND c.code = l.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc_d2, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 30),
+       |ref AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |         ${dotSql("q.qe", "v.e")} / (q.qn * sqrt(${dotSql("v.e", "v.e")})) AS cos_sim
+       |  FROM short s
+       |  JOIN v ON v.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM ref) WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val dir = vecIndexDir(s, d)
+    val vecs = Tables.embeddings(s, d)
+    val baseN = vecs.filter(col("vec_id") % 5 =!= 0).count()
+    val nprobe = math.max(2, Similarity.codebookSize(baseN) / 4)
+    VectorIndex.pqTopKRefined(s, dir, vecs.filter(col("vec_id") < 5), vecs,
+      k = 10, rerank = 30, nprobe = nprobe, m = 4, dim = 64)
+  }
+
   /** q144 — bitext-style MUTUAL nearest-neighbor mining
     * ([[Similarity.mutualTopOne]]): vectors with even label play
     * corpus A ("source language"), odd label corpus B; a pair
@@ -1558,5 +1685,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149, q154, q155, q156)
+    q144, q149, q154, q155, q156, q161)
 }

@@ -209,6 +209,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(served === again)
   }
 
+  test("refine: exact cosines, candidates from the ADC shortlist, recall ≥ unrefined") {
+    val dir = java.nio.file.Files.createTempDirectory("vi_refine_").toString
+    val base = vecs.filter(col("vec_id") % 3 =!= 0)
+    VectorIndex.build(base, dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    VectorIndex.addShard(vecs.filter(col("vec_id") % 3 === 0), dir)
+    VectorIndex.addShardPq(vecs.filter(col("vec_id") % 3 === 0), dir, m = 4, dim = 64)
+    val queries = vecs.filter(col("vec_id") < 4)
+    val refined = VectorIndex.pqTopKRefined(spark, dir, queries, vecs,
+        k = 5, rerank = 20, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // refine scores are the EXACT cosines — bit-equal to brute force on the pair
+    val brute = Similarity.bruteForceTopK(vecs, queries, vecs.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    refined.foreach { case (q, n, c) =>
+      assert(c === brute((q, n)), s"refined cosine for ($q,$n) must be exact") }
+    // shortlist containment: every refined neighbor survives the deeper ADC cut
+    val adcDeep = VectorIndex.pqTopKFromIndex(spark, dir, queries,
+        k = 20, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    refined.foreach { case (q, n, _) => assert(adcDeep.contains((q, n))) }
+    // refine can only help: recall@5 vs exact ≥ the unrefined ADC ranking's
+    val exact5 = brute.keys.groupBy(_._1).view
+      .mapValues(ks => ks.toSeq.sortBy(k => (-brute(k), k._2)).take(5).map(_._2).toSet).toMap
+    val unref5 = VectorIndex.pqTopKFromIndex(spark, dir, queries,
+        k = 5, nprobe = 4, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref5 = refined.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]) =
+      m.map { case (q, ns) => ns.count(exact5(q)) }.sum.toDouble / (exact5.size * 5)
+    assert(recall(ref5) >= recall(unref5),
+      s"refined recall ${recall(ref5)} < unrefined ${recall(unref5)}")
+  }
+
   test("trained-Lloyd production path: build + addShard + probe runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("vi_trained_").toString
     val base = vecs.filter(col("vec_id") % 3 =!= 0)
