@@ -155,6 +155,85 @@ object Similarity {
     kmeansCentroids(train, c, iters, dim)
   }
 
+  /** k-means|| initialization (Bahmani et al., "Scalable k-means++",
+    * VLDB 2012) — the distributed seeding that replaces k-means++'s k
+    * SEQUENTIAL corpus passes with `rounds` (≈ O(log n) in the paper;
+    * fixed small here) passes that each sample ~`l` centers
+    * INDEPENDENTLY per partition: accept x with probability
+    * min(1, l·d²(x,C)/Σd²). At 100 TB this is the only viable init —
+    * k-means++ needs k round trips with a growing broadcast; this
+    * needs `rounds` map-side aggregates.
+    *
+    * Every round is EXACTLY replayable (no RNG, no float totals):
+    *  - d²(x, C) = min over candidates of the codegen'd left-to-right
+    *    L2 ([[l2sq]]) — a min of deterministic doubles;
+    *  - the potential is QUANTIZED to an integer, p = ⌊d²·2²⁰⌋, so the
+    *    normalizer D = Σp is an integer sum (a float Σd² would be
+    *    addition-order-nondeterministic — the q131 lesson);
+    *  - the coin is the keyed hash h60(salt|round|vec_id), and
+    *    acceptance is the pure 128-bit integer comparison
+    *    h·D < l·p·2⁶⁰ (decimal(38,0) here, HUGEINT in the oracle).
+    *
+    * The final k selection keeps the top-k candidates by (weight DESC,
+    * vec_id) where weight = |cluster| under the candidate set — the
+    * deterministic stand-in for the paper's weighted k-means++ recluster
+    * (a float Lloyd over ≤ rounds·l driver-side points in production;
+    * the seam rule: exact pipeline, documented approximation at the
+    * end). Output: every candidate with (vec_id, round, weight, rank,
+    * selected).
+    *
+    * Scale shape: per round ONE map-side-combined min-aggregate over
+    * the corpus against a broadcast candidate set, one integer-sum
+    * scalar, one filter; the collects are the candidate set itself
+    * (O(rounds·l) rows — driver-tiny by construction) and the scalar D.
+    */
+  def kmeansParallelInit(vectors: DataFrame, rounds: Int, l: Int, k: Int,
+                         salt: String): DataFrame = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col("vec_id"), col("embedding"))
+    val seedId = v.agg(min(col("vec_id"))).head.getLong(0)
+    var cand: Array[(Long, Seq[Float], Int)] = v.filter(col("vec_id") === seedId)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), 0))
+    def candDf = broadcast(
+      spark.createDataFrame(cand.toSeq).toDF("c_id", "c_emb", "round"))
+    val big = (c: Column) => c.cast(DecimalType(38, 0))
+    val pow60 = 1152921504606846976L // 2^60, the h60 hash-space size
+    for (t <- 1 to rounds) {
+      val pots = v.crossJoin(candDf)
+        .select(col("vec_id"), l2sq(col("embedding"), col("c_emb")).as("dd"))
+        .groupBy("vec_id").agg(min(col("dd")).as("d2"))
+        .select(col("vec_id"), floor(col("d2") * 1048576.0).cast(LongType).as("p"))
+      val totalD = pots.agg(sum(col("p"))).head.getLong(0)
+      val h = Hashes.h60(concat(lit(s"$salt|$t|"), col("vec_id").cast(StringType)))
+      val accepted = pots
+        .filter(big(h) * big(lit(totalD)) <
+          big(lit(l.toLong)) * big(col("p")) * big(lit(pow60)))
+        .select("vec_id").collect().map(_.getLong(0))
+      if (accepted.nonEmpty) {
+        val ids = accepted.toSet
+        cand = cand ++ v.filter(col("vec_id").isInCollection(ids))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1), t))
+      }
+    }
+    // one corpus assign pass for the weights (min_by: map-side combine,
+    // no window over n·|C| rows); a candidate can weigh 0 if it exactly
+    // duplicates a lower-id candidate — keep it, weight 0
+    val weights = v.crossJoin(candDf)
+      .select(col("vec_id"), col("c_id"),
+        l2sq(col("embedding"), col("c_emb")).as("dd"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(col("dd"), col("c_id"))).as("c_id"))
+      .groupBy(col("c_id")).agg(count(lit(1)).as("weight"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("c_id").asc) // |C| rows: single-partition window is fine
+    spark.createDataFrame(cand.map(c => (c._1, c._3)).toSeq).toDF("c_id", "round")
+      .join(weights, Seq("c_id"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .select(col("c_id").as("vec_id"), col("round"), col("weight"),
+        col("rank"), (col("rank") <= k).as("selected"))
+  }
+
   /** JVM-scoped codebook cache: Lloyd training is deterministic, so a
     * codebook trained once per (corpus tag, n, iters) can be shared by
     * every operator in the session — the bench's q24 (ANN probe) and

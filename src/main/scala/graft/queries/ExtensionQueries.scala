@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.{Dedup, Multimodal, Similarity, Text, VectorIndex}
+import graft.functions.{Dedup, Hashes, Multimodal, Similarity, Text, VectorIndex}
 import graft.operators.{PageRank, Relational}
 
 /** Training-data-pipeline extensions (SURVEY §7.2 M5 / BASELINE north
@@ -483,6 +483,11 @@ object ExtensionQueries {
     */
   private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[Similarity.l2sq]] (left-to-right (a−b)² double
+    * sums; operands must already be double lists). */
+  private[queries] def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
 
   private[queries] val ivfAssignCteSql: String =
     s"""WITH v AS (
@@ -1631,6 +1636,62 @@ object ExtensionQueries {
       k = 10, rerank = 30, nprobe = nprobe, m = 4, dim = 64)
   }
 
+  /** One k-means|| sampling round as oracle CTEs: quantized integer
+    * potential vs the candidate set so far, HUGEINT coin comparison,
+    * candidates extended — the SQL twin of one loop iteration in
+    * [[Similarity.kmeansParallelInit]]. */
+  private def kmppRoundSql(t: Int, prevC: String): String =
+    s"""p$t AS (
+       |  SELECT v.vec_id,
+       |         CAST(floor(min(${l2Sql("v.e", "c.ce")}) * 1048576.0) AS BIGINT) AS p
+       |  FROM v CROSS JOIN $prevC c GROUP BY 1),
+       |a$t AS (
+       |  SELECT vec_id FROM p$t
+       |  WHERE CAST(${Hashes.h60Sql(s"'kmpp|$t|' || CAST(vec_id AS VARCHAR)")} AS HUGEINT)
+       |          * (SELECT CAST(SUM(p) AS HUGEINT) FROM p$t)
+       |      < CAST(8 AS HUGEINT) * CAST(p AS HUGEINT)
+       |          * CAST(1152921504606846976 AS HUGEINT)),
+       |c$t AS (SELECT * FROM $prevC UNION ALL
+       |        SELECT v.vec_id, v.e, $t FROM v JOIN a$t ON v.vec_id = a$t.vec_id)""".stripMargin
+
+  /** q162 — k-means|| INITIALIZATION ([[Similarity.kmeansParallelInit]],
+    * Bahmani et al. VLDB 2012): the distributed seeding every codebook
+    * trainer here would use at 100 TB — `rounds` corpus passes sampling
+    * ~l centers each with probability l·d²(x,C)/Σd², instead of
+    * k-means++'s k sequential passes. Every round is replayed EXACTLY:
+    * integer-quantized potentials (p = ⌊d²·2²⁰⌋, so the normalizer is
+    * an integer sum), the h60 keyed-hash coin, and a 128-bit integer
+    * acceptance comparison (decimal(38,0) engine-side, HUGEINT here —
+    * the q131 rational discipline at k-means scale). Final selection:
+    * top-16 candidates by (cluster weight DESC, vec_id) — the
+    * documented deterministic stand-in for the paper's weighted
+    * recluster. */
+  val q162 = Q("q162_kmeans_parallel_init",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, e AS ce, 0 AS round
+       |       FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |${kmppRoundSql(1, "c0")},
+       |${kmppRoundSql(2, "c1")},
+       |${kmppRoundSql(3, "c2")},
+       |asg AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${l2Sql("v.e", "c.ce")}, c.c_id) AS rn
+       |    FROM v CROSS JOIN c3 c) WHERE rn = 1),
+       |wts AS (SELECT c_id, COUNT(*) AS weight FROM asg GROUP BY 1)
+       |SELECT vec_id, round, weight, rank, rank <= 16 AS selected FROM (
+       |  SELECT c.c_id AS vec_id, CAST(c.round AS INT) AS round,
+       |         COALESCE(w.weight, 0) AS weight,
+       |         CAST(row_number() OVER (ORDER BY COALESCE(w.weight, 0) DESC, c.c_id)
+       |              AS INT) AS rank
+       |  FROM c3 c LEFT JOIN wts w ON w.c_id = c.c_id)""".stripMargin) { (s, d) =>
+    Similarity.kmeansParallelInit(Tables.embeddings(s, d),
+      rounds = 3, l = 8, k = 16, salt = "kmpp")
+  }
+
   /** q144 — bitext-style MUTUAL nearest-neighbor mining
     * ([[Similarity.mutualTopOne]]): vectors with even label play
     * corpus A ("source language"), odd label corpus B; a pair
@@ -1685,5 +1746,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149, q154, q155, q156, q161)
+    q144, q149, q154, q155, q156, q161, q162)
 }

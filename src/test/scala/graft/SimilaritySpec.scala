@@ -432,4 +432,42 @@ class SimilaritySpec extends SparkSpec {
     val recall = (bucketed intersect exact).size.toDouble / exact.size
     assert(recall >= 0.4, f"bucketed mutual-NN recall $recall%.2f vs exact")
   }
+
+  test("k-means|| init: structure invariants + beats first-k-by-id on total potential") {
+    import org.apache.spark.sql.DataFrame
+    val vecs = Tables.embeddings(spark, sf)
+    val out = graft.functions.Similarity
+      .kmeansParallelInit(vecs, rounds = 3, l = 8, k = 16, salt = "kmpp")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    // structure: unique candidates, seed = min id at round 0, ranks 1..|C|,
+    // selected ⇔ rank ≤ 16, weights cover the corpus exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    val minId = vecs.agg(min(col("vec_id"))).head.getLong(0)
+    assert(out.filter(_._2 == 0).map(_._1).toSeq === Seq(minId))
+    assert(out.map(_._4).sorted.toSeq === (1 to out.length))
+    assert(out.forall(t => t._5 == (t._4 <= 16)))
+    assert(out.map(_._3).sum === vecs.count())
+    // determinism: a second run is identical (hash coin, no RNG)
+    val again = graft.functions.Similarity
+      .kmeansParallelInit(vecs, rounds = 3, l = 8, k = 16, salt = "kmpp")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    assert(out.toSet === again.toSet)
+    // quality (the paper's point): total potential Σ min d² under the
+    // selected 16 must beat the naive first-16-by-id seeding
+    def potential(centIds: Set[Long]): Double = {
+      val cents = vecs.filter(col("vec_id").isInCollection(centIds))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          graft.functions.Similarity.l2sq(col("embedding"), col("c_emb")).as("dd"))
+        .groupBy("vec_id").agg(min(col("dd")).as("d2"))
+        .agg(sum(col("d2"))).head.getDouble(0)
+    }
+    val selected = out.filter(_._5).map(_._1).toSet
+    val naive = vecs.orderBy(col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    val (pSel, pNaive) = (potential(selected), potential(naive))
+    assert(pSel < pNaive,
+      f"k-means|| potential $pSel%.1f should beat first-k $pNaive%.1f")
+  }
 }
