@@ -153,4 +153,76 @@ object LanguageModel {
     * not oracled (see the object note on double summation). */
   def bitsPerChar(df: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(df, idCol, textCol, modelTable(df, idCol, textCol), oovBits = 0.0)
+
+  // ----------------------------------------------- word-bigram backoff
+  // Stupid Backoff (Brants et al. 2007, "Large Language Models in
+  // Machine Translation") — the scoring rule DESIGNED for distributed
+  // count tables: S(w₂|w₁) = c(w₁w₂)/c(w₁·) if the bigram was seen,
+  // else α·c(w₂)/N — no normalization pass over the vocabulary, so the
+  // model IS the two count relations and scoring is two equi-joins.
+  // The char-trigram model above has no backoff structure; this is the
+  // word-level complement with the CCNet train-on-base/score-everything
+  // split, where backoff genuinely fires on held-out-only bigrams.
+
+  /** Integer Stupid-Backoff cost per document, EXACT (hash-oracle
+    * class): each bigram occurrence costs
+    *   seen:          bl(c_ctx(w₁)) − bl(c_bi(w₁w₂))      [≈ −log₂ S]
+    *   backoff:       bl(N) − bl(c_uni(w₂)) + 2           [2 ≈ −log₂ α, α=0.4]
+    *   OOV w₂:        bl(N) + 2
+    * with bl(x) = ⌊log₂ x⌋+1 via `length(bin(x))` (bit-identical on
+    * both engines — a libm log would be the q41 1-ulp seam) and
+    * c_ctx(w₁) = Σ_w c_bi(w₁w) so seen costs are ≥ 0 by construction.
+    * Counts come from `train` ONLY; every doc of `score` is scored
+    * (docs with < 2 tokens have no bigram and drop out — the q113
+    * n_pos=0 convention, minus the null row).
+    *
+    * Output: (idCol, n_pairs, n_backoff, n_oov, total_cost) — all
+    * integers, summed from per-doc bigram-TYPE counts (map-side
+    * combine collapses repeats before the model joins, the [[model]]
+    * regrouping discipline: the joins shuffle |doc×distinct-bigram|
+    * rows, never raw positions). At 100 TB the count tables stay
+    * RELATIONS (KenLM-style shards) — nothing is collected or
+    * broadcast-hinted; AQE broadcasts if a side is actually small. */
+  def stupidBackoffScores(train: DataFrame, score: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    def pairs(df: DataFrame) = {
+      val t = Text.tokens(col(textCol))
+      // single-token docs filtered BEFORE the sequence: sequence(1, 0)
+      // counts DOWN in Spark (the [[occurrences]] lesson), and the
+      // phantom index would hit ANSI element_at out-of-bounds
+      df.filter(col(textCol).isNotNull && size(t) >= 2)
+        .select(col(idCol),
+          explode(element_at(transform(array(t), ts =>
+            transform(sequence(lit(1), size(ts) - 1),
+              i => struct(element_at(ts, i).as("w1"),
+                element_at(ts, i + 1).as("w2")))), 1)).as("p"))
+        .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val bi = pairs(train).groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val ctx = bi.groupBy("w1").agg(sum(col("c_bi")).as("c_ctx"))
+    val uniToks = train.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+    val uni = uniToks.groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val n = uniToks.agg(count(lit(1)).as("n"))
+    val bl = (c: Column) => length(bin(c)).cast(LongType)
+    val docBi = pairs(score)
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val costed = docBi
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c_uni")), Seq("w2"), "left")
+      .crossJoin(n)
+      .select(col(idCol), col("tf"),
+        col("c_bi").isNull.as("backoff"),
+        (col("c_bi").isNull && col("c_uni").isNull).as("oov"),
+        when(col("c_bi").isNotNull, bl(col("c_ctx")) - bl(col("c_bi")))
+          .when(col("c_uni").isNotNull, bl(col("n")) - bl(col("c_uni")) + 2L)
+          .otherwise(bl(col("n")) + 2L).as("cost"))
+    costed.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_pairs"),
+        sum(when(col("backoff"), col("tf")).otherwise(0L)).as("n_backoff"),
+        sum(when(col("oov"), col("tf")).otherwise(0L)).as("n_oov"),
+        sum(col("tf") * col("cost")).as("total_cost"))
+  }
 }

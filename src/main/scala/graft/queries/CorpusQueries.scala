@@ -844,7 +844,62 @@ object CorpusQueries {
       TextIndex.positionalPostings(s, tmp), "doc_id", phrases)
   }
 
+  /** q163 — word-bigram STUPID BACKOFF scoring
+    * ([[LanguageModel.stupidBackoffScores]], Brants et al. 2007): the
+    * LM rule designed for distributed count tables — no normalization
+    * pass, the model IS two count relations and scoring is equi-joins.
+    * Trained on the base split (doc_id % 5 ≠ 0), scored over EVERY doc,
+    * so backoff genuinely fires on held-out-only bigrams and OOV on
+    * held-out-only words. Costs are the integer bitlength quantization
+    * (the q151 discipline): seen = bl(c_ctx)−bl(c_bi), backoff =
+    * bl(N)−bl(c_uni)+2, OOV = bl(N)+2 — exact on both engines, no
+    * libm log. Complements the char-trigram LM (q113: no backoff
+    * structure) in the CCNet-style quality battery. */
+  val q163 = Q("q163_bigram_backoff_lm",
+    """WITH tr AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 5 <> 0),
+      |trp AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM tr, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM trp GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx FROM bi GROUP BY 1),
+      |trt AS (SELECT unnest(w) AS tok FROM tr),
+      |uni AS (SELECT tok, COUNT(*) AS c_uni FROM trt
+      |        WHERE length(tok) >= 1 GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM trt WHERE length(tok) >= 1),
+      |sc AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |scp AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM sc, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      |db AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM scp GROUP BY 1, 2, 3),
+      |costed AS (
+      |  SELECT d.doc_id, d.tf,
+      |         b.c_bi IS NULL AS backoff,
+      |         (b.c_bi IS NULL AND u.c_uni IS NULL) AS oov,
+      |         CASE WHEN b.c_bi IS NOT NULL
+      |                THEN length(bin(c.c_ctx)) - length(bin(b.c_bi))
+      |              WHEN u.c_uni IS NOT NULL
+      |                THEN length(bin(nn.n)) - length(bin(u.c_uni)) + 2
+      |              ELSE length(bin(nn.n)) + 2 END AS cost
+      |  FROM db d
+      |  LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+      |  LEFT JOIN ctx c ON d.w1 = c.w1
+      |  LEFT JOIN uni u ON d.w2 = u.tok
+      |  CROSS JOIN nn)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(CASE WHEN backoff THEN tf ELSE 0 END) AS BIGINT) AS n_backoff,
+      |       CAST(SUM(CASE WHEN oov THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(tf * cost) AS BIGINT) AS total_cost
+      |FROM costed GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    LanguageModel.stupidBackoffScores(
+      docs.filter(col("doc_id") % 5 =!= 0), docs, "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147, q148, q153, q159)
+    q134, q138, q139, q140, q146, q147, q148, q153, q159, q163)
 }

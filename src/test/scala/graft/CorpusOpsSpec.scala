@@ -153,6 +153,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores.nonEmpty)
   }
 
+  test("stupid backoff: seen/backoff/OOV tiers cost exactly as specified") {
+    import spark.implicits._
+    // train: "a b" ×2, "b c a b" — N=6, c(a)=2? no: tokens a,b,b,c,a,b → c(a)=2 c(b)=3 c(c)=1
+    // bigrams: (a,b)×2 from doc1+doc3-tail, (b,c), (c,a) — ctx(a)=2, ctx(b)=1, ctx(c)=1
+    val train = Seq((1L, "a b"), (2L, "b c a b")).toDF("doc_id", "text")
+    // score: doc 10 all seen; doc 11 backs off on (b,a) [both words seen,
+    // bigram unseen]; doc 12 is OOV on (a,z) and single-token doc 13 drops
+    val score = Seq((10L, "a b c a b"), (11L, "b a"), (12L, "a z"), (13L, "a"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoffScores(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def bl(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    // doc 10: (a,b) seen: bl(ctx a=2)-bl(c_bi=2)=0; (b,c): bl(1)-bl(1)=0;
+    // (c,a): bl(1)-bl(1)=0 — 4 pairs, cost 0+0+0+0
+    assert(got(10L) === ((4L, 0L, 0L, 0L)))
+    // doc 11: (b,a) unseen, a seen: bl(N=6)-bl(c_uni(a)=2)+2 = 3-2+2 = 3
+    assert(got(11L) === ((1L, 1L, 0L, 3L)))
+    // doc 12: (a,z), z OOV: bl(6)+2 = 5
+    assert(got(12L) === ((1L, 1L, 1L, 5L)))
+    assert(!got.contains(13L), "single-token doc has no bigram")
+    assert(bl(6) === 3) // self-check of the reference bitlength
+  }
+
   test("frozen-LM streaming gate: in-distribution passes, OOV garbage and unassessable quarantine") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
