@@ -87,6 +87,24 @@ object TextIndex {
     AtomicTable.replace(kept.unionByName(fresh), tableDir)
   }
 
+  /** Right-to-be-forgotten on the lexical tiers: every posting for
+    * `ids` — raw and positional, whichever tiers exist under `dir` —
+    * is anti-joined out as ONE new committed version per tier (the
+    * delete half of [[addPostings]] with no insert). Idempotent:
+    * forgetting an absent id is a clean no-op commit. Readers mid-query
+    * keep their version (the AtomicTable snapshot contract); the
+    * forgotten rows become unreferenced at the commit and physically
+    * disappear at the next `vacuum` — the two-phase delete every
+    * compliance pipeline documents. */
+  def forget(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val del = ids.select(col("doc_id")).distinct()
+    if (AtomicTable.currentVersion(spark, postingsDir(dir)).nonEmpty)
+      replaceForIds(postings(spark, dir).limit(0), del, postingsDir(dir))
+    if (AtomicTable.currentVersion(spark, positionalDir(dir)).nonEmpty)
+      replaceForIds(positionalPostings(spark, dir).limit(0), del,
+        positionalDir(dir))
+  }
+
   /** The committed raw postings (current version). */
   def postings(spark: SparkSession, dir: String): DataFrame =
     AtomicTable.read(spark, postingsDir(dir))

@@ -92,6 +92,34 @@ object VectorIndex {
     AtomicTable.upsert(delta, assignedDir(dir), "vec_id")
   }
 
+  /** Right-to-be-forgotten on the vector tiers: the ids' rows leave
+    * the inverted lists (which carry the RAW embeddings) and the PQ
+    * codes (a lossy but invertible-enough sketch of them) as one
+    * committed version per existing tier. The codebook and the PQ
+    * books are TRAINED PARAMETERS and stay frozen — aggregates over
+    * many vectors in the Lloyd/production path. The id-SAMPLE codebook
+    * is the corner where that defense fails (a centroid literally IS
+    * one vector's raw embedding), so if any forgotten id is a centroid
+    * this call REFUSES loudly: honoring that request requires a
+    * rebuild, and silently keeping the data while reporting success is
+    * the one outcome a compliance path must never have. */
+  def forget(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val del = ids.select(col("vec_id")).distinct()
+    val sampledCentroid = codebook(spark, dir)
+      .join(del.withColumnRenamed("vec_id", "centroid_id"), Seq("centroid_id"))
+      .limit(1).count()
+    require(sampledCentroid == 0L,
+      "a forgotten id is a codebook centroid (id-sample codebook carries " +
+        "its raw embedding) — rebuild the index to honor this request")
+    AtomicTable.replace(
+      assigned(spark, dir).join(del, Seq("vec_id"), "left_anti"),
+      assignedDir(dir))
+    if (AtomicTable.currentVersion(spark, pqCodesDir(dir)).nonEmpty)
+      AtomicTable.replace(
+        pqCodes(spark, dir).join(del, Seq("vec_id"), "left_anti"),
+        pqCodesDir(dir))
+  }
+
   /** Probe the persisted index — [[Similarity.ivfTopK]] over the
     * committed snapshot (small query set; the batch scorer for a
     * corpus-sized query side is [[Similarity.ivfBatchTopK]] over

@@ -844,6 +844,42 @@ object CorpusQueries {
       TextIndex.positionalPostings(s, tmp), "doc_id", phrases)
   }
 
+  /** q164 — RIGHT-TO-BE-FORGOTTEN served from the maintained text
+    * index ([[TextIndex.forget]]): build + shard-arrive the postings
+    * artifact (the q148 lifecycle), then FORGET every doc_id % 7 == 0
+    * — one committed delete-only version — and serve the impact view
+    * from the surviving artifact. The oracle is q148's from-scratch
+    * index SQL over `documents` WITH THE FORGOTTEN DOCS FILTERED OUT:
+    * post-forget serving must be indistinguishable from never having
+    * ingested them, which is the entire compliance contract (df
+    * counts, impact ordering and top-16 cuts all re-rank without the
+    * deleted postings). The vector-tier twin (raw-embedding rows +
+    * PQ codes leave; id-sampled-centroid corner REFUSES) is pinned in
+    * VectorIndexSpec. */
+  val q164 = Q("q164_forget_from_index",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |r AS (SELECT token, doc_id, tf,
+      |             row_number() OVER (PARTITION BY token
+      |                                ORDER BY tf DESC, doc_id) AS rn
+      |      FROM tf)
+      |SELECT token, COUNT(*) AS df,
+      |       array_to_string(list(doc_id || ':' || tf ORDER BY tf DESC, doc_id)
+      |                         FILTER (WHERE rn <= 16), ',') AS postings
+      |FROM r GROUP BY token""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tmp = q164Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+      graft.pipeline.TempDirs.scoped("graft_forget_"))
+    TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tmp)
+    TextIndex.addShard(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tmp)
+    TextIndex.forget(s, docs.filter(col("doc_id") % 7 === 0).select("doc_id"), tmp)
+    TextIndex.indexView(s, tmp, topK = 16)
+  }
+
+  private val q164Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q163 — word-bigram STUPID BACKOFF scoring
     * ([[LanguageModel.stupidBackoffScores]], Brants et al. 2007): the
     * LM rule designed for distributed count tables — no normalization
@@ -901,5 +937,5 @@ object CorpusQueries {
 
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147, q148, q153, q159, q163)
+    q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164)
 }

@@ -141,4 +141,23 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.addShard(docs(1L -> "a b").limit(0), "doc_id", "text", dir)
     assert(sortedRows(TextIndex.indexView(spark, dir)) == before)
   }
+
+  test("forget: both tiers ≡ never-ingested; survivors untouched; idempotent") {
+    val all = docs(1L -> "a b a", 2L -> "b c", 3L -> "c c a", 4L -> "a d b")
+    val dir = tmpDir()
+    TextIndex.build(all, "doc_id", "text", dir)
+    TextIndex.buildPositional(all, "doc_id", "text", dir)
+    TextIndex.forget(spark, docs(2L -> "", 3L -> "").select("doc_id"), dir)
+    // post-forget serving == index built over the survivors only
+    val survivors = all.filter(col("doc_id").isin(1L, 4L))
+    assert(sortedRows(TextIndex.indexView(spark, dir, topK = 16)) ==
+      sortedRows(Retrieval.invertedIndex(survivors, "doc_id", "text", 16)))
+    assert(sortedRows(TextIndex.positionalPostings(spark, dir)) ==
+      sortedRows(Retrieval.positionalPostings(survivors, "doc_id", "text")
+        .withColumnRenamed("doc_id", "doc_id")))
+    // idempotent, absent ids included
+    val frozen = sortedRows(TextIndex.postings(spark, dir))
+    TextIndex.forget(spark, docs(3L -> "", 99L -> "").select("doc_id"), dir)
+    assert(sortedRows(TextIndex.postings(spark, dir)) == frozen)
+  }
 }

@@ -244,6 +244,39 @@ class VectorIndexSpec extends SparkSpec {
       s"refined recall ${recall(ref5)} < unrefined ${recall(unref5)}")
   }
 
+  test("forget: raw-embedding rows and PQ codes leave; params frozen; centroid corner refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vi_forget_").toString
+    VectorIndex.build(vecs.filter(col("vec_id") % 3 =!= 0), dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    VectorIndex.addShard(vecs.filter(col("vec_id") % 3 === 0), dir)
+    VectorIndex.addShardPq(vecs.filter(col("vec_id") % 3 === 0), dir, m = 4, dim = 64)
+    val cbv = VectorIndex.codebookVersion(spark, dir)
+    val bkv = VectorIndex.pqBooksVersion(spark, dir)
+    val centroidIds = VectorIndex.codebook(spark, dir)
+      .select("centroid_id").collect().map(_.getLong(0)).toSet
+    val goners = vecs.select("vec_id").collect().map(_.getLong(0))
+      .filterNot(centroidIds).take(5).toSeq
+    val before = VectorIndex.assigned(spark, dir).count()
+    VectorIndex.forget(spark, goners.toDF("vec_id"), dir)
+    val after = VectorIndex.assigned(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(goners.forall(!after(_)) && after.size === (before - goners.size).toInt)
+    val codeIds = VectorIndex.pqCodes(spark, dir)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(goners.forall(!codeIds(_)))
+    // trained parameters stay frozen (no retrain, no rewrite)
+    assert(VectorIndex.codebookVersion(spark, dir) === cbv)
+    assert(VectorIndex.pqBooksVersion(spark, dir) === bkv)
+    // id-sample centroid corner: refuse rather than silently retain
+    intercept[IllegalArgumentException] {
+      VectorIndex.forget(spark, Seq(centroidIds.min).toDF("vec_id"), dir)
+    }
+    // idempotent: forgetting again (or an absent id) is a clean no-op
+    VectorIndex.forget(spark, (goners :+ -999L).toDF("vec_id"), dir)
+    assert(VectorIndex.assigned(spark, dir).count() === after.size.toLong)
+  }
+
   test("trained-Lloyd production path: build + addShard + probe runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("vi_trained_").toString
     val base = vecs.filter(col("vec_id") % 3 =!= 0)
