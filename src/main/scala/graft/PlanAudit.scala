@@ -105,6 +105,12 @@ object PlanAudit {
         "; the remaining hinted sides are the frozen codebook (√n) and " +
         "the frozen PQ sub-codebooks (m·c rows — the pqCodebooks " +
         "'driver-tiny, always broadcast' contract)"),
+      "q161_ivfpq_refine" -> (annQuery +
+        "; the remaining hinted sides are the frozen codebook (√n), the " +
+        "frozen PQ sub-codebooks (m·c), and the per-(query, probed-cell) " +
+        "ADC lookup table — nprobe·m·c rows PER QUERY, bounded by the " +
+        "same query-set contract (the refine fetch joins the corpus " +
+        "relation WITHOUT a hint)"),
       "q157_bm25_query_table" ->
         ("the hinted sides are the QUERY TABLE (a serving batch — small " +
          "next to the corpus by the bm25QueryTable contract) and its " +
