@@ -120,6 +120,34 @@ object VectorIndex {
         pqCodesDir(dir))
   }
 
+  /** Honor a forget request [[forget]] refused (or rotate parameters
+    * wholesale): drop the ids' rows AND retrain every tier from the
+    * survivors — new codebook, fresh assignment of the surviving
+    * vectors, and (when `pq` is given as (m, c, dim)) new
+    * sub-codebooks + codes. Each tier lands as a committed version, so
+    * concurrent readers keep their snapshot for the duration of a
+    * scan; the forgotten vector is in NO post-rebuild artifact — raw
+    * rows, codes, or sampled centroid. This is the expensive path by
+    * design: the cheap [[forget]] covers every non-centroid request,
+    * and the refusal routes the remainder here instead of silently
+    * retaining data. */
+  def forgetAndRebuild(spark: SparkSession, ids: DataFrame, dir: String,
+                       trained: Boolean = false,
+                       pq: Option[(Int, Int, Int)] = None): Unit = {
+    val del = ids.select(col("vec_id")).distinct()
+    // land the survivor set BEFORE any tier is replaced: the rebuild
+    // reads the artifact it is about to overwrite, and a plan
+    // re-resolved mid-rebuild could see the half-written state (spill,
+    // not persist — the TempDirs no-leaked-cache discipline)
+    val survivors = graft.pipeline.TempDirs.spillParquet(
+      assigned(spark, dir)
+        .join(del, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding")),
+      "graft_rebuild_")
+    build(survivors, dir, trained)
+    pq.foreach { case (m, c, d) => buildPq(spark, dir, m, c, d, trained) }
+  }
+
   /** Probe the persisted index — [[Similarity.ivfTopK]] over the
     * committed snapshot (small query set; the batch scorer for a
     * corpus-sized query side is [[Similarity.ivfBatchTopK]] over

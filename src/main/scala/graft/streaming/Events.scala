@@ -636,6 +636,24 @@ object Events {
       .parquet(streamDir)
   }
 
+  /** Streaming RIGHT-TO-BE-FORGOTTEN: each micro-batch of delete
+    * requests (rows carrying `idCol`) propagates through
+    * [[graft.functions.TextIndex.forget]] as one committed delete-only
+    * version per existing lexical tier — the compliance stream every
+    * serving index needs next to its ingest stream. Idempotent under
+    * batch replay by construction (anti-joining an already-absent id
+    * is a no-op commit), so checkpoint-recovery replays are safe — the
+    * [[atomicUpsertBatch]] discipline in the delete direction.
+    * Arrivals must be serialized per index (the TextIndex concurrency
+    * contract); one streaming query with a default trigger does
+    * exactly that. */
+  def forgetGateBatch(indexDir: String, idCol: String = "doc_id")(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.functions.TextIndex.forget(batch.sparkSession,
+      batch.select(col(idCol).as("doc_id")), indexDir)
+  }
+
   /** Streaming constraint gate: per micro-batch, rows passing every
     * named rule append to the silver path, violators append to a
     * quarantine path carrying batch id + the exact rules broken —

@@ -142,6 +142,23 @@ class TextIndexSpec extends SparkSpec {
     assert(sortedRows(TextIndex.indexView(spark, dir)) == before)
   }
 
+  test("streaming forget gate: tombstone batches propagate through both tiers; replay idempotent") {
+    val dir = tmpDir()
+    val all = docs(1L -> "a b", 2L -> "b c", 3L -> "c a", 4L -> "a d")
+    TextIndex.build(all, "doc_id", "text", dir)
+    TextIndex.buildPositional(all, "doc_id", "text", dir)
+    graft.streaming.Events.forgetGateBatch(dir)(docs(2L -> ""), 0L)
+    graft.streaming.Events.forgetGateBatch(dir)(docs(4L -> ""), 1L)
+    val survivors = docs(1L -> "a b", 3L -> "c a")
+    val wantIdx = sortedRows(Retrieval.invertedIndex(survivors, "doc_id", "text", 16))
+    val wantPos = sortedRows(Retrieval.positionalPostings(survivors, "doc_id", "text"))
+    assert(sortedRows(TextIndex.indexView(spark, dir, topK = 16)) == wantIdx)
+    assert(sortedRows(TextIndex.positionalPostings(spark, dir)) == wantPos)
+    // checkpoint-recovery replay of batch 1 must be a no-op
+    graft.streaming.Events.forgetGateBatch(dir)(docs(4L -> ""), 1L)
+    assert(sortedRows(TextIndex.indexView(spark, dir, topK = 16)) == wantIdx)
+  }
+
   test("forget: both tiers ≡ never-ingested; survivors untouched; idempotent") {
     val all = docs(1L -> "a b a", 2L -> "b c", 3L -> "c c a", 4L -> "a d b")
     val dir = tmpDir()

@@ -277,6 +277,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.assigned(spark, dir).count() === after.size.toLong)
   }
 
+  test("forgetAndRebuild: the refused centroid request is honored by retraining every tier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vi_rebuild_").toString
+    VectorIndex.build(vecs, dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    val cbv = VectorIndex.codebookVersion(spark, dir)
+    val victim = VectorIndex.codebook(spark, dir)
+      .select("centroid_id").collect().map(_.getLong(0)).min
+    intercept[IllegalArgumentException] {
+      VectorIndex.forget(spark, Seq(victim).toDF("vec_id"), dir)
+    }
+    VectorIndex.forgetAndRebuild(spark, Seq(victim).toDF("vec_id"), dir,
+      pq = Some((4, 16, 64)))
+    // the id is in NO post-rebuild artifact
+    assert(VectorIndex.assigned(spark, dir)
+      .filter(col("vec_id") === victim).isEmpty)
+    assert(VectorIndex.pqCodes(spark, dir)
+      .filter(col("vec_id") === victim).isEmpty)
+    assert(VectorIndex.codebook(spark, dir)
+      .filter(col("centroid_id") === victim).isEmpty)
+    // params were RETRAINED (new versions), and the survivor count holds
+    assert(VectorIndex.codebookVersion(spark, dir) !== cbv)
+    assert(VectorIndex.assigned(spark, dir).count() === vecs.count() - 1)
+    // and the rebuilt artifact still serves
+    assert(VectorIndex.topK(spark, dir, vecs.filter(col("vec_id") < 2),
+      k = 5, nprobe = 4).count() > 0)
+  }
+
   test("trained-Lloyd production path: build + addShard + probe runs end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("vi_trained_").toString
     val base = vecs.filter(col("vec_id") % 3 =!= 0)
