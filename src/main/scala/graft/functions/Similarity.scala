@@ -190,6 +190,26 @@ object Similarity {
   def kmeansParallelInit(vectors: DataFrame, rounds: Int, l: Int, k: Int,
                          salt: String): DataFrame = {
     val spark = vectors.sparkSession
+    val (cand, weights) = kmppCandidates(vectors, rounds, l, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("c_id").asc) // |C| rows: single-partition window is fine
+    spark.createDataFrame(cand.map(c => (c._1, c._3)).toSeq).toDF("c_id", "round")
+      .join(weights, Seq("c_id"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .select(col("c_id").as("vec_id"), col("round"), col("weight"),
+        col("rank"), (col("rank") <= k).as("selected"))
+  }
+
+  /** The k-means|| sampling loop + the candidate-weight pass, shared by
+    * the oracle-exact [[kmeansParallelInit]] and the production
+    * recluster [[kmeansParallelCentroids]]. Returns the candidate set
+    * (vec_id, embedding, round entered) and the per-candidate cluster
+    * weights. */
+  private def kmppCandidates(vectors: DataFrame, rounds: Int, l: Int,
+                             salt: String)
+      : (Array[(Long, Seq[Float], Int)], DataFrame) = {
+    val spark = vectors.sparkSession
     val v = vectors.select(col("vec_id"), col("embedding"))
     val seedId = v.agg(min(col("vec_id"))).head.getLong(0)
     var cand: Array[(Long, Seq[Float], Int)] = v.filter(col("vec_id") === seedId)
@@ -224,14 +244,66 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min_by(col("c_id"), struct(col("dd"), col("c_id"))).as("c_id"))
       .groupBy(col("c_id")).agg(count(lit(1)).as("weight"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("weight").desc, col("c_id").asc) // |C| rows: single-partition window is fine
-    spark.createDataFrame(cand.map(c => (c._1, c._3)).toSeq).toDF("c_id", "round")
-      .join(weights, Seq("c_id"), "left")
-      .withColumn("weight", coalesce(col("weight"), lit(0L)))
-      .withColumn("rank", row_number().over(w))
-      .select(col("c_id").as("vec_id"), col("round"), col("weight"),
-        col("rank"), (col("rank") <= k).as("selected"))
+    (cand, weights)
+  }
+
+  /** The PRODUCTION k-means|| finish (the paper's step the oracle-exact
+    * [[kmeansParallelInit]] stands in for with its top-k-by-weight
+    * cut): recluster the weighted candidate set down to k centers with
+    * Lloyd ON THE DRIVER — the candidate set is O(rounds·l) points, so
+    * this is exactly the "recluster the coreset locally" step Bahmani
+    * et al. prescribe; the corpus is never rescanned during the
+    * recluster. Seeding is the deterministic top-k-by-weight cut
+    * (ties → lower id); each Lloyd iteration is weighted
+    * (assign candidate → nearest center by L2, recompute centers as
+    * weight-weighted means; an emptied center keeps its position).
+    * Float means ⇒ rows-only at the gate (the q24/q100 convention);
+    * the exact sampling half IS hash-gated as q162.
+    *
+    * Returns (centroid_id 0..k−1, n_assigned) — the corpus assignment
+    * census under the trained centers: ONE final corpus pass, map-side
+    * combined, same shape as the weight pass. */
+  def kmeansParallelCentroids(vectors: DataFrame, rounds: Int, l: Int, k: Int,
+                              salt: String, iters: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
+    val (cand, weightsDf) = kmppCandidates(vectors, rounds, l, salt)
+    val wmap = weightsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = cand.map(c =>
+      (c._2.map(_.toDouble).toArray, wmap.getOrElse(c._1, 0L).toDouble, c._1))
+    val dim = pts.head._1.length
+    def l2d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    var centers: Array[Array[Double]] =
+      pts.sortBy(p => (-p._2, p._3)).take(k).map(_._1.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val ws = new Array[Double](centers.length)
+      for ((x, wt, _) <- pts if wt > 0) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < centers.length) {
+          val d = l2d(x, centers(j)); if (d < bd) { bd = d; best = j }; j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += wt * x(i); i += 1 }
+        ws(best) += wt
+      }
+      centers = centers.indices.map { j =>
+        if (ws(j) > 0) sums(j).map(_ / ws(j)) else centers(j)
+      }.toArray
+    }
+    val centDf = broadcast(spark.createDataFrame(
+      centers.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) })
+      .toDF("centroid_id", "c_emb"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(centDf)
+      .select(col("vec_id"), col("centroid_id"),
+        l2sq(col("embedding"), col("c_emb")).as("dd"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"), struct(col("dd"), col("centroid_id")))
+        .as("centroid_id"))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_assigned"))
   }
 
   /** JVM-scoped codebook cache: Lloyd training is deterministic, so a

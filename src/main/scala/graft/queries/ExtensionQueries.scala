@@ -1692,6 +1692,22 @@ object ExtensionQueries {
       rounds = 3, l = 8, k = 16, salt = "kmpp")
   }
 
+  /** q165 — the PRODUCTION k-means|| finish
+    * ([[Similarity.kmeansParallelCentroids]]): q162's exact sampling
+    * rounds, then the paper's weighted Lloyd recluster of the
+    * candidate coreset down to k=16 centers ON THE DRIVER (the
+    * candidate set is O(rounds·l) points — the corpus is never
+    * rescanned while reclustering), then ONE corpus census pass under
+    * the trained centers. Float means ⇒ rows-only (the q24/q100
+    * prod-twin convention; the sampling half IS hash-gated as q162);
+    * SimilaritySpec pins determinism, full coverage, and that the
+    * trained centers beat the naive first-k seeding on total
+    * potential. */
+  val q165 = Q.noOracle("q165_kmeans_recluster") { (s, d) =>
+    Similarity.kmeansParallelCentroids(Tables.embeddings(s, d),
+      rounds = 3, l = 8, k = 16, salt = "kmpp")
+  }
+
   /** q144 — bitext-style MUTUAL nearest-neighbor mining
     * ([[Similarity.mutualTopOne]]): vectors with even label play
     * corpus A ("source language"), odd label corpus B; a pair
@@ -1746,5 +1762,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149, q154, q155, q156, q161, q162)
+    q144, q149, q154, q155, q156, q161, q162, q165)
 }

