@@ -247,6 +247,41 @@ object Similarity {
     (cand, weights)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (the DPR/contrastive
+    * recipe): for every anchor, candidates meet through the anchor's
+    * IVF cell (the q53 equi-join shape — never O(n²)), rank by cosine,
+    * SKIP the top `skip` (the near-duplicate / likely-positive zone a
+    * contrastive loss must not see as negatives) and keep the next
+    * `take` — similar enough to be hard, dissimilar enough to be
+    * negative. Output: (anchor_id, negative_id, cos_sim, neg_rank
+    * 1..take). Every cell assignment, cosine and tiebreak is
+    * deterministic, so the whole mining pass is SQL-replayable under
+    * the sampled-codebook discipline.
+    *
+    * Scale shape: one equi-join on centroid_id (Σ cell² ≈ n·√n pair
+    * rows for the √n codebook), one per-anchor top-(skip+take) window
+    * within cell-bounded groups. At 100 TB the cells ARE the shards —
+    * the same layout the near-dup pass already proved out. */
+  def hardNegatives(vectors: DataFrame, cents: DataFrame,
+                    skip: Int, take: Int): DataFrame = {
+    require(skip >= 0 && take >= 1, "skip >= 0, take >= 1")
+    val assigned = ivfAssign(vectors, cents)
+    val a = assigned.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("a_emb"), col("v_norm").as("a_norm"), col("centroid_id"))
+    val b = assigned.select(col("vec_id").as("negative_id"),
+      col("embedding").as("n_emb"), col("v_norm").as("n_norm"), col("centroid_id"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("anchor_id") =!= col("negative_id"))
+      .select(col("anchor_id"), col("negative_id"),
+        (dot(col("a_emb"), col("n_emb")) / (col("a_norm") * col("n_norm")))
+          .as("cos_sim"))
+    Relational.topNPerGroup(pairs, skip + take, Seq(col("anchor_id")),
+        col("cos_sim"), col("negative_id"))
+      .filter(col("rank") > skip)
+      .select(col("anchor_id"), col("negative_id"), col("cos_sim"),
+        (col("rank") - skip).as("neg_rank"))
+  }
+
   /** The PRODUCTION k-means|| finish (the paper's step the oracle-exact
     * [[kmeansParallelInit]] stands in for with its top-k-by-weight
     * cut): recluster the weighted candidate set down to k centers with

@@ -1692,6 +1692,35 @@ object ExtensionQueries {
       rounds = 3, l = 8, k = 16, salt = "kmpp")
   }
 
+  /** q166 — HARD-NEGATIVE mining for contrastive training
+    * ([[Similarity.hardNegatives]], the DPR recipe): per anchor, rank
+    * same-IVF-cell candidates by cosine, SKIP the top 2 (the
+    * near-dup/likely-positive zone a contrastive loss must not see as
+    * negatives) and keep the next 3 — similar enough to be hard,
+    * dissimilar enough to be negative. The q53 equi-join shape with a
+    * per-anchor band cut; sampled codebook ⇒ every cell, cosine and
+    * tiebreak replays in SQL. */
+  val q166 = Q("q166_hard_negatives",
+    s"""$ivfAssignCteSql,
+       |av AS (
+       |  SELECT a.vec_id, a.centroid_id, v.e, sqrt(${dotSql("v.e", "v.e")}) AS nrm
+       |  FROM assigned a JOIN v ON v.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT x.vec_id AS anchor_id, y.vec_id AS negative_id,
+       |         ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cos_sim
+       |  FROM av x JOIN av y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id)
+       |SELECT anchor_id, negative_id, cos_sim, CAST(rank - 2 AS INT) AS neg_rank
+       |FROM (
+       |  SELECT anchor_id, negative_id, cos_sim,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cos_sim DESC, negative_id) AS rank
+       |  FROM pairs) WHERE rank > 2 AND rank <= 5""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d)
+    val cents = Similarity.centroids(vecs, Similarity.codebookSize(vecs.count()))
+    Similarity.hardNegatives(vecs, cents, skip = 2, take = 3)
+  }
+
   /** q165 — the PRODUCTION k-means|| finish
     * ([[Similarity.kmeansParallelCentroids]]): q162's exact sampling
     * rounds, then the paper's weighted Lloyd recluster of the
@@ -1762,5 +1791,5 @@ object ExtensionQueries {
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149, q154, q155, q156, q161, q162, q165)
+    q144, q149, q154, q155, q156, q161, q162, q165, q166)
 }

@@ -483,4 +483,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(census.toSet === census2.toSet)
   }
+
+  test("hard negatives: the skipped zone is exactly the per-anchor top-2 by cosine") {
+    val vecs = Tables.embeddings(spark, sf)
+    val cents = graft.functions.Similarity.centroids(vecs,
+      graft.functions.Similarity.codebookSize(vecs.count()))
+    val negs = graft.functions.Similarity.hardNegatives(vecs, cents, skip = 2, take = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(negs.nonEmpty && negs.forall(t => t._4 >= 1 && t._4 <= 3))
+    assert(negs.forall(t => t._1 != t._2), "no self-negatives")
+    // full band = top-5 (skip=0); the emitted band must be exactly ranks 3..5 of it
+    val full = graft.functions.Similarity.hardNegatives(vecs, cents, skip = 0, take = 5)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    negs.foreach { case (a, n, _, nr) =>
+      assert(full((a, nr + 2)) === n, s"anchor $a band slot $nr") }
+  }
 }
