@@ -636,6 +636,26 @@ object Events {
       .parquet(streamDir)
   }
 
+  /** Streaming maintenance for BOTH vector tiers: each micro-batch of
+    * (vec_id, embedding) arrivals goes through the frozen codebook into
+    * the inverted lists ([[graft.functions.VectorIndex.addShard]]) and
+    * through the frozen sub-codebooks into the PQ codes
+    * ([[graft.functions.VectorIndex.addShardPq]]) — one committed
+    * version per tier per batch, nothing retrained on arrival. Both
+    * merges are delete-then-insert by vec_id, so a checkpoint-recovery
+    * replay of a batch is idempotent and a re-embedded vector replaces
+    * all its rows in both tiers atomically-per-tier. This closes the
+    * streaming maintenance matrix: impact postings, positional
+    * postings, vector lists, and now the codes that ARE the index at
+    * 100 TB. Arrivals serialize per index (the AtomicTable upsert
+    * contract) — one streaming query does that by construction. */
+  def vectorIndexMaintainBatch(indexDir: String, m: Int, dim: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.functions.VectorIndex.addShard(batch, indexDir)
+    graft.functions.VectorIndex.addShardPq(batch, indexDir, m, dim)
+  }
+
   /** Streaming RIGHT-TO-BE-FORGOTTEN: each micro-batch of delete
     * requests (rows carrying `idCol`) propagates through
     * [[graft.functions.TextIndex.forget]] as one committed delete-only

@@ -277,6 +277,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.assigned(spark, dir).count() === after.size.toLong)
   }
 
+  test("streaming vector maintenance: both tiers per batch; replay idempotent; params frozen") {
+    val dir = java.nio.file.Files.createTempDirectory("vi_stream_pq_").toString
+    VectorIndex.build(vecs.filter(col("vec_id") % 3 === 1), dir)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 16, dim = 64)
+    val cbv = VectorIndex.codebookVersion(spark, dir)
+    val bkv = VectorIndex.pqBooksVersion(spark, dir)
+    val b0 = vecs.filter(col("vec_id") % 3 === 2)
+    val b1 = vecs.filter(col("vec_id") % 3 === 0)
+    graft.streaming.Events.vectorIndexMaintainBatch(dir, m = 4, dim = 64)(b0, 0L)
+    graft.streaming.Events.vectorIndexMaintainBatch(dir, m = 4, dim = 64)(b1, 1L)
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "block", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val streamed = codeMap(VectorIndex.pqCodes(spark, dir))
+    assert(streamed.size === vecs.count() * 4, "m code rows per vector, all arrived")
+    assert(VectorIndex.assigned(spark, dir).count() === vecs.count())
+    // checkpoint-recovery replay of batch 1: delete-then-insert by
+    // vec_id makes it a no-op on the final state
+    graft.streaming.Events.vectorIndexMaintainBatch(dir, m = 4, dim = 64)(b1, 1L)
+    assert(codeMap(VectorIndex.pqCodes(spark, dir)) === streamed)
+    assert(VectorIndex.assigned(spark, dir).count() === vecs.count())
+    // nothing retrained on any arrival
+    assert(VectorIndex.codebookVersion(spark, dir) === cbv)
+    assert(VectorIndex.pqBooksVersion(spark, dir) === bkv)
+  }
+
   test("forgetAndRebuild: the refused centroid request is honored by retraining every tier") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("vi_rebuild_").toString
