@@ -60,6 +60,27 @@ object Quantiles {
       max(col("n")).as("n"))
   }
 
+  /** GLOBAL k-quantile CUT points of an integer-valued column under
+    * the same inf-CDF convention — a (k−1)-element array in one row
+    * (`cuts(i) = q((i+1)/k)`). Same scale shape as
+    * [[groupThresholds]]: the corpus collapses to a value histogram
+    * first (map-side combined), and the window cumsum runs over the
+    * compact histogram only, never over rows. Segment assignment is
+    * then `1 + Σᵢ [v > cuts(i)]` — a map-only comparison against the
+    * broadcast one-row table; equal values always land in the same
+    * segment (value-based, not row-based — the property `ntile` does
+    * NOT have, and the reason this is hash-gateable without a
+    * row-order tiebreak). */
+  def cutPoints(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-quantile cuts need k >= 2, got $k")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cc", sum(col("c")).over(Window.orderBy(valueCol)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+    cum.agg(array((1 until k).map(q =>
+      min(when(col("cc") * k >= col("n") * q, col(valueCol)))): _*).as("cuts"))
+  }
+
   /** Rows of `df` whose `valueCol` lies inside the group's
     * [q(lo), q(hi)] band — the per-group quantile trim. The input
     * passes through unchanged except the filter (no reorder, no

@@ -250,5 +250,104 @@ object WindowQueries {
         "event_id", "event_type", Seq("view", "click", "purchase"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150)
+  /** q167 — RETENTION COHORT matrix over the event stream: cohort =
+    * each user's first active week (integer epoch-week — exact int64
+    * `div`, no calendar/TZ seam), cell (cohort, offset) = distinct
+    * users from that cohort active `offset` weeks later. THE
+    * companion table to q150's funnel on every e-commerce dashboard.
+    * Shape: one distinct on (user, week) — map-side combined — one
+    * min-aggregate for cohorts, one equi-join back on user_id, one
+    * count; at 100 TB every step shuffles user-week rows, never raw
+    * events. */
+  val q167 = Q("q167_retention_cohorts",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1)
+      |SELECT c.cohort AS cohort_week,
+      |       CAST(uw.wk - c.cohort AS INT) AS week_offset,
+      |       COUNT(*) AS n_users
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.Retention.cohortMatrix(
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+        .distinct())
+  }
+
+  /** q168 — RFM SEGMENTATION over orders ([[graft.operators.Quantiles
+    * .cutPoints]]): recency (last order date as integer yyyymmdd —
+    * calendar parts are TZ-free on both engines), frequency (order
+    * count) and monetary (sum of exact integer cents:
+    * ⌊price·100 + 0.5⌋ per order, summed as int64 — a double SUM
+    * would be addition-order-nondeterministic) each cut into VALUE-
+    * BASED quintiles by the inf-CDF boundary rule — equal metric
+    * values always share a segment, the property `ntile` lacks and
+    * the reason this sits under the hash gate with no row-order
+    * tiebreak. Assignment is a map-only comparison against three
+    * broadcast one-row cut tables; the only shuffles are the
+    * per-customer aggregate and three histogram folds. Quintile 5 =
+    * highest value of the raw metric (latest date, most orders, most
+    * spend). */
+  val q168 = Q("q168_rfm_segments",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |         MAX(year(o_orderdate)*10000 + month(o_orderdate)*100
+      |             + day(o_orderdate)) AS r_last,
+      |         COUNT(*) AS f_orders,
+      |         CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |rcum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc, SUM(c) OVER () AS n
+      |         FROM (SELECT r_last AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+      |rcuts AS (SELECT min(CASE WHEN cc*5 >= n*1 THEN v END) AS b1,
+      |                 min(CASE WHEN cc*5 >= n*2 THEN v END) AS b2,
+      |                 min(CASE WHEN cc*5 >= n*3 THEN v END) AS b3,
+      |                 min(CASE WHEN cc*5 >= n*4 THEN v END) AS b4 FROM rcum),
+      |fcum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc, SUM(c) OVER () AS n
+      |         FROM (SELECT f_orders AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+      |fcuts AS (SELECT min(CASE WHEN cc*5 >= n*1 THEN v END) AS b1,
+      |                 min(CASE WHEN cc*5 >= n*2 THEN v END) AS b2,
+      |                 min(CASE WHEN cc*5 >= n*3 THEN v END) AS b3,
+      |                 min(CASE WHEN cc*5 >= n*4 THEN v END) AS b4 FROM fcum),
+      |mcum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc, SUM(c) OVER () AS n
+      |         FROM (SELECT m_cents AS v, COUNT(*) AS c FROM cust GROUP BY 1)),
+      |mcuts AS (SELECT min(CASE WHEN cc*5 >= n*1 THEN v END) AS b1,
+      |                 min(CASE WHEN cc*5 >= n*2 THEN v END) AS b2,
+      |                 min(CASE WHEN cc*5 >= n*3 THEN v END) AS b3,
+      |                 min(CASE WHEN cc*5 >= n*4 THEN v END) AS b4 FROM mcum),
+      |seg AS (
+      |  SELECT o_custkey,
+      |    CAST(1 + (r_last > r.b1)::INT + (r_last > r.b2)::INT
+      |           + (r_last > r.b3)::INT + (r_last > r.b4)::INT AS INT) AS r_q,
+      |    CAST(1 + (f_orders > f.b1)::INT + (f_orders > f.b2)::INT
+      |           + (f_orders > f.b3)::INT + (f_orders > f.b4)::INT AS INT) AS f_q,
+      |    CAST(1 + (m_cents > m.b1)::INT + (m_cents > m.b2)::INT
+      |           + (m_cents > m.b3)::INT + (m_cents > m.b4)::INT AS INT) AS m_q
+      |  FROM cust, rcuts r, fcuts f, mcuts m)
+      |SELECT o_custkey, r_q, f_q, m_q,
+      |       CAST(r_q*100 + f_q*10 + m_q AS INT) AS rfm_code
+      |FROM seg""".stripMargin) { (s, d) =>
+    import graft.operators.Quantiles
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+      max(year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+        + dayofmonth(col("o_orderdate"))).as("r_last"),
+      count(lit(1)).as("f_orders"),
+      sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("m_cents"))
+    def cutsOf(c: String, as: String) =
+      broadcast(Quantiles.cutPoints(cust, c, 5).select(col("cuts").as(as)))
+    def seg(v: String, cuts: String) =
+      (lit(1) +: (1 to 4).map(i =>
+        when(col(v) > element_at(col(cuts), i), 1).otherwise(0))).reduce(_ + _)
+    cust.crossJoin(cutsOf("r_last", "rc"))
+      .crossJoin(cutsOf("f_orders", "fc"))
+      .crossJoin(cutsOf("m_cents", "mc"))
+      .select(col("o_custkey"),
+        seg("r_last", "rc").as("r_q"),
+        seg("f_orders", "fc").as("f_q"),
+        seg("m_cents", "mc").as("m_q"))
+      .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
+    q167, q168)
 }

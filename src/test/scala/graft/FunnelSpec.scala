@@ -45,6 +45,23 @@ class FunnelSpec extends SparkSpec {
     assert(frontiers.head.head().getLong(1) == 1L, "stage-1 frontier is the earliest view")
   }
 
+  test("retention cohorts: staggered joins, churn and re-activation land in the right cells") {
+    import spark.implicits._
+    // u1 joins wk0, active 0/1/3 (skips 2 — re-activation);
+    // u2 joins wk0, active 0 only (churned); u3 joins wk1, active 1/2
+    val activity = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L),
+      (2L, 0L),
+      (3L, 1L), (3L, 2L)).toDF("user_id", "wk")
+    val got = graft.operators.Retention.cohortMatrix(activity)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0) -> 2L, (0L, 1) -> 1L, (0L, 3) -> 1L, // cohort wk0: both at 0, u1 at 1 and 3
+      (1L, 0) -> 1L, (1L, 1) -> 1L))               // cohort wk1: u3 alone (u1 belongs to wk0)
+    // no cell for (0,2): u1 skipped week 2 and u2 churned — gaps stay gaps
+    assert(!got.contains((0L, 2)))
+  }
+
   test("counts are non-increasing across stages on the sf fixture") {
     val out = graft.queries.WindowQueries.q150.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
