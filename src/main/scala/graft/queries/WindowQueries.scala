@@ -348,6 +348,48 @@ object WindowQueries {
       .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
   }
 
+  /** q169 — MARKET-BASKET lift (the A-Priori candidate step, the
+    * third dashboard table next to q150/q167): co-occurring part
+    * pairs within an order, kept at support ≥ 2, scored by lift =
+    * n·c(ab)/(c(a)·c(b)). The pair join is a self-equi-join on the
+    * ORDER key, so pair mass is Σ basket² — bounded by the max basket
+    * size (13 here, single digits in any real cart), i.e. LINEAR in
+    * lineitems at any corpus size; the support cut happens after a
+    * map-side-combined count, never on raw pairs. All counts are
+    * int64; `lift` is ONE IEEE division of two exactly-representable
+    * integer products (the q137 emitted-double rule), so the whole
+    * table sits under the hash gate. */
+  val q169 = Q("q169_basket_lift",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n FROM li),
+      |item AS (SELECT p, COUNT(*) AS c_item FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS c_ab
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, c_ab, ia.c_item AS c_a, ib.c_item AS c_b,
+      |       CAST(c_ab * n.n AS DOUBLE) / CAST(ia.c_item * ib.c_item AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN item ia ON ia.p = part_a
+      |JOIN item ib ON ib.p = part_b
+      |CROSS JOIN n""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val n = li.select("o").distinct().count() // one scalar (watermark-probe class)
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("c_item"))
+    val pairs = li.select(col("o"), col("p").as("part_a"))
+      .join(li.select(col("o"), col("p").as("part_b")), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+    pairs
+      .join(item.select(col("p").as("part_a"), col("c_item").as("c_a")), Seq("part_a"))
+      .join(item.select(col("p").as("part_b"), col("c_item").as("c_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * n).cast("double") / (col("c_a") * col("c_b")).cast("double"))
+          .as("lift"))
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
-    q167, q168)
+    q167, q168, q169)
 }
