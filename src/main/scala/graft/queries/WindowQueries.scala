@@ -390,6 +390,85 @@ object WindowQueries {
           .as("lift"))
   }
 
+  /** q170 — DAU / WAU / stickiness per day. The trailing-7-day
+    * distinct-user count is NOT a range join (which Spark plans as a
+    * broadcast-nested-loop at scale) and NOT a window COUNT DISTINCT
+    * (unsupported): each user-day SUPPORTS the next 7 calendar days,
+    * so explode it into them (`sequence(day, day+6)` — a map-only ×7
+    * fan-out of the already-deduped user-day relation), dedupe
+    * (user, supported-day), and count — shuffles carry user-day rows
+    * only, never events. Days with no activity emit no row (a
+    * dashboard renders the gap); `stickiness` = dau/wau is one IEEE
+    * division of two int64s (the q137 emitted-double rule). Day =
+    * integer epoch-day from the int64 nanos `ts` — no calendar/TZ
+    * seam. */
+  val q170 = Q("q170_dau_wau_stickiness",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |sup AS (
+      |  SELECT DISTINCT user_id, day + o AS day
+      |  FROM ud, unnest(range(0, 7)) AS u(o)),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM sup GROUP BY 1)
+      |SELECT d.day, d.dau, w.wau,
+      |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  /** q171 — per-customer INTER-PURCHASE interval median (the repeat-
+    * purchase cadence behind replenishment and churn-risk models):
+    * consecutive order gaps in integer calendar days (lag over a
+    * per-customer window ordered by (day, orderkey) — same-day orders
+    * contribute deterministic 0-gaps), median by the exact inf-CDF
+    * rule via [[graft.operators.Quantiles.groupThresholds]] at
+    * 1/2 — no interpolated `percentile`, no float rank, so every
+    * median hash-gates. Shape: one shuffle on the customer key for
+    * the window, then the histogram fold — gaps collapse to
+    * (customer, gap) cells before any rank arithmetic. */
+  val q171 = Q("q171_interpurchase_median",
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey,
+      |         day - lag(day) OVER (PARTITION BY o_custkey
+      |                              ORDER BY day, o_orderkey) AS gap
+      |  FROM d),
+      |h AS (SELECT o_custkey, gap, COUNT(*) AS c FROM g
+      |      WHERE gap IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT o_custkey, gap,
+      |               SUM(c) OVER (PARTITION BY o_custkey ORDER BY gap) AS cc,
+      |               SUM(c) OVER (PARTITION BY o_custkey) AS n
+      |        FROM h)
+      |SELECT o_custkey, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |       CAST(MIN(CASE WHEN cc*2 >= n THEN gap END) AS INT) AS median_gap_days
+      |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.Quantiles
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1992-01-01"))).as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    Quantiles.groupThresholds(gaps, "o_custkey", "gap", 1, 2, 1, 2)
+      .select(col("o_custkey"), col("n").as("n_gaps"),
+        col("lo").as("median_gap_days"))
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
-    q167, q168, q169)
+    q167, q168, q169, q170, q171)
 }
