@@ -935,7 +935,65 @@ object CorpusQueries {
       docs.filter(col("doc_id") % 5 =!= 0), docs, "doc_id", "text")
   }
 
+  /** q172 — n-gram NOVELTY score per doc (the memorization-risk
+    * complement every dataset datasheet wants next to its dup rate): a
+    * doc position is novel iff its word 8-gram appears in NO other
+    * document; novelty = novel/total as ONE IEEE division of the two
+    * int64 counts. Docs under 8 tokens have no 8-gram and drop out
+    * (the q110 convention). Shape: gram explode folds straight into a
+    * two-level distinct-doc count (map-side combined), one join back,
+    * one per-doc aggregate — the q110/q142 gram-join discipline
+    * without the pair blow-up (df is grouped per gram, never joined
+    * doc×doc). */
+  val q172 = Q("q172_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      |              FROM documents),
+      |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+      |      FROM toks WHERE len(t) >= 8),
+      |g AS (SELECT doc_id,
+      |             t[pos]   || ' ' || t[pos+1] || ' ' || t[pos+2] || ' ' ||
+      |             t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5] || ' ' ||
+      |             t[pos+6] || ' ' || t[pos+7] AS gram
+      |      FROM p),
+      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN df.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(SUM(CASE WHEN df.ddf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM g JOIN df ON g.gram = df.gram
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 7),
+        i => array_join(slice(col("t"), i, lit(8)), " "))).as("gram"))
+    val df = grams.groupBy("gram").agg(countDistinct(col("doc_id")).as("ddf"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ddf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** q173 — exact-duplicate CLUSTER-SIZE histogram (the dup-rate row
+    * of a dataset datasheet, q15's aggregate view): md5 clusters by
+    * size, sizes by count. Two map-side-combined aggregates; null
+    * text forms its own cluster on both engines (md5(NULL) = NULL
+    * groups as one key — the q15 convention). */
+  val q173 = Q("q173_dup_cluster_histogram",
+    """WITH c AS (SELECT md5(text) AS h, COUNT(*) AS sz
+      |           FROM documents GROUP BY 1)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+      |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
-    q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164)
+    q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164,
+    q172, q173)
 }
