@@ -359,4 +359,68 @@ object Text {
        |                 gt -> $w % ${2 * half + 1} - $half)),
        |  (ga, gb) -> ga + gb)""".stripMargin
   }
+
+  /** Per-doc n-gram NOVELTY (q172's operator half, reusable by the
+    * composed curation pipeline): a position is novel iff its word
+    * n-gram appears in NO other document; output (idCol, n_grams,
+    * n_novel, novelty) with novelty as ONE IEEE division of the two
+    * int64 counts. Docs with fewer than n tokens have no gram and
+    * emit no row. Shape: gram explode → per-gram distinct-doc count
+    * (two-level, map-side combined) → join back → per-doc aggregate —
+    * never doc×doc. */
+  /** Composed CURATION signals — the keep/drop table with REASONS that
+    * an end-to-end cleaning recipe emits (every doc keeps its row; a
+    * dashboard audits WHY things dropped, which a bare filter can't):
+    *   - `dup_loser`  — not the min-id member of its exact (md5) cluster
+    *     (computed as groupBy+min and a join back, map-side combined —
+    *     not a window over the corpus);
+    *   - `too_short`  — under `minTokens` tokens;
+    *   - `dup_heavy`  — n-gram novelty below `noveltyFloor` (shares
+    *     almost all its n-grams with other docs — the near-dup smell
+    *     exact hashing misses); docs too short to HAVE grams are
+    *     already caught by `too_short`;
+    *   - `kept`       — none of the above.
+    * Signals are INDEPENDENT by design: an exact-dup cluster's KEEPER
+    * is still `dup_heavy` (its content exists elsewhere, novelty ~0),
+    * so `kept` retains only content unique to the corpus. A
+    * keep-one-canonical recipe wants the q127 cluster policy on the
+    * `dup_loser` axis alone — this table gives the audit to choose
+    * from; the conjunction is the strictest cut.
+    * Each signal is deterministic/integer-derived, so the whole table
+    * hash-gates (the novelty double is one IEEE division). */
+  def curationSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, minTokens: Int, n: Int,
+                      noveltyFloor: Double): org.apache.spark.sql.DataFrame = {
+    val dupMin = docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"))
+    val nov = ngramNovelty(docs, idCol, textCol, n)
+    docs.select(col(idCol), md5(col(textCol)).as("h"),
+        tokenCount(col(textCol)).as("nt"))
+      .join(dupMin, Seq("h"))
+      .join(nov.select(col(idCol), col("novelty")), Seq(idCol), "left")
+      .select(col(idCol),
+        (col(idCol) =!= col("keep_id")).as("dup_loser"),
+        (col("nt") < minTokens).as("too_short"),
+        coalesce(col("novelty") < noveltyFloor, lit(false)).as("dup_heavy"))
+      .withColumn("kept",
+        !(col("dup_loser") || col("too_short") || col("dup_heavy")))
+  }
+
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "n >= 2")
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        i => array_join(slice(col("t"), i, lit(n)), " "))).as("gram"))
+    val df = grams.groupBy("gram").agg(countDistinct(col(idCol)).as("ddf"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ddf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
 }

@@ -945,8 +945,9 @@ object CorpusQueries {
     * one per-doc aggregate — the q110/q142 gram-join discipline
     * without the pair blow-up (df is grouped per gram, never joined
     * doc×doc). */
-  val q172 = Q("q172_ngram_novelty",
-    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+  /** The q172 novelty CTE chain, shared verbatim with q174's oracle. */
+  private val noveltyCteSql =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
       |              FROM documents),
       |p AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
       |      FROM toks WHERE len(t) >= 8),
@@ -955,26 +956,45 @@ object CorpusQueries {
       |             t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5] || ' ' ||
       |             t[pos+6] || ' ' || t[pos+7] AS gram
       |      FROM p),
-      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY 1)
-      |SELECT g.doc_id, COUNT(*) AS n_grams,
-      |       CAST(SUM(CASE WHEN df.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-      |       CAST(SUM(CASE WHEN df.ddf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      |         / CAST(COUNT(*) AS DOUBLE) AS novelty
-      |FROM g JOIN df ON g.gram = df.gram
-      |GROUP BY 1""".stripMargin) { (s, d) =>
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("t")) - 7),
-        i => array_join(slice(col("t"), i, lit(8)), " "))).as("gram"))
-    val df = grams.groupBy("gram").agg(countDistinct(col("doc_id")).as("ddf"))
-    grams.join(df, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("ddf") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      |gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS ddf FROM g GROUP BY 1),
+      |nov AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |         CAST(SUM(CASE WHEN gdf.ddf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |         CAST(SUM(CASE WHEN gdf.ddf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |  FROM g JOIN gdf ON g.gram = gdf.gram
+      |  GROUP BY 1)""".stripMargin
+
+  val q172 = Q("q172_ngram_novelty",
+    s"""WITH $noveltyCteSql
+       |SELECT doc_id, n_grams, n_novel, novelty FROM nov""".stripMargin) { (s, d) =>
+    Text.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 8)
+  }
+
+  /** q174 — the COMPOSED curation pipeline ([[Text.curationSignals]]):
+    * the keep/drop table with REASONS an end-to-end cleaning run
+    * emits — exact-dup cluster losers (min-id keep, the q94 policy),
+    * under-20-token docs, and dup-heavy docs (8-gram novelty < 0.2 —
+    * the near-dup smell exact hashing misses; q172's operator reused).
+    * Every doc keeps its row so the drop AUDIT is queryable, the
+    * composition is one plan (novelty's gram join + two vocab-scale
+    * joins), and all signals are deterministic ⇒ the whole table
+    * hash-gates. The oracle carries q172's novelty CTEs verbatim plus
+    * a window-MIN dup rule (engine uses groupBy+min-join — same
+    * values, map-side-combined shape). */
+  val q174 = Q("q174_curation_pipeline",
+    s"""WITH $noveltyCteSql,
+       |sig AS (
+       |  SELECT d.doc_id,
+       |         d.doc_id <> MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS dup_loser,
+       |         len(string_split(trim(d.text), ' ')) < 20 AS too_short,
+       |         COALESCE(n.novelty < 0.2, FALSE) AS dup_heavy
+       |  FROM documents d LEFT JOIN nov n ON n.doc_id = d.doc_id)
+       |SELECT doc_id, dup_loser, too_short, dup_heavy,
+       |       NOT (dup_loser OR too_short OR dup_heavy) AS kept
+       |FROM sig""".stripMargin) { (s, d) =>
+    Text.curationSignals(Tables.documents(s, d), "doc_id", "text",
+      minTokens = 20, n = 8, noveltyFloor = 0.2)
   }
 
   /** q173 — exact-duplicate CLUSTER-SIZE histogram (the dup-rate row
@@ -995,5 +1015,5 @@ object CorpusQueries {
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
     q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164,
-    q172, q173)
+    q172, q173, q174)
 }

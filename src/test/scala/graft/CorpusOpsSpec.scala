@@ -153,6 +153,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores.nonEmpty)
   }
 
+  test("curation signals: each reason fires on the right doc; keeper of a dup pair is still dup-heavy") {
+    import spark.implicits._
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val unique = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, twenty),   // exact-dup KEEPER: not a loser, but dup_heavy (novelty 0)
+      (2L, twenty),   // exact-dup loser
+      (3L, "a b"),    // too short (and too short to have 8-grams at all)
+      (4L, unique))   // kept
+      .toDF("doc_id", "text")
+    val got = graft.functions.Text
+      .curationSignals(docs, "doc_id", "text", minTokens = 20, n = 8, noveltyFloor = 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) === ((false, false, true, false)), "keeper: dup_heavy only")
+    assert(got(2L) === ((true, false, true, false)), "loser: dup_loser AND dup_heavy")
+    assert(got(3L) === ((false, true, false, false)), "short doc: too_short only")
+    assert(got(4L) === ((false, false, false, true)), "unique 20-token doc is kept")
+  }
+
   test("stupid backoff: seen/backoff/OOV tiers cost exactly as specified") {
     import spark.implicits._
     // train: "a b" ×2, "b c a b" — N=6, c(a)=2? no: tokens a,b,b,c,a,b → c(a)=2 c(b)=3 c(c)=1
