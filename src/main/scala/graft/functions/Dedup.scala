@@ -459,6 +459,79 @@ object Dedup {
     }
   }
 
+  /** Exact Jaccard similarity self-join by PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07, Vernica
+    * et al. SIGMOD'10 for the MapReduce shape): every pair of docs
+    * whose n-gram SETS have Jaccard ≥ tNum/tDen, with NO approximation
+    * and NO df cap. Where [[ngramJaccardPairs]] bounds the candidate
+    * join by dropping grams with df > maxGramDf (quietly undercounting
+    * intersections if any survive into a qualifying pair),
+    * this join is COMPLETE at every scale: under any consistent total
+    * order on grams, two sets with Jaccard ≥ t must share a gram
+    * inside both of their first |d| − ⌈t·|d|⌉ + 1 grams, so the
+    * candidate join runs prefix-against-prefix only. Ordering grams by
+    * ascending document frequency makes those prefixes the RAREST
+    * grams — the equi-join keys with the fewest collisions — which is
+    * the entire trick: the frequent grams that would explode a full
+    * gram self-join are exactly the ones the prefix bound excludes.
+    *
+    * Threshold is an integer rational (tNum/tDen) end to end: prefix
+    * lengths, the size-ratio prune (t·max ≤ min, else J < t), and the
+    * final gate inter·tDen ≥ tNum·union are all int64 arithmetic — the
+    * output hash-gates.
+    *
+    * Shape: one explode (persisted, spill-and-release per the module
+    * persist lifecycle), two count aggregates (sizes, df), one
+    * per-doc window for the prefix ranks (single shuffle on the doc
+    * key), the prefix-prefix equi-join on gram, then the verify join
+    * that recounts intersections over FULL gram sets for surviving
+    * candidates only. Grams travel as strings so the oracle can replay
+    * the same sets — at 100 TB you'd swap in [[hashedShingles]] and
+    * accept the 2⁻⁶⁴ collision odds. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, tNum: Long, tDen: Long,
+                        persistGrams: Boolean = true): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val g0 = shingles(df, idCol, textCol, n)
+    val g = if (persistGrams)
+      g0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else g0
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy(idCol).orderBy(col("gdf"), col("gram"))
+    // ceil(t·sz) via integer div (never `/`: Column./ is IEEE double)
+    val prefix = g.join(dfreq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, Seq(idCol))
+      .filter(col("rn") <=
+        expr(s"sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select(col(idCol), col("gram"), col("sz"))
+    val cand = prefix.select(col(idCol).as("a"), col("gram"), col("sz").as("sza"))
+      .join(prefix.select(col(idCol).as("b"), col("gram"), col("sz").as("szb")),
+        Seq("gram"))
+      .filter(col("a") < col("b"))
+      .filter(col("szb") * tDen >= col("sza") * tNum &&
+        col("sza") * tDen >= col("szb") * tNum)
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(g.select(col(idCol).as("a"), col("gram")), Seq("a"))
+      .join(g.select(col(idCol).as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("un"))
+      .filter(col("inter") * tDen >= col("un") * tNum)
+    if (!persistGrams) pairs
+    else {
+      val out = graft.pipeline.TempDirs.spillParquet(pairs, "graft_prefix_jaccard_")
+      g.unpersist()
+      out
+    }
+  }
+
   /** Per-document n-gram term frequencies — [[shingles]] WITH
     * multiplicity: one row per (doc, distinct gram) carrying how often
     * the gram occurs in the doc. Same lambda-bind discipline and same

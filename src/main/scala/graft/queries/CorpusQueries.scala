@@ -1012,8 +1012,64 @@ object CorpusQueries {
       .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** q179 — sliding-window token CO-OCCURRENCE counts (the GloVe /
+    * word2vec-SGNS statistics table: Pennington et al. 2014 build
+    * embeddings from exactly this relation): for every unordered token
+    * pair within ±3 positions, the corpus-wide pair count plus both
+    * unigram counts — PMI or GloVe weighting is then one driver-free
+    * arithmetic pass (log of integer counts, deliberately left OUT of
+    * the gated output per the no-transcendentals rule). Shape: the
+    * pair expansion is MAP-ONLY — per row, one bound token array
+    * (gramArray's lambda-bind discipline: the split runs once, not
+    * once per offset) emits the ≤3·|t| in-window pairs as an array of
+    * structs, exploded and normalized (least, greatest) — then ONE
+    * map-side-combined groupBy. No self-join on position, no window:
+    * at 100 TB co-occurrence is a scan + one shuffle of (pair, count)
+    * cells, and the ≥5 support floor keeps the output vocab²-bounded
+    * in practice. */
+  val q179 = Q("q179_cooccurrence",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |pr AS (
+      |  SELECT unnest(flatten(list_transform(range(1, 4), o ->
+      |           list_transform(range(1, greatest(len(t) - o + 1, 1)),
+      |                          i -> {'a': t[i], 'b': t[i + o]})))) AS p
+      |  FROM toks),
+      |cnt AS (SELECT least(p.a, p.b) AS tok_a, greatest(p.a, p.b) AS tok_b,
+      |               count(*) AS pair_ct
+      |        FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |uc AS (SELECT tok, count(*) AS ct FROM uni GROUP BY 1)
+      |SELECT c.tok_a, c.tok_b, c.pair_ct, ua.ct AS ct_a, ub.ct AS ct_b
+      |FROM cnt c JOIN uc ua ON ua.tok = c.tok_a
+      |JOIN uc ub ON ub.tok = c.tok_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d)
+    val emptyPairs = array().cast(ArrayType(StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))))
+    val pairsCol = element_at(
+      transform(array(Text.tokens(col("text"))), t =>
+        concat((1 to 3).map(o =>
+          when(size(t) > o,
+            transform(sequence(lit(1), size(t) - o),
+              i => struct(element_at(t, i).as("a"),
+                element_at(t, i + o).as("b"))))
+            .otherwise(emptyPairs)): _*)),
+      1)
+    val pr = docs.select(explode(pairsCol).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("tok_a"),
+        greatest(col("p.a"), col("p.b")).as("tok_b"))
+    val cnt = pr.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= 5)
+    val uni = docs.select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    cnt
+      .join(uni.select(col("tok").as("tok_a"), col("ct").as("ct_a")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("ct").as("ct_b")), Seq("tok_b"))
+      .select("tok_a", "tok_b", "pair_ct", "ct_a", "ct_b")
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
     q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164,
-    q172, q173, q174)
+    q172, q173, q174, q179)
 }

@@ -1787,9 +1787,108 @@ object ExtensionQueries {
         vecs.filter(col("label") % 2 === 1), cents)
   }
 
+  /** q177 — TRIANGLE COUNTING over the parts-bought-together graph
+    * (distinct co-ordered part pairs from lineitem), by degree-ordered
+    * node-iterator ([[graft.operators.Triangles]]): per-part degree
+    * and triangle participation — the cohesion signal behind
+    * clustering coefficients and community density, and over a
+    * doc-similarity graph the "is this dup cluster a clique or a
+    * chain" diagnostic. The oracle closes wedges with a 3-way
+    * numeric-ordered self-join (fine at gate scale); the Spark side
+    * orients every edge by (degree, id) first, capping out-degree at
+    * O(√m) so the wedge join never explodes on hub parts — same
+    * result set, hub-proof plan. */
+  val q177 = Q("q177_triangle_count",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT x.p AS a, y.p AS b
+      |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+      |        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      |        GROUP BY 1),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |             UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT deg.n, deg.degree,
+      |       COALESCE(tc.triangles, CAST(0 AS BIGINT)) AS triangles
+      |FROM deg LEFT JOIN tc ON tc.n = deg.n""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.select(col("o"), col("p").as("a"))
+      .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    graft.operators.Triangles.perNode(edges)
+  }
+
+  /** q178 — EXACT Jaccard similarity self-join via prefix filtering
+    * ([[Dedup.prefixJaccardJoin]] — AllPairs/PPJoin): every doc pair
+    * with trigram-set Jaccard ≥ 1/2, intersection and union as exact
+    * int64s. The LSH family (q19/q20/q51) answers the same question
+    * probabilistically; this is the deterministic-complete variant —
+    * the candidate set is PROVABLY complete under the prefix lemma, so
+    * the output is identical to a full O(n²) verify at any scale,
+    * while the join itself only touches each doc's rarest
+    * |d| − ⌈|d|/2⌉ + 1 grams. Oracle: the full gram self-join (no
+    * prefix), same integer threshold — candidate completeness is
+    * therefore itself under the hash gate, not just argued. */
+  val q178 = Q("q178_jaccard_prefix_join",
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |      FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT i.a AS doc_a, i.b AS doc_b, i.i AS inter,
+      |       sa.n + sb.n - i.i AS un
+      |FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+      |WHERE i.i * 2 >= (sa.n + sb.n - i.i)""".stripMargin) { (s, d) =>
+    Dedup.prefixJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+      n = 3, tNum = 1L, tDen = 2L)
+  }
+
+  /** q180 — INCREMENTAL connected components: q68's dedup clustering
+    * maintained under edge ARRIVALS without a full recompute. The
+    * rare-gram edge set is split deterministically into a base batch
+    * (~80%) and a delta batch (~20%); the base is clustered once, then
+    * the delta merges through the CONTRACTED graph — each new edge
+    * maps its endpoints to their base component labels, and a second
+    * CC pass runs over the label graph only, whose size is bounded by
+    * the number of TOUCHED components, not by n. Composing the two
+    * label maps reproduces exactly the full-graph fixpoint (labels are
+    * min-ids, and min of mins is the global min), so the oracle is
+    * q68's recursive transitive closure over ALL edges, verbatim —
+    * the incremental path is under the same exact gate as the batch
+    * path. This is the arrival-time shape of dedup maintenance at
+    * 100 TB: a daily crawl delta never re-clusters the corpus, it
+    * contracts into yesterday's labels. */
+  val q180 = Q("q180_incremental_components", q68.oracle.get) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    val delta = pmod(xxhash64(col("a"), col("b")), lit(5)) === 0
+    val base = graft.operators.Components
+      .connectedComponents(edges.filter(!delta), docs.select(col("doc_id")))
+    val contracted = edges.filter(delta)
+      .join(base.select(col("v").as("a"), col("component").as("la")), Seq("a"))
+      .join(base.select(col("v").as("b"), col("component").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("a"), col("lb").as("b")).distinct()
+    val merged = graft.operators.Components.connectedComponents(
+      contracted, base.select(col("component")).distinct())
+    base.select(col("v").as("doc_id"), col("component").as("l0"))
+      .join(merged.select(col("v").as("l0"), col("component")), Seq("l0"))
+      .select(col("doc_id"), col("component"))
+  }
+
   val all: Seq[Q] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q26p, q27, q28, q28p, q29, q30, q31, q32, q51, q52, q53,
     q56, q57, q58, q60, q66, q67, q68, q83, q84, q84p, q85, q86, q86p,
     q99, q100, q101, q103, q104, q108, q109, q125, q127, q130, q135, q136,
-    q144, q149, q154, q155, q156, q161, q162, q165, q166)
+    q144, q149, q154, q155, q156, q161, q162, q165, q166, q177, q178, q180)
 }

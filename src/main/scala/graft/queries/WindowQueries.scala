@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Cols, Tables}
-import graft.operators.TopKByWeight
+import graft.operators.{Scd2, TopKByWeight}
 
 /** Window-function battery, pivot, percentiles and the typed top-k
   * aggregate — the analytic surface beyond the reference's own usage
@@ -469,6 +469,254 @@ object WindowQueries {
         col("lo").as("median_gap_days"))
   }
 
+  /** q175 — SCD TYPE-2 dimension build (run-length compression of a
+    * change log into validity intervals): per user, consecutive runs
+    * of the same `event_type` collapse to one row with
+    * [valid_from, valid_to) in epoch-nanos, `valid_to` null on the
+    * open (current) interval. The classic lakehouse pattern for
+    * "what was the dimension value at time t" — q176 serves that
+    * lookup off this table. Shape: ONE shuffle on the user key
+    * (both windows and the run group-by share the same partitioning,
+    * so Catalyst reuses the exchange), change detection and the
+    * running run-counter are per-partition streaming window evals —
+    * at 100 TB this is a single pass per key, never a self-join.
+    * Determinism: the per-user total order is (ts, event_id)
+    * (event_id unique), and `min(event_type)` inside a run is exact
+    * because a run is constant-valued by construction. */
+  val q175 = Q("q175_scd2_build",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS c
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, t,
+      |         SUM(c) OVER (PARTITION BY user_id
+      |                      ORDER BY t, event_id) AS run
+      |  FROM chg),
+      |iv AS (
+      |  SELECT user_id, CAST(run AS BIGINT) AS run,
+      |         MIN(event_type) AS state, MIN(t) AS valid_from
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, run, state, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+      |         AS valid_to
+      |FROM iv""".stripMargin) { (s, d) =>
+    Scd2.build(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+  }
+
+  /** q176 — POINT-IN-TIME enrichment off the q175-style SCD2 table:
+    * a "status" dimension is built from the signup/error events only
+    * (SCD2-compressed), then every purchase event is enriched with
+    * the user's status AS OF the purchase instant via the composed
+    * as-of join (q48's operator) — purchases before any status event
+    * carry null. This is the end-to-end SCD2 story: build (q175
+    * operator) + serve (as-of lookup), the pattern every
+    * slowly-changing dimension pipeline runs at 100 TB. Shape: the
+    * SCD2 build is one shuffle on the user key; the as-of join is one
+    * more (union + keyed window) — no range join, no per-event probe.
+    * Oracle: DuckDB's native ASOF LEFT JOIN against the same
+    * window-built interval table. */
+  val q176 = Q("q176_scd2_enrich",
+    """WITH se AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+      |  FROM events WHERE event_type IN ('signup', 'error')),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS c
+      |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, t,
+      |         SUM(c) OVER (PARTITION BY user_id
+      |                      ORDER BY t, event_id) AS run
+      |  FROM chg),
+      |scd AS (
+      |  SELECT user_id, MIN(event_type) AS status, MIN(t) AS valid_from
+      |  FROM runs GROUP BY user_id, run),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS t
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, scd.status
+      |FROM p ASOF LEFT JOIN scd
+      |  ON p.user_id = scd.user_id AND p.t >= scd.valid_from""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val scd = Scd2.build(
+      ev.filter(col("event_type").isin("signup", "error")),
+      "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from"), col("state").as("status"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.Relational
+      .asOfJoin(purchases, "ts", scd, "valid_from", "user_id", Seq("status"))
+      .select("event_id", "user_id", "status")
+  }
+
+  /** q181 — INCREMENTAL SCD2 maintenance ([[Scd2.merge]]): the event
+    * log is split at the 80%-of-timespan boundary, the base 80% is
+    * SCD2-compressed once, and the trailing 20% folds in as an arrival
+    * batch — closed intervals are never reprocessed, untouched keys
+    * stream through one anti-join, and only the touched keys' OPEN
+    * intervals replay through run compression. The oracle is q175's
+    * full-rebuild SQL over ALL events, verbatim, so
+    * merge(base, delta) ≡ rebuild is itself under the hash gate (the
+    * q180/q148 incremental-maintenance discipline applied to the
+    * dimension tier). The split boundary comes from a 1-row min/max
+    * aggregate broadcast back over the scan — no driver collect, no
+    * data-dependent literal in the plan. */
+  val q181 = Q("q181_scd2_merge", q175.oracle.get) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "event_type")
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val cut = ev.crossJoin(broadcast(bounds))
+      .withColumn("__cut", expr("lo + (((hi - lo) * 4) div 5)"))
+      .drop("lo", "hi")
+    val base = Scd2.build(cut.filter(col("ts") < col("__cut")),
+      "user_id", "ts", "event_id", "event_type")
+    val delta = cut.filter(col("ts") >= col("__cut"))
+      .select("user_id", "ts", "event_id", "event_type")
+    Scd2.merge(base, delta, "user_id", "ts", "event_id", "event_type")
+  }
+
+  /** q182 — SESSION-SCOPED event TRANSITION MATRIX (the first-order
+    * Markov counts behind next-action prediction and UX path audits):
+    * events sessionize at a 30-minute gap (q150's sessionizer, same
+    * gap), then consecutive in-session pairs (from_type → to_type)
+    * count corpus-wide. Transitions never cross a session boundary —
+    * that's the semantic difference from a naive per-user lag. Shape:
+    * the sessionizer and the lead() share ONE shuffle on the user key
+    * (same partitioning, Catalyst reuses the exchange); the count is
+    * a 25-cell map-side-combined aggregate. Per-user order is
+    * event_id (ts-consistent in this log; the sessionizer pins that
+    * convention at q150). */
+  val q182 = Q("q182_transition_matrix",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN t - lag(t) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS n
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type,
+      |         SUM(n) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+      |  FROM s),
+      |tr AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id, sid
+      |                                ORDER BY event_id) AS to_type
+      |  FROM sess)
+      |SELECT from_type, to_type, COUNT(*) AS n_transitions
+      |FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val sess = graft.operators.Sessionize.assignSessions(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", gap = 1800000000000L)
+    val w = Window.partitionBy("user_id", "session_id").orderBy("event_id")
+    sess.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** q183 — per-user FEATURE-STORE table (the wide aggregate every
+    * churn/LTV model trains on): event-type counts as conditional
+    * aggregates (the pivot shape without a pivot — 5 fixed columns,
+    * one pass), first/last activity, distinct active days (exact,
+    * integer epoch-day), joined to order count and decimal-exact
+    * total spend. Shape: ONE groupBy over events + ONE over orders +
+    * one equi-join on the user key — at 100 TB the whole feature
+    * table is two shuffles, and every conditional count is map-side
+    * combined. Spend goes through the decimal-sum rule (`Cols.dsum`)
+    * so the double column hash-gates; users with no orders carry
+    * 0 / null, not a dropped row (left join — a feature store never
+    * silently loses an entity). */
+  val q183 = Q("q183_user_features",
+    """WITH ef AS (
+      |  SELECT user_id,
+      |         COUNT(*) FILTER (event_type = 'view') AS n_views,
+      |         COUNT(*) FILTER (event_type = 'click') AS n_clicks,
+      |         COUNT(*) FILTER (event_type = 'purchase') AS n_purchases,
+      |         COUNT(*) FILTER (event_type = 'error') AS n_errors,
+      |         COUNT(*) FILTER (event_type = 'signup') AS n_signups,
+      |         MIN(epoch_ns(ts)) AS first_ts, MAX(epoch_ns(ts)) AS last_ts,
+      |         COUNT(DISTINCT epoch_ns(ts) // 86400000000000) AS active_days
+      |  FROM events GROUP BY 1),
+      |of AS (
+      |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY 1)
+      |SELECT ef.*, COALESCE(of.n_orders, 0) AS n_orders, of.total_spend
+      |FROM ef LEFT JOIN of ON of.user_id = ef.user_id""".stripMargin) { (s, d) =>
+    def typeCount(t: String, as: String) =
+      count(when(col("event_type") === t, 1)).as(as)
+    val ef = Tables.events(s, d).groupBy("user_id").agg(
+      typeCount("view", "n_views"), typeCount("click", "n_clicks"),
+      typeCount("purchase", "n_purchases"), typeCount("error", "n_errors"),
+      typeCount("signup", "n_signups"),
+      min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+      countDistinct(expr("ts div 86400000000000")).as("active_days"))
+    val of = Tables.orders(s, d).groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"), Cols.dsum(col("o_totalprice")).as("total_spend"))
+    ef.join(of, Seq("user_id"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+  }
+
+  /** q184 — ITEM-ITEM collaborative filtering (the "customers who
+    * bought X also bought" table): top-5 neighbors per part by
+    * co-purchase COSINE c_ab / √(c_a·c_b) over distinct order
+    * baskets. q169 scores pair association (lift); this turns the
+    * same counts into a per-item ranked neighbor list — the serving
+    * shape a recommender reads. Determinism of the float: the int64
+    * counts convert exactly (< 2⁵³), the product is exact, and IEEE
+    * √ and ÷ are correctly rounded on both engines, so the cosine —
+    * and the (cosine DESC, neighbor) row_number — hash-gate
+    * bit-identically. Shape: one distinct, one self-join on the order
+    * key (baskets are small — the join fans out C(k,2) per order,
+    * never n²), one pair count, one per-item window for the top-5. */
+  val q184 = Q("q184_item_cf_topk",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ic AS (SELECT p, COUNT(*) AS c FROM op GROUP BY 1),
+      |pairs AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+      |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT pa AS x, pb AS y, cab FROM pairs
+      |        UNION ALL SELECT pb, pa, cab FROM pairs),
+      |sc AS (SELECT x, y, cab,
+      |              CAST(cab AS DOUBLE) /
+      |                sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS cosine
+      |       FROM sym JOIN ic ca ON ca.p = sym.x JOIN ic cb ON cb.p = sym.y),
+      |r AS (SELECT x, y, cab, cosine,
+      |             row_number() OVER (PARTITION BY x
+      |                                ORDER BY cosine DESC, y) AS rn
+      |      FROM sc)
+      |SELECT x AS part, y AS neighbor, cab AS co_count, cosine, rn AS rank
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val ic = op.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = op.select(col("o"), col("p").as("pa"))
+      .join(op.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+    val sym = pairs.select(col("pa").as("x"), col("pb").as("y"), col("cab"))
+      .unionAll(pairs.select(col("pb").as("x"), col("pa").as("y"), col("cab")))
+    val sc = sym
+      .join(ic.select(col("p").as("x"), col("c").as("ca")), Seq("x"))
+      .join(ic.select(col("p").as("y"), col("c").as("cb")), Seq("y"))
+      .select(col("x"), col("y"), col("cab"),
+        (col("cab").cast("double") /
+          sqrt(col("ca").cast("double") * col("cb").cast("double"))).as("cosine"))
+    val w = Window.partitionBy("x").orderBy(col("cosine").desc, col("y"))
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("x").as("part"), col("y").as("neighbor"),
+        col("cab").as("co_count"), col("cosine"), col("rn").as("rank"))
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
-    q167, q168, q169, q170, q171)
+    q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184)
 }
