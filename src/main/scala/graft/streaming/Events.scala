@@ -656,6 +656,34 @@ object Events {
     graft.functions.VectorIndex.addShardPq(batch, indexDir, m, dim)
   }
 
+  /** Streaming maintenance for the DIMENSION tier: each micro-batch of
+    * change-log arrivals folds into a committed SCD2 table via
+    * [[graft.operators.Scd2.merge]] — closed validity intervals are
+    * never reprocessed, untouched keys pass through one anti-join, and
+    * only touched keys' open intervals replay through run compression.
+    * One [[graft.pipeline.AtomicTable]] version per batch, so readers
+    * always see a complete interval set and `versions` gives
+    * dimension-as-of-batch time travel for free. Requires per-key
+    * batch monotonicity (append-only change log — the Scd2.merge
+    * contract); one streaming query with the default trigger
+    * serializes arrivals by construction. First batch bootstraps via
+    * a full [[graft.operators.Scd2.build]]. */
+  def scd2MaintainBatch(dimDir: String, keyCol: String, timeCol: String,
+                        tiebreakCol: String, attrCol: String)(
+                        batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val next = graft.pipeline.AtomicTable.currentVersion(spark, dimDir) match {
+      case None => graft.operators.Scd2.build(
+        batch, keyCol, timeCol, tiebreakCol, attrCol)
+      case Some(_) => graft.operators.Scd2.merge(
+        graft.pipeline.AtomicTable.read(spark, dimDir),
+        batch, keyCol, timeCol, tiebreakCol, attrCol)
+    }
+    graft.pipeline.AtomicTable.replace(next, dimDir)
+    ()
+  }
+
   /** Streaming RIGHT-TO-BE-FORGOTTEN: each micro-batch of delete
     * requests (rows carrying `idCol`) propagates through
     * [[graft.functions.TextIndex.forget]] as one committed delete-only

@@ -368,6 +368,38 @@ class StreamingSpec extends SparkSpec {
     assert(AtomicTable.versions(spark, dir).size >= 2)
   }
 
+  test("streaming SCD2 maintenance: per-batch merge ≡ one-shot build, versioned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Scd2
+    import graft.pipeline.AtomicTable
+    val dir = Files.createTempDirectory("graft_scd2_stream_").toString
+    val b1 = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (2L, 15L, 3L, "X"))
+    val b2 = Seq((1L, 30L, 4L, "B"), (3L, 33L, 5L, "N"))
+    val b3 = Seq((1L, 50L, 6L, "B"), (2L, 55L, 7L, "Y"))
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val q = ms.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .writeStream
+      .foreachBatch(Events.scd2MaintainBatch(
+        dir, "user_id", "ts", "event_id", "event_type") _)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "run", "state", "valid_from", "valid_to")
+        .orderBy("user_id", "run").collect().toSeq
+    val oneShot = Scd2.build((b1 ++ b2 ++ b3)
+      .toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+    assert(canon(AtomicTable.read(spark, dir)) === canon(oneShot))
+    // one committed version per non-empty batch: dimension-as-of time travel
+    assert(AtomicTable.versions(spark, dir).size === 3)
+  }
+
   test("stream-static enrich: micro-batches broadcast-join the static dim; unmatched keys survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
