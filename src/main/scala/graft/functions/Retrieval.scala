@@ -283,6 +283,59 @@ object Retrieval {
     }
   }
 
+  /** PROXIMITY search over positional postings: docs where `termA` and
+    * `termB` co-occur within `maxDist` token positions, with the pair
+    * count and the closest distance — the "terms NEAR each other"
+    * operator between exact phrase (order + adjacency) and bag-of-words
+    * AND (no position constraint at all). Shape: each term's postings
+    * are a token-filtered slice of the artifact scan; the pair match
+    * is an equi-join on the doc key, so the fan-out is tfA·tfB WITHIN
+    * a doc only — bounded by document length, never by corpus size.
+    * (A pathological doc repeating both terms thousands of times would
+    * skew its one task; the fix at that point is banding pos by
+    * ⌊pos/(maxDist+1)⌋ into an equi-join on (doc, band±1) — not needed
+    * while positional tf stays document-bounded.) */
+  def proximitySearchFromPostings(toks: DataFrame, idCol: String,
+                                  termA: String, termB: String,
+                                  maxDist: Int): DataFrame = {
+    val a = toks.filter(col("token") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+    val b = toks.filter(col("token") === termB)
+      .select(col(idCol), col("pos").as("pb"))
+    a.join(b, Seq(idCol))
+      .filter(abs(col("pa") - col("pb")) <= maxDist &&
+        col("pa") =!= col("pb"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_dist"))
+  }
+
+  /** BOOLEAN retrieval over (token, doc_id, tf) postings: docs whose
+    * token set contains ALL `must` terms and NONE of the `mustNot`
+    * terms, scored by the summed tf of the must terms. The classic
+    * inverted-index AND/NOT — one token-filtered slice per clause
+    * family, one doc-keyed aggregate (count-distinct-token = |must| is
+    * the set-containment test), one anti-join for the exclusions.
+    * Every step is an equi-join/aggregate on the doc key; the must/
+    * mustNot lists are query-sized literals pushed into the postings
+    * scan as token IN (...) filters. */
+  def booleanSearchFromPostings(postings: DataFrame,
+                                must: Seq[String],
+                                mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "boolean retrieval needs at least one must term")
+    val matched = postings.filter(col("token").isin(must: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("token")).as("__k"),
+        sum(col("tf")).as("match_tf"))
+      .filter(col("__k") === must.size)
+      .select(col("doc_id"), col("match_tf"))
+    if (mustNot.isEmpty) matched
+    else matched.join(
+      postings.filter(col("token").isin(mustNot: _*))
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Reciprocal-Rank Fusion (Cormack et al.) of N rank lists — the
     * operator that joins the lexical (BM25, q102) and dense (ANN, q23)
     * retrieval families into ONE hybrid ranking: score(d) =

@@ -1068,8 +1068,71 @@ object CorpusQueries {
       .select("tok_a", "tok_b", "pair_ct", "ct_a", "ct_b")
   }
 
+  /** q185 — PROXIMITY search served from the persisted positional tier
+    * ([[graft.functions.Retrieval.proximitySearchFromPostings]]):
+    * 'merge' within ±3 positions of 'window', answered off q153's
+    * committed artifact (same per-(JVM, fixture) dir, same base+shard
+    * build — computeIfAbsent makes whichever of q153/q185 runs first
+    * pay the build). Fills the gap between exact phrase (q153: order +
+    * adjacency) and boolean AND (q186: no positions): the NEAR
+    * operator every production query language ships. Oracle replays
+    * the distance predicate over raw-text positions — index-served
+    * must equal scanning the corpus. */
+  val q185 = Q("q185_proximity_from_index",
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+      |      FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+      |pr AS (SELECT a.doc_id, abs(a.pos - b.pos) AS dist
+      |       FROM p a JOIN p b
+      |         ON a.doc_id = b.doc_id AND b.token = 'window'
+      |       WHERE a.token = 'merge'
+      |         AND abs(a.pos - b.pos) <= 3 AND a.pos <> b.pos)
+      |SELECT doc_id, COUNT(*) AS n_pairs, CAST(MIN(dist) AS INT) AS min_dist
+      |FROM pr GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tmp = q153Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+      graft.pipeline.TempDirs.scoped("graft_posindex_"))
+    TextIndex.buildPositional(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", tmp)
+    TextIndex.addShardPositional(docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", tmp)
+    Retrieval.proximitySearchFromPostings(
+      TextIndex.positionalPostings(s, tmp), "doc_id",
+      "merge", "window", maxDist = 3)
+  }
+
+  /** q186 — BOOLEAN retrieval (AND + NOT) served from the persisted
+    * text index ([[graft.functions.Retrieval.booleanSearchFromPostings]]
+    * over q148's committed artifact, same shared per-(JVM, fixture)
+    * dir): docs containing BOTH 'spark' and 'merge' and NOT 'error',
+    * scored by summed must-term tf. With q152 (ranked BM25), q153/q159
+    * (phrase), q185 (proximity) and this, the artifact now serves the
+    * full classical query algebra. Oracle: set-containment via
+    * count-distinct over raw tokens, exclusion via NOT IN — raw-scan
+    * semantics the index must reproduce exactly. */
+  val q186 = Q("q186_boolean_from_index",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS match_tf
+      |      FROM tf WHERE token IN ('spark', 'merge')
+      |      GROUP BY 1 HAVING COUNT(DISTINCT token) = 2)
+      |SELECT m.doc_id, m.match_tf FROM m
+      |WHERE m.doc_id NOT IN (SELECT doc_id FROM tf WHERE token = 'error')""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tmp = q148Dirs.computeIfAbsent(Q.dataStamp(d), _ =>
+        graft.pipeline.TempDirs.scoped("graft_textindex_"))
+      TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tmp)
+      TextIndex.addShard(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", tmp)
+      Retrieval.booleanSearchFromPostings(
+        TextIndex.postings(s, tmp), Seq("spark", "merge"), Seq("error"))
+  }
+
   val all: Seq[Q] = Seq(q110, q111, q112, q113, q113p, q114, q115, q116, q117,
     q118, q118p, q119, q119p, q121, q122, q122p, q124, q124p, q128, q129, q132,
     q134, q138, q139, q140, q146, q147, q148, q153, q159, q163, q164,
-    q172, q173, q174, q179)
+    q172, q173, q174, q179, q185, q186)
 }
