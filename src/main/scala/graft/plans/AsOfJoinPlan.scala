@@ -143,7 +143,20 @@ object AsOfJoinNative {
             right: DataFrame, rightTime: String,
             key: String, rightPayload: Seq[String]): DataFrame = {
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // Self-join shape: when both sides derive from the same base scan
+    // they SHARE attribute exprIds, and Catalyst (which de-duplicates
+    // only its own Join nodes, never a custom binary node) would treat
+    // the right child's copy as "already provided by left" and prune
+    // it away — binding then fails with ATTRIBUTE_NOT_FOUND (hit by
+    // q187, where dim and fact are both views over events). Fresh
+    // Aliases mint new exprIds for the right side, which is exactly
+    // what Spark's own dedupRight does for SQL self-joins.
+    val rp: LogicalPlan =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))

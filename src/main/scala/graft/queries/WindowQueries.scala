@@ -494,11 +494,11 @@ object WindowQueries {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
       |runs AS (
       |  SELECT user_id, event_type, t,
-      |         SUM(c) OVER (PARTITION BY user_id
-      |                      ORDER BY t, event_id) AS run
+      |         CAST(SUM(c) OVER (PARTITION BY user_id
+      |                           ORDER BY t, event_id) AS BIGINT) AS run
       |  FROM chg),
       |iv AS (
-      |  SELECT user_id, CAST(run AS BIGINT) AS run,
+      |  SELECT user_id, run,
       |         MIN(event_type) AS state, MIN(t) AS valid_from
       |  FROM runs GROUP BY 1, 2)
       |SELECT user_id, run, state, valid_from,
@@ -717,6 +717,27 @@ object WindowQueries {
         col("cab").as("co_count"), col("cosine"), col("rn").as("rank"))
   }
 
+  /** q187 — q176's SCD2 point-in-time lookup through the NATIVE as-of
+    * operator (plans.AsOfJoinNative: LogicalPlan + Strategy + SparkPlan
+    * via SparkSessionExtensions — the q48/q49 pairing applied to the
+    * dimension tier): same oracle, same output, but the lookup runs as
+    * one streaming merge pass per partition with O(1) state instead of
+    * the composed union+window — the shape you'd pick when the
+    * dimension history is large enough that materializing the unioned
+    * sort matters. */
+  val q187 = Q("q187_scd2_enrich_native", q176.oracle.get) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val scd = Scd2.build(
+      ev.filter(col("event_type").isin("signup", "error")),
+      "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("valid_from"), col("state").as("status"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoinNative(purchases, "ts", scd, "valid_from",
+      "user_id", Seq("status"))
+      .select("event_id", "user_id", "status")
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
-    q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184)
+    q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184, q187)
 }

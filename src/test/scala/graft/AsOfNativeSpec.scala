@@ -21,6 +21,19 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got === Map(1L -> 200L, 2L -> 200L, 3L -> -1L, 4L -> 150L, 5L -> -1L))
   }
 
+  test("self-join shape: both sides from one base plan (shared exprIds) bind and match") {
+    val base = Seq(("A", 10L, 100L, "dim"), ("A", 25L, 1L, "fact"),
+      ("A", 20L, 200L, "dim"), ("B", 5L, 2L, "fact"))
+      .toDF("k", "t", "v", "side")
+    val facts = base.filter(col("side") === "fact").select("k", "t", "v")
+    val dims = base.filter(col("side") === "dim")
+      .select(col("k"), col("t"), col("v").as("px"))
+    val got = AsOfJoinNative(facts, "t", dims, "t", "k", Seq("px"))
+      .select("v", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 200L, 2L -> -1L))
+  }
+
   test("null keys/times/payloads: no crash, native ≡ composed, nulls never match") {
     def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
     val quotes = Seq[(String, java.lang.Long, java.lang.Long)](
