@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed triangle counting by degree-ordered node-iterator
   * (Suri & Vassilvitskii, WWW'11 — the MapReduce-era standard that
@@ -21,9 +22,19 @@ import org.apache.spark.sql.functions._
   * generated exactly once, as the wedge (a→b, a→c) closed by b→c —
   * no post-hoc de-duplication pass.
   *
-  * Shape: two shuffles on node keys (degree count, wedge group) plus
-  * two equi-joins the optimizer plans as shuffle-hash under AQE; no
-  * windows, no driver state.
+  * Plan-reuse discipline (the module-wide spill-and-release rule):
+  * the caller's `edges` frame is typically itself a join+distinct
+  * (e.g. co-order pairs), and this operator references it from FIVE
+  * independent subtrees (degree count ×2, orientation, wedge sides,
+  * closing side). Catalyst does not common-subexpression DataFrames,
+  * so unstaged this re-derived the edge build ~15× (measured: the
+  * first cut of q177 spent 12 s at sf0.1, dominated by repeated
+  * lineitem self-joins). The input is persisted for the two passes
+  * that build degrees and orientation, the oriented edge list is
+  * spilled to a JVM-scoped parquet (the natural stage boundary — at
+  * 100 TB the oriented adjacency IS the artifact you'd land between
+  * build and enumerate), and the cache is RELEASED before return, so
+  * registered queries inherit no live blocks.
   */
 object Triangles {
 
@@ -32,11 +43,12 @@ object Triangles {
     * (n, degree, triangles) for every node incident to an edge, with
     * triangles = 0 where none close. */
   def perNode(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("n"))
-      .unionAll(edges.select(col("b").as("n")))
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("degree"))
     // orient each edge from the (degree, id)-smaller endpoint
-    val ori = edges
+    val ori0 = e
       .join(deg.select(col("n").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("degree").as("db")), "b")
       .select(
@@ -46,6 +58,7 @@ object Triangles {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
+    val ori = graft.pipeline.TempDirs.spillParquet(ori0, "graft_tri_ori_")
     val wedges = ori.select(col("u"), col("v").as("x"))
       .join(ori.select(col("u"), col("v").as("y")), "u")
       .filter(col("x") =!= col("y"))
@@ -56,8 +69,12 @@ object Triangles {
     val perNode = tri
       .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("n"), "left")
-      .select(col("n"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
+    val out = graft.pipeline.TempDirs.spillParquet(
+      deg.join(perNode, Seq("n"), "left")
+        .select(col("n"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles")),
+      "graft_tri_out_")
+    e.unpersist()
+    out
   }
 }

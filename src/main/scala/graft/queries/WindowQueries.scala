@@ -695,14 +695,21 @@ object WindowQueries {
       |      FROM sc)
       |SELECT x AS part, y AS neighbor, cab AS co_count, cosine, rn AS rank
       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    // spill-and-release: ic and pairs both re-reference the basket
+    // distinct (and pairs twice more through sym) — persist it for the
+    // two builds, land both derived tables, release the cache
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val ic = op.groupBy("p").agg(count(lit(1)).as("c"))
-    val pairs = op.select(col("o"), col("p").as("pa"))
-      .join(op.select(col("o"), col("p").as("pb")), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ic = graft.pipeline.TempDirs.spillParquet(
+      op.groupBy("p").agg(count(lit(1)).as("c")), "graft_cf_ic_")
+    val pairs = graft.pipeline.TempDirs.spillParquet(
+      op.select(col("o"), col("p").as("pa"))
+        .join(op.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2), "graft_cf_pairs_")
+    op.unpersist()
     val sym = pairs.select(col("pa").as("x"), col("pb").as("y"), col("cab"))
       .unionAll(pairs.select(col("pb").as("x"), col("pa").as("y"), col("cab")))
     val sc = sym
