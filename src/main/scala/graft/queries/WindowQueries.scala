@@ -745,6 +745,55 @@ object WindowQueries {
       .select("event_id", "user_id", "status")
   }
 
+  /** q188 — APRIORI frequent-itemset mining (Agrawal & Srikant,
+    * VLDB'94): frequent part TRIPLES (support ≥ 2 baskets) found the
+    * Apriori way — L2 = frequent pairs first, candidate triples
+    * generated ONLY from two frequent pairs sharing their first item
+    * and closed by a third frequent pair (the monotonicity prune:
+    * every sub-itemset of a frequent itemset is frequent, so the
+    * prune is LOSSLESS and the oracle can be the direct 3-way basket
+    * self-join), then support counted candidate-first — the basket
+    * joins fan out only for orders containing a candidate's items,
+    * never enumerating all C(k,3) triples per basket. At 100 TB this
+    * is the difference between |candidates|-bounded work and a
+    * combinatorial basket explosion. L2 and the baskets are staged to
+    * parquet and the cache released (the module spill discipline). */
+  val q188 = Q("q188_apriori_triples",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tri AS (SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+      |               COUNT(*) AS support
+      |        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |        JOIN op c ON a.o = c.o AND b.p < c.p
+      |        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, part_c, support FROM tri""".stripMargin) { (s, d) =>
+    val op0 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val op = graft.pipeline.TempDirs.spillParquet(op0, "graft_apriori_op_")
+    val l2 = graft.pipeline.TempDirs.spillParquet(
+      op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("a", "b"), "graft_apriori_l2_")
+    op0.unpersist()
+    val cand = l2.select(col("a"), col("b"))
+      .join(l2.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(l2.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    val counted = cand
+      .join(op.select(col("o"), col("p").as("a")), Seq("a"))
+      .join(op.select(col("o"), col("p").as("b")), Seq("o", "b"))
+      .join(op.select(col("o"), col("p").as("c")), Seq("o", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    counted.select(col("a").as("part_a"), col("b").as("part_b"),
+      col("c").as("part_c"), col("support"))
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
-    q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184, q187)
+    q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184,
+    q187, q188)
 }
