@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS hop distances over an edge relation — the Pregel
+  * frontier-expansion shape (Malewicz et al., SIGMOD'10) expressed as
+  * per-round equi-joins, the same discipline as
+  * [[graft.operators.Components]] (label propagation) and
+  * [[graft.operators.PageRank]].
+  *
+  * Semantics: `hop(v)` = the minimum number of edges on any path from
+  * a seed to `v`, for every `v` within `maxHops` of a seed (seeds
+  * themselves at hop 0). Directed expansion along `src → dst`; pass a
+  * symmetrized edge list for undirected graphs.
+  *
+  * Scale shape: round `h` joins the CURRENT frontier (only the
+  * vertices first reached at hop h−1, never the whole visited set)
+  * against the edge relation on the source key — one shuffle per
+  * round, map-side-combined distinct on the far side, and an anti-join
+  * against the visited set so a vertex enters exactly once with its
+  * MINIMUM hop (BFS order makes min-hop free — no re-labelling rounds
+  * like weighted SSSP would need). Each round's frontier and the
+  * visited accumulator are staged to scratch parquet
+  * ([[graft.pipeline.TempDirs.spillParquet]]), truncating the lineage
+  * so round k's plan does not re-derive rounds 1..k−1 — the iterative
+  * operator discipline used by the prefix-doubling and CC tiers. At
+  * 100 TB the cost is `maxHops` shuffles of frontier-sized rows; the
+  * visited set never shuffles (it is the anti-join's build side,
+  * partitioned once on write).
+  *
+  * The per-round `isEmpty` early-exit costs one cheap job on an
+  * already-staged (tiny-by-then) frontier and saves whole rounds once
+  * the reachable set is exhausted.
+  */
+object Bfs {
+
+  /** @param edges directed edges, columns (`srcCol`, `dstCol`)
+    * @param seeds hop-0 vertices, column `idCol`
+    * @return (`idCol`, `hop`) — min hop per reached vertex, hop ≤ maxHops */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    import graft.pipeline.TempDirs.spillParquet
+    val e = edges.select(col(srcCol).as("g_src"), col(dstCol).as("g_dst"))
+    var visited = spillParquet(
+      seeds.select(col(idCol)).distinct().withColumn("hop", lit(0L)),
+      "graft_bfs_visited_")
+    var frontier = visited.select(col(idCol))
+    var h = 1
+    var done = frontier.isEmpty
+    while (h <= maxHops && !done) {
+      val next = spillParquet(
+        frontier.join(e, frontier(idCol) === e("g_src"))
+          .select(col("g_dst").as(idCol)).distinct()
+          .join(visited.select(idCol), Seq(idCol), "left_anti"),
+        s"graft_bfs_f${h}_")
+      if (next.isEmpty) done = true
+      else {
+        visited = spillParquet(
+          visited.unionAll(next.withColumn("hop", lit(h.toLong))),
+          s"graft_bfs_v${h}_")
+        frontier = next
+      }
+      h += 1
+    }
+    visited
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FuzzyJoin, Kmv}
+import graft.operators.{Bfs, Skyline}
+
+/** Round-12 mining batch: BFS min-hop semantics, skyline dominance vs
+  * the quadratic definition, SymSpell ED-1 candidate completeness vs
+  * brute force, and KMV sketch invariants (unsaturated exactness,
+  * mergeability). The q189–q193 registrations are oracle-gated; these
+  * pin the operator semantics on crafted edges the fixture corpus
+  * can't guarantee to exercise. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BFS ----
+
+  test("bfs: min hop on a cyclic graph, unreachable excluded, maxHops bound") {
+    // 1→2→3→4→1 cycle plus shortcut 1→3; 9 isolated; 5→6 separate comp
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Bfs.hopDistances(edges, "src", "dst", seeds, "id", maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    // hop(3) = 1 via the shortcut, NOT 2 via 1→2→3
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+
+    val capped = Bfs.hopDistances(edges, "src", "dst", seeds, "id", maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfs: multi-source takes the nearest seed; empty seeds yield empty") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
+    val got = Bfs.hopDistances(edges, "src", "dst", Seq(1L, 10L).toDF("id"),
+      "id", maxHops = 5).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 1L))
+    assert(Bfs.hopDistances(edges, "src", "dst",
+      spark.emptyDataset[Long].toDF("id"), "id", 3).isEmpty)
+  }
+
+  // ---- Skyline ----
+
+  test("skyline: matches the quadratic NOT-EXISTS definition, incl. exact ties") {
+    // (x bigger better, y smaller better); (5,3) twice — tied pairs survive
+    // together; (4,3) dominated by (5,3); (5,4) dominated same-x; (6,9)
+    // survives on x alone; (2,1) survives on y alone.
+    val rows = Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 4L, 3L), (4L, 5L, 4L),
+      (5L, 6L, 9L), (6L, 2L, 1L), (7L, 1L, 9L)).toDF("id", "x", "y")
+    val got = Skyline.frontier2d(rows, "x", "y").select("id")
+      .as[Long].collect().toSet
+    val brute = rows.as("p").join(rows.as("q"),
+        col("q.x") >= col("p.x") && col("q.y") <= col("p.y") &&
+          (col("q.x") > col("p.x") || col("q.y") < col("p.y")), "left_anti")
+      .select(col("p.id")).as[Long].collect().toSet
+    assert(got === brute)
+    assert(got === Set(1L, 2L, 5L, 6L))
+  }
+
+  // ---- SymSpell fuzzy join ----
+
+  test("fuzzy ed1: candidates are complete vs brute force on all edit kinds") {
+    // substitution (cat/bat), deletion (cat/at), insertion (cat/cart),
+    // identical strings collapse, distance-2 (cat/dog-ish) excluded
+    val words = Seq("cat", "bat", "at", "cart", "cut", "coat", "dog", "dot",
+      "a", "b", "ab", "cat").toDF("w")
+    val got = FuzzyJoin.ed1Pairs(words, "w")
+      .as[(String, String)].collect().toSet
+    val v = words.select(col("w")).distinct()
+    val brute = v.select(col("w").as("a")).crossJoin(v.select(col("w").as("b")))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .as[(String, String)].collect().toSet
+    assert(got === brute)
+    assert(got.contains(("bat", "cat"))) // substitution
+    assert(got.contains(("at", "cat")))  // deletion
+    assert(got.contains(("cart", "cat"))) // insertion
+    assert(got.contains(("a", "ab")))
+    assert(!got.contains(("cat", "dog")))
+    assert(!got.exists(p => p._1 == p._2))
+  }
+
+  // ---- KMV ----
+
+  test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {
+    val hashes = Seq(5L, 9L, 2L, 5L, 9L).toDF("h")
+    val sk = Kmv.sketch(hashes, "h", k = 64)
+    assert(sk.as[Long].collect().sorted.toSeq === Seq(2L, 5L, 9L))
+    val est = Kmv.summary(sk, "h")
+      .selectExpr(Kmv.estimateExpr("g_cnt", "g_kth", 64) + " AS e")
+      .as[Long].head()
+    assert(est === 3L)
+  }
+
+  test("kmv: mergeability — sketch(A ∪ B) == bottom-k of sketch(A) ∪ sketch(B)") {
+    val k = 8
+    val a = spark.range(0, 200).select(Kmv.h40(col("id").cast("string")).as("h"))
+    val b = spark.range(150, 400).select(Kmv.h40(col("id").cast("string")).as("h"))
+    val direct = Kmv.sketch(a.unionAll(b), "h", k).as[Long].collect().sorted.toSeq
+    val merged = Kmv.sketch(
+      Kmv.sketch(a, "h", k).unionAll(Kmv.sketch(b, "h", k)), "h", k)
+      .as[Long].collect().sorted.toSeq
+    assert(direct === merged)
+  }
+
+  test("kmv: saturated estimate lands within 3x of truth on 1000 distinct values") {
+    val n = 1000
+    val hs = spark.range(0, n).select(Kmv.h40(col("id").cast("string")).as("h"))
+    val est = Kmv.summary(Kmv.sketch(hs, "h", 64), "h")
+      .selectExpr(Kmv.estimateExpr("g_cnt", "g_kth", 64) + " AS e")
+      .as[Long].head()
+    // KMV k=64 has ~1/√62 ≈ 13% relative stddev; 3x is a loose sanity
+    // band that still catches a broken estimator (off by 2^20, etc.)
+    assert(est > n / 3 && est < n * 3L, s"estimate $est vs true $n")
+  }
+}
