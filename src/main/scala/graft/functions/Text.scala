@@ -21,6 +21,28 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unordered within-±`window` token pairs of `text`, normalized
+    * (least, greatest), as an array of (a, b) structs — the GloVe /
+    * TextRank co-occurrence stream (q179 counts it corpus-wide; q198
+    * runs PageRank over it). MAP-ONLY: the token array binds once via
+    * the single-element-transform trick, so the split doesn't rerun
+    * per offset, and the ≤ window·|t| pairs emit from one projection —
+    * no position self-join. */
+  def cooccurrencePairs(text: Column, window: Int = 3): Column = {
+    import org.apache.spark.sql.types._
+    val emptyPairs = array().cast(ArrayType(StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))))
+    element_at(
+      transform(array(tokens(text)), t =>
+        concat((1 to window).map(o =>
+          when(size(t) > o,
+            transform(sequence(lit(1), size(t) - o),
+              i => struct(element_at(t, i).as("a"),
+                element_at(t, i + o).as("b"))))
+            .otherwise(emptyPairs)): _*)),
+      1)
+  }
+
   /** BPE-ish sub-tokens: letter runs, digit runs, single other symbols.
     * Mirrors the usual pre-tokenizer split. */
   val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

@@ -1042,20 +1042,8 @@ object CorpusQueries {
       |SELECT c.tok_a, c.tok_b, c.pair_ct, ua.ct AS ct_a, ub.ct AS ct_b
       |FROM cnt c JOIN uc ua ON ua.tok = c.tok_a
       |JOIN uc ub ON ub.tok = c.tok_b""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types._
     val docs = Tables.documents(s, d)
-    val emptyPairs = array().cast(ArrayType(StructType(Seq(
-      StructField("a", StringType), StructField("b", StringType)))))
-    val pairsCol = element_at(
-      transform(array(Text.tokens(col("text"))), t =>
-        concat((1 to 3).map(o =>
-          when(size(t) > o,
-            transform(sequence(lit(1), size(t) - o),
-              i => struct(element_at(t, i).as("a"),
-                element_at(t, i + o).as("b"))))
-            .otherwise(emptyPairs)): _*)),
-      1)
-    val pr = docs.select(explode(pairsCol).as("p"))
+    val pr = docs.select(explode(Text.cooccurrencePairs(col("text"), 3)).as("p"))
       .select(least(col("p.a"), col("p.b")).as("tok_a"),
         greatest(col("p.a"), col("p.b")).as("tok_b"))
     val cnt = pr.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_ct"))

@@ -196,5 +196,415 @@ object MiningQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q189, q190, q191, q192, q193)
+  /** q194 — A/B experiment read-out with a two-proportion z-test: users
+    * split by the deterministic keyed assignment `user_id % 2` (the
+    * q57 keyed-hash-split discipline — assignment must be a pure
+    * function of the unit, never of arrival order), conversion =
+    * "above-median purchaser" (≥ 14 — "ever purchased" is degenerate
+    * on this fixture: EVERY user converts, pool = 1, and the variance
+    * term is 0/0), and the pooled z statistic. Degenerate cells
+    * (empty arm, pool ∈ {0, 1}) yield NULL under an explicit CASE in
+    * BOTH engines rather than an ANSI divide-by-zero. The z-score is a
+    * DOUBLE that still hash-gates: every operand is an exact int64
+    * count, and the expression tree (÷, ×, −, √ — each IEEE
+    * correctly-rounded) is written IDENTICALLY in both engines, so the
+    * result is bit-identical — the q184-cosine rule applied to
+    * inferential statistics. One groupBy(user) + one global aggregate;
+    * at 100 TB the experiment read-out is a single shuffle. */
+  val q194 = Q("q194_ab_test",
+    """WITH u AS (SELECT user_id,
+      |                  CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= 14
+      |                       THEN 1 ELSE 0 END AS conv
+      |           FROM events GROUP BY 1),
+      |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+      |a AS (SELECT
+      |  COUNT(*) FILTER (variant = 0) AS n_control,
+      |  COUNT(*) FILTER (variant = 0 AND conv = 1) AS conv_control,
+      |  COUNT(*) FILTER (variant = 1) AS n_treat,
+      |  COUNT(*) FILTER (variant = 1 AND conv = 1) AS conv_treat
+      |  FROM v),
+      |p AS (SELECT *,
+      |  CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS p_control,
+      |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p_treat,
+      |  CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE) AS pool
+      |  FROM a)
+      |SELECT n_control, conv_control, n_treat, conv_treat, p_control, p_treat,
+      |       CASE WHEN n_control = 0 OR n_treat = 0 OR pool = 0.0 OR pool = 1.0
+      |            THEN NULL
+      |            ELSE (p_treat - p_control) /
+      |                 sqrt(pool * (1.0 - pool) *
+      |                      (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treat AS DOUBLE)))
+      |       END AS z_score
+      |FROM p""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(count(when(col("event_type") === "purchase", 1)).as("g_np"))
+      .withColumn("conv", when(col("g_np") >= 14, 1).otherwise(0))
+      .withColumn("variant", col("user_id") % 2)
+    u.agg(
+      count(when(col("variant") === 0, 1)).as("n_control"),
+      count(when(col("variant") === 0 && col("conv") === 1, 1)).as("conv_control"),
+      count(when(col("variant") === 1, 1)).as("n_treat"),
+      count(when(col("variant") === 1 && col("conv") === 1, 1)).as("conv_treat"))
+      .selectExpr("*",
+        "CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS p_control",
+        "CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p_treat",
+        "CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE) AS pool")
+      .selectExpr("n_control", "conv_control", "n_treat", "conv_treat",
+        "p_control", "p_treat",
+        """CASE WHEN n_control = 0 OR n_treat = 0 OR pool = 0.0 OR pool = 1.0
+          |     THEN NULL
+          |     ELSE (p_treat - p_control) /
+          |          sqrt(pool * (1.0 - pool) *
+          |               (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treat AS DOUBLE)))
+          |END AS z_score""".stripMargin)
+  }
+
+  /** q195 — cross-table referential-integrity audit (the Deequ-style
+    * governance table a lakehouse runs before promoting bronze→silver;
+    * complements q93's single-table constraint gate): orphan foreign
+    * keys across all four fact→dim edges, duplicate primary keys, and
+    * domain checks, as ONE (check_name, n_bad) relation. Shape: each
+    * FK check is an anti-join that Spark plans as broadcast when the
+    * dim fits (customer/part) and shuffle otherwise (orders at
+    * 100 TB); the PK checks are map-side-combined groupBys. Nonzero
+    * rows are findings, not failures — the audit REPORTS; q93 gates. */
+  val q195 = Q("q195_integrity_audit",
+    """SELECT 'lineitem_orphan_order' AS check_name,
+      |       (SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+      |UNION ALL SELECT 'lineitem_orphan_part',
+      |       (SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |UNION ALL SELECT 'orders_orphan_customer',
+      |       (SELECT COUNT(*) FROM orders o
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL SELECT 'events_orphan_user',
+      |       (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events) e
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+      |UNION ALL SELECT 'orders_dup_pk',
+      |       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) x)
+      |UNION ALL SELECT 'customer_dup_pk',
+      |       (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1) x)
+      |UNION ALL SELECT 'customer_null_name',
+      |       (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+      |UNION ALL SELECT 'orders_negative_total',
+      |       (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)""".stripMargin) { (s, d) =>
+    def audit(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val p = Tables.part(s, d)
+    val ev = Tables.events(s, d)
+    audit("lineitem_orphan_order",
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+      .unionAll(audit("lineitem_orphan_part",
+        li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")))
+      .unionAll(audit("orders_orphan_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .unionAll(audit("events_orphan_user",
+        ev.select("user_id").distinct()
+          .join(c, col("user_id") === c("c_custkey"), "left_anti")))
+      .unionAll(audit("orders_dup_pk",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("g_n")).filter(col("g_n") > 1)))
+      .unionAll(audit("customer_dup_pk",
+        c.groupBy("c_custkey").agg(count(lit(1)).as("g_n")).filter(col("g_n") > 1)))
+      .unionAll(audit("customer_null_name", c.filter(col("c_name").isNull)))
+      .unionAll(audit("orders_negative_total", o.filter(col("o_totalprice") < 0)))
+  }
+
+  /** q196 — k-anonymity audit over quasi-identifiers (Sweeney 2002):
+    * customers grouped by (nation, segment, account-balance band);
+    * every group reported with its size and an at-risk flag for
+    * k < 5 — the privacy-side complement of the q164
+    * right-to-be-forgotten tier (forgetting handles known ids;
+    * k-anonymity measures whether the REMAINING attributes re-identify
+    * anyone). The band uses floor(x/1000) — toward −∞ in both engines,
+    * so negative balances band identically. One map-side-combined
+    * groupBy; at 100 TB the report is quasi-identifier-domain-sized,
+    * not data-sized. */
+  val q196 = Q("q196_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+      |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band,
+      |       COUNT(*) AS group_n,
+      |       CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+      |FROM customer GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("acct_band"))
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", when(col("group_n") < 5, 1).otherwise(0))
+  }
+
+  /** q197 — CUSUM change-point detection over daily revenue (Page
+    * 1954): one-sided upper CUSUM s_t = max(0, s_{t−1} + x_t − μ − κ)
+    * in exact integer CENTS, with target μ = the global mean daily
+    * cents and slack κ = μ/20, alarming when s_t exceeds μ. The
+    * recursion is inherently sequential — but over the AGGREGATED day
+    * domain (~2.4k rows at ANY corpus scale), so after one
+    * map-side-combined groupBy the fold is driver-side on a bounded
+    * relation — the Pca/driver-tiny-moments discipline, while the
+    * oracle replays the same integer recursion as a recursive CTE.
+    * Complements q133 (memoryless per-point z-flags) with the
+    * sequential small-persistent-shift detector. */
+  val q197 = Q("q197_cusum_revenue",
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |st AS (SELECT COUNT(*) AS nd, CAST(SUM(cents) AS BIGINT) AS tot FROM d),
+      |p AS (SELECT tot // nd AS mu, (tot // nd) // 20 AS slack FROM st),
+      |c AS (
+      |  SELECT i.rn, i.day, i.cents,
+      |         GREATEST(0, i.cents - p.mu - p.slack) AS s
+      |  FROM i, p WHERE i.rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.cents,
+      |         GREATEST(0, c.s + i.cents - p.mu - p.slack)
+      |  FROM c, i, p WHERE i.rn = c.rn + 1)
+      |SELECT c.day, c.cents, c.s AS cusum,
+      |       CASE WHEN c.s > p.mu THEN 1 ELSE 0 END AS alarm
+      |FROM c, p""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("cents"))
+      .orderBy("day")
+    // bounded aggregate domain: |distinct days|, not |orders|
+    val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+    val nd = rows.length.toLong
+    val tot = rows.map(_._2).sum
+    val mu = tot / nd
+    val slack = mu / 20
+    var run = 0L
+    val out = rows.map { case (day, cents) =>
+      run = math.max(0L, run + cents - mu - slack)
+      (day, cents, run, if (run > mu) 1 else 0)
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "cents", "cusum", "alarm")
+  }
+
+  /** q198 — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * integer PageRank ([[graft.operators.PageRank]] — the q104
+    * fixed-point algebra, bit-replayable) over the q179 co-occurrence
+    * graph (±3 window, support ≥ 5), top-20 tokens by rank. Pure
+    * composition of two already-gated operators into the classic
+    * unsupervised keyword scorer — the oracle unrolls the five
+    * iterations over the SAME edge CTEs. The final top-20 window runs
+    * on the vocabulary-sized rank relation (tiny by then). */
+  val q198: Q = {
+    val edgeCtes =
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, 4), o ->
+        |           list_transform(range(1, greatest(len(t) - o + 1, 1)),
+        |                          i -> {'a': t[i], 'b': t[i + o]})))) AS p
+        |  FROM toks),
+        |cnt AS (SELECT least(p.a, p.b) AS tok_a, greatest(p.a, p.b) AS tok_b
+        |        FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+        |edges AS (SELECT tok_a AS v, tok_b AS dst FROM cnt
+        |          UNION ALL SELECT tok_b, tok_a FROM cnt),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT unnest(t) AS tok FROM toks),
+        |stats AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT tok AS v, 1000000000000 // n AS rank
+        |       FROM nodes CROSS JOIN stats)""".stripMargin
+    val iterCte = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT d.tok AS v,
+         |         (1000000000000 * 15) // (100 * n)
+         |           + (85 * COALESCE(s.sum_in, 0)) // 100 AS rank
+         |  FROM nodes d CROSS JOIN stats
+         |  LEFT JOIN (SELECT e.dst AS v2, CAST(SUM(r.rank // dg.deg) AS BIGINT) AS sum_in
+         |             FROM r${k - 1} r JOIN deg dg ON dg.v = r.v JOIN edges e ON e.v = r.v
+         |             GROUP BY 1) s ON s.v2 = d.tok)""".stripMargin
+    Q("q198_textrank_keywords",
+      (edgeCtes +: (1 to 5).map(iterCte)).mkString(",\n") +
+        """
+          |SELECT tok, rank, pos FROM (
+          |  SELECT v AS tok, rank,
+          |         row_number() OVER (ORDER BY rank DESC, v) AS pos
+          |  FROM r5) WHERE pos <= 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pr = docs.select(explode(graft.functions.Text.cooccurrencePairs(col("text"), 3)).as("p"))
+        .select(least(col("p.a"), col("p.b")).as("a"),
+          greatest(col("p.a"), col("p.b")).as("b"))
+      val edges = pr.groupBy("a", "b").agg(count(lit(1)).as("g_ct"))
+        .filter(col("g_ct") >= 5).select("a", "b")
+      val nodes = docs.select(explode(graft.functions.Text.tokens(col("text"))).as("tok")).distinct()
+      val ranks = graft.operators.PageRank.fixedPointRanks(edges, nodes, "tok", iterations = 5)
+      val w = Window.orderBy(col("rank").desc, col("tok"))
+      ranks.withColumn("pos", row_number().over(w)).filter(col("pos") <= 20)
+    }
+  }
+
+  /** q199 — last-touch ATTRIBUTION: every purchase credits the user's
+    * most recent non-purchase event at-or-before it (the classic
+    * marketing-attribution rule), revenue and counts rolled up per
+    * crediting channel. The point-in-time lookup is the NATIVE as-of
+    * operator ([[graft.plans.AsOfJoinNative]] — one streaming merge
+    * pass per user partition, O(1) state); touches are first deduped
+    * to one per (user, ts) by arg-max event id, because as-of is
+    * ambiguous under timestamp ties (the q48 discipline). Purchases
+    * with no prior touch land in 'none' rather than dropping (left
+    * semantics — attribution must account for every sale). Revenue
+    * through the decimal-sum rule. */
+  val q199 = Q("q199_last_touch_attribution",
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) AS tn, arg_max(event_type, event_id) AS channel
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tn, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.value, t.channel
+      |      FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tn >= t.tn)
+      |SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS n_purchases,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("g_m"))
+      .select(col("user_id"), col("ts"), col("g_m.event_type").as("channel"))
+    graft.plans.AsOfJoinNative(purchases, "ts", touches, "ts", "user_id", Seq("channel"))
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Cols.dsum(col("value")).as("total_value"))
+  }
+
+  /** q200 — autocorrelation function of daily revenue at lags 1–7 (the
+    * weekly-seasonality detector): r_k = Σ dᵗ·dᵗ⁺ᵏ / Σ dᵗ², deviations
+    * taken around the INTEGER mean (tot div n — a deliberate exact
+    * centering; the <1-cent bias is irrelevant to the statistic and
+    * buys bit-replayability). Deviation products go through
+    * DECIMAL(38)/HUGEINT sums — daily deviations can reach ~10⁹ cents
+    * at scale, so int64 would overflow around 2⁴ days of product mass —
+    * and the final ratio is ONE double division of two exactly-rounded
+    * casts, so the float output hash-gates (the q184-cosine rule).
+    * After the one groupBy, everything runs on the ~2.4k-row day
+    * domain (the q197 bounded-domain argument); the lag join is a
+    * 7-way self-equi-join on the day index of that tiny relation. */
+  val q200 = Q("q200_revenue_acf",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |st AS (SELECT COUNT(*) AS nd, CAST(SUM(cents) AS BIGINT) AS tot FROM d),
+      |v AS (SELECT rn, cents - (SELECT tot // nd FROM st) AS dev FROM i),
+      |den AS (SELECT SUM(CAST(dev AS HUGEINT) * dev) AS dn FROM v),
+      |k AS (SELECT unnest(range(1, 8)) AS lag),
+      |n AS (SELECT k.lag, SUM(CAST(a.dev AS HUGEINT) * b.dev) AS num
+      |      FROM k CROSS JOIN v a JOIN v b ON b.rn = a.rn + k.lag
+      |      GROUP BY 1)
+      |SELECT n.lag, CAST(n.num AS DOUBLE) / CAST(den.dn AS DOUBLE) AS acf
+      |FROM n, den""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("cents"))
+    // day-domain window: bounded by |distinct days| at any corpus scale
+    val idx = daily.withColumn("rn", row_number().over(Window.orderBy("day")))
+    val st = idx.agg(count(lit(1)).as("g_nd"), sum("cents").as("g_tot"))
+    val dev = idx.crossJoin(broadcast(st))
+      .selectExpr("rn", "CAST(cents - (g_tot div g_nd) AS DECIMAL(38,0)) AS dev")
+    val den = dev.agg(sum(col("dev") * col("dev")).as("g_dn"))
+    val lags = (1L to 7L).toDF("lag")
+    val num = lags.crossJoin(dev.select(col("rn").as("g_ra"), col("dev").as("g_da")))
+      .join(dev.select(col("rn").as("g_rb"), col("dev").as("g_db")),
+        col("g_rb") === col("g_ra") + col("lag"))
+      .groupBy("lag").agg(sum(col("g_da") * col("g_db")).as("g_num"))
+    num.crossJoin(broadcast(den))
+      .selectExpr("lag",
+        "CAST(g_num AS DOUBLE) / CAST(g_dn AS DOUBLE) AS acf")
+  }
+
+  /** q201 — top session PATHS: the first three event types of every
+    * 30-minute session ([[graft.operators.Sessionize]] — the q182
+    * sessionizer verbatim) concatenated into a path string, counted
+    * corpus-wide — the "how do visits start" table behind every UX
+    * funnel review. The path is built from three CONDITIONAL aggregates
+    * (rank-pivoted), not collect_list — list aggregation order is not
+    * deterministic under parallel merge, conditional max is. Shape:
+    * sessionizer window + one groupBy(session) + one groupBy(path),
+    * all on the user/session key — two shuffles total. */
+  val q201 = Q("q201_session_paths",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN t - lag(t) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS n
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type,
+      |         SUM(n) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+      |  FROM s),
+      |f AS (SELECT user_id, sid, event_type,
+      |             row_number() OVER (PARTITION BY user_id, sid
+      |                                ORDER BY event_id) AS rn
+      |      FROM sess),
+      |p AS (SELECT user_id, sid,
+      |             concat_ws('>', MAX(CASE WHEN rn = 1 THEN event_type END),
+      |                            MAX(CASE WHEN rn = 2 THEN event_type END),
+      |                            MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |      FROM f WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+    val sess = graft.operators.Sessionize.assignSessions(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", gap = 1800000000000L)
+    val w = Window.partitionBy("user_id", "session_id").orderBy("event_id")
+    sess.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("user_id", "session_id")
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("g_e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("g_e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("g_e3"))
+      .select(concat_ws(">", col("g_e1"), col("g_e2"), col("g_e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** q202 — Benford's-law audit of order totals (the forensic
+    * first-digit screen auditors run on financial fact tables):
+    * observed leading-digit shares of o_totalprice against the Benford
+    * expectation log₁₀(1+1/d). The expected shares are FIXED REFERENCE
+    * CONSTANTS — computed once here and interpolated as the same
+    * round-trip literal into both engines, so the gate never computes
+    * a transcendental (the no-log-in-oracled-output rule); the
+    * observed share is one exact-operand IEEE division. Map-only scan
+    * + a 9-row aggregate; the digit comes from the exact integer
+    * cents, not float formatting. */
+  val q202: Q = {
+    val expected = (1 to 9).map(dg => dg.toLong -> math.log10(1.0 + 1.0 / dg))
+    // string→DOUBLE cast, not a bare numeric literal: DuckDB parses a
+    // bare decimal literal as DECIMAL first and the DECIMAL→DOUBLE hop
+    // can lose the last ulp vs the JVM double — strtod on the
+    // round-trip string is correctly rounded in both worlds
+    val valuesSql = expected
+      .map { case (dg, p) => s"($dg, CAST('$p' AS DOUBLE))" }.mkString(", ")
+    Q("q202_benford_audit",
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |t AS (SELECT COUNT(*) AS n FROM c),
+         |o AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1),
+         |e AS (SELECT * FROM (VALUES $valuesSql) AS v(digit, expected_share))
+         |SELECT o.digit, o.n_obs,
+         |       CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+         |       e.expected_share
+         |FROM o JOIN e ON e.digit = o.digit, t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val digits = Tables.orders(s, d).select(
+        substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(count(lit(1)).as("g_n"))
+      obs.crossJoin(broadcast(tot))
+        .join(broadcast(expected.toDF("digit", "expected_share")), Seq("digit"))
+        .selectExpr("digit", "n_obs",
+          "CAST(n_obs AS DOUBLE) / CAST(g_n AS DOUBLE) AS share",
+          "expected_share")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
+    q197, q198, q199, q200, q201, q202)
 }
