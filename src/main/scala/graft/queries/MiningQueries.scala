@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.functions.{FuzzyJoin, Kmv}
+import graft.functions.{FuzzyJoin, Hashes, Kmv}
 import graft.operators.{Bfs, Skyline}
 import graft.pipeline.TempDirs.spillParquet
 
@@ -605,6 +605,128 @@ object MiningQueries {
     }
   }
 
+  /** q203 — interval OVERLAP join: user sessions (the q182/q201
+    * sessionizer's [min ts, max ts] envelopes) against global outage
+    * windows (±15 min around a deterministic sample of error events),
+    * with the exact overlap duration — "which sessions were exposed to
+    * which incident". Runs through [[graft.operators.IntervalJoin]]:
+    * 30-minute chunk decomposition + first-shared-chunk arithmetic
+    * dedup + exact verify, vs the oracle's quadratic θ-join. The
+    * outage sample (error ∧ event_id ≡ 0 mod 50) is a pure function of
+    * the row, so both engines pick the identical set. */
+  val q203 = Q("q203_session_outage_overlap",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN t - lag(t) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS n
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, t,
+      |         SUM(n) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+      |  FROM s),
+      |iv AS (SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end,
+      |              MIN(event_id) AS s_first
+      |       FROM sess GROUP BY 1, 2),
+      |o AS (SELECT event_id AS outage_id,
+      |             t - 900000000000 AS o_start, t + 900000000000 AS o_end
+      |      FROM e WHERE event_type = 'error' AND event_id % 50 = 0)
+      |SELECT iv.user_id, iv.s_first AS session_first_event, o.outage_id,
+      |       least(iv.s_end, o.o_end) - greatest(iv.s_start, o.o_start) AS overlap_ns
+      |FROM iv JOIN o ON iv.s_start <= o.o_end AND iv.s_end >= o.o_start""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val iv = graft.operators.Sessionize.assignSessions(
+      ev.select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", gap = 1800000000000L)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+        min("event_id").as("s_first"))
+    val outages = ev.filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+      .select(col("event_id").as("outage_id"),
+        (col("ts") - 900000000000L).as("o_start"),
+        (col("ts") + 900000000000L).as("o_end"))
+    graft.operators.IntervalJoin
+      .overlapJoin(iv, "s_start", "s_end", outages, "o_start", "o_end",
+        chunk = 1800000000000L)
+      .select(col("user_id"), col("s_first").as("session_first_event"),
+        col("outage_id"),
+        (least(col("s_end"), col("o_end")) -
+          greatest(col("s_start"), col("o_start"))).as("overlap_ns"))
+  }
+
+  /** q204 — order-independent TABLE FINGERPRINTS (the anti-entropy
+    * check a replicated lakehouse runs to prove two copies hold the
+    * same rows without moving either): per row, the house md5-h60 over
+    * a canonical string encoding (doubles via DECIMAL(18,2), dates via
+    * DATE — both render identically in the two engines; raw
+    * float-to-string formatting would not), summed mod 2⁶⁰. Addition
+    * is commutative, so the fingerprint is partition-order- and
+    * layout-independent — two replicas match iff their multisets of
+    * encoded rows match (mod the 2⁻⁶⁰ collision). One map-only scan +
+    * one scalar aggregate per table; the sum rides DECIMAL(38)/HUGEINT
+    * so a trillion-row table cannot overflow it. */
+  val q204 = Q("q204_table_fingerprints", {
+    val c = Hashes.h60Sql(
+      "concat_ws('|', c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment)")
+    val o = Hashes.h60Sql(
+      "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), CAST(o_orderdate AS DATE), o_orderpriority)")
+    val n = Hashes.h60Sql("concat_ws('|', n_nationkey, n_name, n_regionkey)")
+    s"""SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+       |       CAST(SUM($c) % 1152921504606846976 AS BIGINT) AS fingerprint
+       |FROM customer
+       |UNION ALL SELECT 'orders', COUNT(*),
+       |       CAST(SUM($o) % 1152921504606846976 AS BIGINT) FROM orders
+       |UNION ALL SELECT 'nation', COUNT(*),
+       |       CAST(SUM($n) % 1152921504606846976 AS BIGINT) FROM nation""".stripMargin
+  }) { (s, d) =>
+    def fp(df: org.apache.spark.sql.DataFrame, name: String, enc: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(Hashes.h60(enc).cast(DecimalType(38, 0))).as("g_sum"))
+        .selectExpr(s"'$name' AS table_name", "n_rows",
+          "CAST(g_sum % 1152921504606846976 AS BIGINT) AS fingerprint")
+    fp(Tables.customer(s, d), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)), col("c_mktsegment")))
+      .unionAll(fp(Tables.orders(s, d), "orders",
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)),
+          col("o_orderdate").cast("date"), col("o_orderpriority"))))
+      .unionAll(fp(Tables.nation(s, d), "nation",
+        concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+  }
+
+  /** q205 — calendar DIMENSION generation (the conformed date dim every
+    * BI layer joins): one row per day spanning the fact table's date
+    * range, with the ISO attribute battery. Derived IN the plan — the
+    * 1-row min/max aggregate feeds a distributed sequence-explode, no
+    * driver round-trip, and the dim regenerates deterministically from
+    * the facts it serves. Day-of-week goes through ISO numbering
+    * (Mon=1) — Spark's `dayofweek` and DuckDB's `dayofweek` disagree
+    * on the week start, `weekday+1` vs `isodow` agree. */
+  val q205 = Q("q205_date_dim",
+    """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+      |                  MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+      |                                         CAST(mx AS TIMESTAMP),
+      |                                         INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM b)
+      |SELECT day, year(day) AS year, quarter(day) AS quarter,
+      |       month(day) AS month, dayofmonth(day) AS dom,
+      |       isodow(day) AS isodow, weekofyear(day) AS iso_week,
+      |       CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS is_weekend
+      |FROM d""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(min(to_date(col("o_orderdate"))).as("g_mn"),
+        max(to_date(col("o_orderdate"))).as("g_mx"))
+      .select(explode(sequence(col("g_mn"), col("g_mx"))).as("day"))
+      .select(col("day"), year(col("day")).as("year"),
+        quarter(col("day")).as("quarter"), month(col("day")).as("month"),
+        dayofmonth(col("day")).as("dom"),
+        (weekday(col("day")) + 1).as("isodow"),
+        weekofyear(col("day")).as("iso_week"),
+        when(weekday(col("day")) >= 5, 1).otherwise(0).as("is_weekend"))
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

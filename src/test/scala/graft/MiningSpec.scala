@@ -102,6 +102,26 @@ class MiningSpec extends SparkSpec {
     assert(direct === merged)
   }
 
+  // ---- IntervalJoin ----
+
+  test("interval overlap: matches brute force, one row per pair across shared chunks") {
+    import graft.operators.IntervalJoin
+    // chunk = 10; pairs sharing multiple chunks must emit ONCE; touching
+    // endpoints (l.end == r.start) count as overlap; disjoint excluded
+    val l = Seq((1L, 0L, 35L), (2L, 5L, 9L), (3L, 40L, 45L), (4L, 100L, 200L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 30L, 55L), (11L, 9L, 12L), (12L, 300L, 310L), (13L, 150L, 150L))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re", chunk = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val brute = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("le") >= col("rs"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === brute)
+    // spans 1-10 share 3 chunks with 10-30..55 — still exactly one row
+    assert(got === Seq((1L, 10L), (1L, 11L), (2L, 11L), (3L, 10L), (4L, 13L)))
+  }
+
   test("kmv: saturated estimate lands within 3x of truth on 1000 distinct values") {
     val n = 1000
     val hs = spark.range(0, n).select(Kmv.h40(col("id").cast("string")).as("h"))
