@@ -727,6 +727,122 @@ object MiningQueries {
         when(weekday(col("day")) >= 5, 1).otherwise(0).as("is_weekend"))
   }
 
+  /** q206 — bounded-hop WEIGHTED shortest paths over the co-purchase
+    * graph ([[graft.operators.Sssp]] — Bellman–Ford rounds as
+    * min-aggregate joins): edge cost 10⁶ div support (strong
+    * co-purchase = cheap hop), seeds = the earliest order's basket
+    * (q190's seed rule), 4 relaxation rounds. Where q190 counts hops,
+    * this weighs them — the "recommendation distance" that prefers one
+    * strong association over two weak ones. Integer costs end to end;
+    * the oracle unrolls the same 4 rounds. Edges and per-round
+    * distances are staged (the iterative-tier lineage discipline). */
+  val q206 = Q("q206_weighted_sssp",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS c
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT x, y, 1000000 // c AS w FROM e0
+      |      UNION ALL SELECT y, x, 1000000 // c FROM e0),
+      |seed AS (SELECT DISTINCT p FROM op WHERE o = (SELECT MIN(o) FROM op)),
+      |d0 AS (SELECT p AS v, 0 AS dist FROM seed),
+      |d1 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT v, dist FROM d0
+      |         UNION ALL SELECT e.y, d.dist + e.w FROM d0 d JOIN e ON e.x = d.v) u GROUP BY 1),
+      |d2 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT v, dist FROM d1
+      |         UNION ALL SELECT e.y, d.dist + e.w FROM d1 d JOIN e ON e.x = d.v) u GROUP BY 1),
+      |d3 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT v, dist FROM d2
+      |         UNION ALL SELECT e.y, d.dist + e.w FROM d2 d JOIN e ON e.x = d.v) u GROUP BY 1),
+      |d4 AS (SELECT v, MIN(dist) AS dist FROM (
+      |         SELECT v, dist FROM d3
+      |         UNION ALL SELECT e.y, d.dist + e.w FROM d3 d JOIN e ON e.x = d.v) u GROUP BY 1)
+      |SELECT v AS part, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin) { (s, d) =>
+    val op = spillParquet(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct(),
+      "graft_sssp_op_")
+    val e0 = op.select(col("o"), col("p").as("x"))
+      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("g_c"))
+      .filter(col("g_c") >= 2)
+      .selectExpr("x", "y", "1000000L div g_c AS w")
+    val edges = spillParquet(
+      e0.unionAll(e0.select(col("y").as("x"), col("x").as("y"), col("w"))),
+      "graft_sssp_edges_")
+    val minO = op.agg(min(col("o")).as("g_mo"))
+    val seeds = op.join(broadcast(minO), col("o") === col("g_mo"))
+      .select(col("p").as("part"))
+    graft.operators.Sssp.boundedDistances(edges, "x", "y", "w", seeds, "part",
+      rounds = 4)
+  }
+
+  /** q207 — Markov NEXT-EVENT model evaluation inside the engine:
+    * train the q182 session-transition model on ~80 % of transitions
+    * (those whose source event_id ≢ 0 mod 5 — a pure-function split,
+    * the q57 rule), predict argmax(count, tie → lexicographic) per
+    * source type, score top-1 accuracy on the held-out 20 %. Unseen
+    * sources predict NULL and score as wrong (a model that never saw
+    * 'signup' doesn't get credit for it). Counts are exact ints; the
+    * accuracy is one exact-operand IEEE division per source type.
+    * The classic train/eval loop — usually a pandas detour — expressed
+    * as two aggregates and a broadcast join. */
+  val q207 = Q("q207_markov_eval",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |         CASE WHEN t - lag(t) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS n
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type,
+      |         SUM(n) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+      |  FROM s),
+      |tr AS (
+      |  SELECT event_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id, sid
+      |                                ORDER BY event_id) AS to_type
+      |  FROM sess),
+      |tt AS (SELECT event_id, from_type, to_type FROM tr WHERE to_type IS NOT NULL),
+      |train AS (SELECT from_type, to_type, COUNT(*) AS c
+      |          FROM tt WHERE event_id % 5 <> 0 GROUP BY 1, 2),
+      |model AS (SELECT from_type, to_type AS predicted FROM (
+      |            SELECT from_type, to_type,
+      |                   row_number() OVER (PARTITION BY from_type
+      |                                      ORDER BY c DESC, to_type) AS rn
+      |            FROM train) WHERE rn = 1),
+      |test AS (SELECT from_type, to_type FROM tt WHERE event_id % 5 = 0)
+      |SELECT t.from_type, m.predicted, COUNT(*) AS n_test,
+      |       COUNT(*) FILTER (t.to_type = m.predicted) AS n_correct,
+      |       CAST(COUNT(*) FILTER (t.to_type = m.predicted) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      |FROM test t LEFT JOIN model m ON m.from_type = t.from_type
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val sess = graft.operators.Sessionize.assignSessions(
+      Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", gap = 1800000000000L)
+    val w = Window.partitionBy("user_id", "session_id").orderBy("event_id")
+    val tt = sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_id"), col("event_type").as("from_type"), col("to_type"))
+    val train = tt.filter(col("event_id") % 5 =!= 0)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("g_c"))
+    val mw = Window.partitionBy("from_type")
+      .orderBy(col("g_c").desc, col("to_type"))
+    val model = train.withColumn("g_rn", row_number().over(mw))
+      .filter(col("g_rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    tt.filter(col("event_id") % 5 === 0)
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy("from_type", "predicted")
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("to_type") === col("predicted"), 1)).as("n_correct"))
+      .selectExpr("from_type", "predicted", "n_test", "n_correct",
+        "CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy")
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

@@ -102,6 +102,27 @@ class MiningSpec extends SparkSpec {
     assert(direct === merged)
   }
 
+  // ---- Bounded weighted SSSP ----
+
+  test("sssp: cheap 2-hop path beats expensive direct edge; hop bound binds; negatives refused") {
+    import graft.operators.Sssp
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; 3→4 extends to 4 only with rounds ≥ 3
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val d3 = Sssp.boundedDistances(edges, "src", "dst", "w", seeds, "id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+    // with 1 round, only direct relaxations: 3 via the expensive edge
+    val d1 = Sssp.boundedDistances(edges, "src", "dst", "w", seeds, "id", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    intercept[IllegalArgumentException] {
+      Sssp.boundedDistances(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds, "id", rounds = 1)
+    }
+  }
+
   // ---- IntervalJoin ----
 
   test("interval overlap: matches brute force, one row per pair across shared chunks") {
