@@ -48,6 +48,41 @@ object Kmv {
   def sketch(hashes: DataFrame, hCol: String, k: Int): DataFrame =
     hashes.select(col(hCol)).distinct().orderBy(col(hCol)).limit(k)
 
+  /** Per-GROUP sketches: bottom-k of the distinct hashes within each
+    * `grpCol` value. A single window over the group key would sort
+    * each group's ENTIRE distinct-hash set in one task — a skew wall
+    * when one group holds 10⁸ members at 100 TB — so this runs the
+    * mergeable-aggregate shape instead: phase 1 takes bottom-k within
+    * (group, salt) buckets (salt = h mod `salts`, deterministic, so
+    * both phases replay bit-for-bit), phase 2 takes bottom-k of the
+    * ≤ salts·k survivors per group. Identical output to the direct
+    * window (every member of a group's global bottom-k is also in its
+    * bucket's bottom-k), but the heavy sort parallelizes `salts`-wide
+    * and the group-key shuffle carries ≤ salts·k rows per group, never
+    * the membership. Because bottom-k is mergeable set algebra,
+    * `groupSketch(standing ∪ arriving)` IS the incremental sketch
+    * update — the property the streaming maintenance op leans on. */
+  def groupSketch(hashes: DataFrame, grpCol: String, hCol: String,
+                  k: Int, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(grpCol), pmod(col(hCol), lit(salts.toLong)))
+      .orderBy(col(hCol))
+    val w2 = Window.partitionBy(grpCol).orderBy(col(hCol))
+    hashes.select(col(grpCol), col(hCol)).distinct()
+      .withColumn("g_rn", row_number().over(w1))
+      .filter(col("g_rn") <= k)
+      .withColumn("g_rn", row_number().over(w2))
+      .filter(col("g_rn") <= k).drop("g_rn")
+  }
+
+  /** Distinct-count estimates per group from a [[groupSketch]] table:
+    * (grpCol, distinct_est). */
+  def groupEstimates(sk: DataFrame, grpCol: String, hCol: String,
+                     k: Int): DataFrame =
+    sk.groupBy(col(grpCol))
+      .agg(count(col(hCol)).as("g_cnt"), max(col(hCol)).as("g_kth"))
+      .selectExpr(grpCol, estimateExpr("g_cnt", "g_kth", k) + " AS distinct_est")
+
   /** 1-row (cnt, kth) summary of a sketch: how many values it holds
     * and the largest (= h₍ₖ₎ when saturated). */
   def summary(sk: DataFrame, hCol: String): DataFrame =

@@ -843,6 +843,358 @@ object MiningQueries {
         "CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy")
   }
 
+  /** q208 — per-day distinct-user KMV sketch table (the DAU tile
+    * backed by a MERGEABLE sketch instead of a nightly COUNT
+    * DISTINCT): bottom-64 of each day's distinct user hashes via
+    * [[graft.functions.Kmv.groupSketch]] (salted two-phase — the heavy
+    * per-group sort parallelizes 32-wide, the group shuffle carries
+    * ≤ 32·k rows per day), estimates via the integer Beyer et al.
+    * estimator, exact DAU riding along in the same row so the driver's
+    * compare pins estimator against target per group. This is the
+    * BATCH build of exactly the table [[graft.streaming.Events
+    * .kmvSketchMaintainBatch]] maintains incrementally (bottom-k of
+    * standing ∪ arriving = bottom-k of all — `KmvStreamSpec` pins the
+    * equivalence); at 100 TB the standing table is |days|·k rows and a
+    * day's re-estimate after each arrival batch touches no history.
+    * All arithmetic integer over the house h40 — approximate ANSWER,
+    * exact GATE (the q191 rule, applied per-group). */
+  val q208 = {
+    val k = 64
+    val h = Kmv.h40Sql("CAST(user_id AS VARCHAR)")
+    Q("q208_kmv_daily_users",
+      s"""WITH h AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+         |                           $h AS g_h40 FROM events),
+         |r AS (SELECT day, g_h40,
+         |             row_number() OVER (PARTITION BY day ORDER BY g_h40) AS rn
+         |      FROM h),
+         |e AS (SELECT day, COUNT(*) AS g_cnt, MAX(g_h40) AS g_kth
+         |      FROM r WHERE rn <= $k GROUP BY 1),
+         |x AS (SELECT day, COUNT(*) AS exact_users
+         |      FROM (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+         |                            user_id FROM events) GROUP BY 1)
+         |SELECT e.day, ${Kmv.estimateSql("g_cnt", "g_kth", k)} AS distinct_est,
+         |       x.exact_users
+         |FROM e JOIN x USING (day)""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(expr("ts div 86400000000000").as("day"),
+          col("user_id").cast("string").as("u"))
+      val hashed = ud.select(col("day"), Kmv.h40(col("u")).as("g_h40"))
+      val est = Kmv.groupEstimates(
+        Kmv.groupSketch(hashed, "day", "g_h40", k), "day", "g_h40", k)
+      val exact = ud.distinct()
+        .groupBy("day").agg(count(lit(1)).as("exact_users"))
+      est.join(exact, Seq("day"))
+    }
+  }
+
+  /** q209 — Gini concentration of customer revenue (Gini 1912, via the
+    * Lorenz rank-sum form): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    * per-customer revenue cents sorted ascending — the one-number
+    * answer to "how top-heavy is our revenue". Exact all the way:
+    * integer cents, rank sums computed from the REVENUE-VALUE
+    * HISTOGRAM (a block of c ties at value v with P predecessors
+    * contributes v·(c·P + c(c+1)/2) — tie-order invariant by
+    * construction), products in DECIMAL(38)/HUGEINT, ONE double
+    * division at the end (the q200 rule). Scale shape: one shuffle to
+    * per-customer totals, one to the value histogram, and the prefix
+    * counts come from [[graft.operators.PrefixScan]] — the two-level
+    * scan whose only unpartitioned window runs on the BUCKET domain,
+    * so no customer-domain relation ever sorts in one task (the wall
+    * a bare `Window.orderBy` global rank would hit at 10⁸ customers). */
+  val q209 = Q("q209_gini_revenue",
+    """WITH pc AS (SELECT o_custkey,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |       FROM orders GROUP BY 1),
+      |h AS (SELECT cents, COUNT(*) AS c FROM pc GROUP BY 1),
+      |p AS (SELECT cents, c,
+      |        COALESCE(SUM(c) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pf
+      |      FROM h),
+      |a AS (SELECT SUM(CAST(cents AS HUGEINT) * (c * pf + (c * (c + 1)) // 2)) AS s,
+      |             SUM(CAST(cents AS HUGEINT) * c) AS t,
+      |             CAST(SUM(c) AS BIGINT) AS n FROM p)
+      |SELECT n AS n_customers, CAST(t AS BIGINT) AS total_cents,
+      |       CAST(2 * s - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
+      |FROM a""".stripMargin) { (s, d) =>
+    val pc = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val hist = pc.groupBy("cents").agg(count(lit(1)).as("g_c"))
+    // prefix count of strictly-poorer customers, bucketed by $10k bands
+    val pref = graft.operators.PrefixScan.exclusiveRunningSum(
+      hist, "cents", "g_c", "g_pf", expr("cents div 1000000"))
+    pref
+      .selectExpr(
+        "CAST(cents AS DECIMAL(38,0)) * (g_c * g_pf + (g_c * (g_c + 1)) div 2) AS g_s",
+        "CAST(cents AS DECIMAL(38,0)) * g_c AS g_t", "g_c")
+      .agg(sum("g_s").as("g_ss"), sum("g_t").as("g_tt"), sum("g_c").as("g_n"))
+      .selectExpr("g_n AS n_customers", "CAST(g_tt AS BIGINT) AS total_cents",
+        "CAST(2 * g_ss - (g_n + 1) * g_tt AS DOUBLE) / CAST(g_n * g_tt AS DOUBLE) AS gini")
+  }
+
+  /** q210 — weekday seasonality indices of revenue: per ISO weekday,
+    * (mean daily revenue for that weekday) / (overall mean daily
+    * revenue), computed as ONE IEEE division of two exact
+    * DECIMAL(38)/HUGEINT cross-products — dow_cents·n_all_days over
+    * n_dow_days·total_cents — so the "1.0 = average day" dashboard
+    * index hash-gates. Day-domain aggregates only (the q197 bounded-
+    * domain argument); isodow via `weekday+1` ≡ `isodow` (the q205
+    * week-start dodge). The multiplicative-seasonality complement of
+    * q200's autocorrelation (which PROVES the weekly cycle; this one
+    * quantifies its amplitude per day-of-week). */
+  val q210 = Q("q210_weekday_seasonality",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |       FROM orders GROUP BY 1),
+      |b AS (SELECT isodow(day) AS isodow, COUNT(*) AS n_days,
+      |             CAST(SUM(cents) AS BIGINT) AS dow_cents FROM d GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS nd, CAST(SUM(cents) AS BIGINT) AS tot FROM d)
+      |SELECT isodow, n_days, dow_cents,
+      |       CAST(CAST(dow_cents AS HUGEINT) * nd AS DOUBLE) /
+      |       CAST(CAST(n_days AS HUGEINT) * tot AS DOUBLE) AS seasonality
+      |FROM b, t""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val bydow = daily.groupBy((weekday(col("day")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum("cents").as("dow_cents"))
+    val tot = daily.agg(count(lit(1)).as("g_nd"), sum("cents").as("g_tot"))
+    bydow.crossJoin(broadcast(tot))
+      .selectExpr("isodow", "n_days", "dow_cents",
+        "CAST(CAST(dow_cents AS DECIMAL(38,0)) * g_nd AS DOUBLE) / " +
+          "CAST(CAST(n_days AS DECIMAL(38,0)) * g_tot AS DOUBLE) AS seasonality")
+  }
+
+  /** q211 — cohort LTV curves: customers cohorted by FIRST-order month
+    * (ym = year·12 + month, pure integer calendar — no interval
+    * arithmetic seam), revenue accumulated by months-since-first-order
+    * age, reported as cumulative cents and per-customer LTV (one IEEE
+    * division of exact ints per row). The forward-looking closure of
+    * q167's retention triangle: that one counts who comes BACK, this
+    * one integrates what they SPEND. Shape: two shuffles on the
+    * customer key (cohort assignment is a min-aggregate + equi-join,
+    * broadcast-sized cohort dimension rides back onto the curve), and
+    * the cumulative window partitions by COHORT over age rows —
+    * months-domain partitions, never customers. */
+  val q211 = Q("q211_cohort_ltv",
+    """WITH o AS (SELECT o_custkey,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |       FROM orders),
+      |c AS (SELECT o_custkey, MIN(ym) AS coh FROM o GROUP BY 1),
+      |sz AS (SELECT coh, COUNT(*) AS n_customers FROM c GROUP BY 1),
+      |r AS (SELECT c.coh, o.ym - c.coh AS age, CAST(SUM(o.cents) AS BIGINT) AS rev
+      |      FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+      |m AS (SELECT coh, age,
+      |             CAST(SUM(rev) OVER (PARTITION BY coh ORDER BY age) AS BIGINT) AS cum_cents
+      |      FROM r)
+      |SELECT m.coh AS cohort_ym, m.age, sz.n_customers, m.cum_cents,
+      |       CAST(m.cum_cents AS DOUBLE) / CAST(sz.n_customers AS DOUBLE) AS ltv
+      |FROM m JOIN sz USING (coh)""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("ym"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val coh = o.groupBy("o_custkey").agg(min("ym").as("g_coh"))
+    val sized = coh.groupBy("g_coh").agg(count(lit(1)).as("n_customers"))
+    val rev = o.join(coh, Seq("o_custkey"))
+      .groupBy(col("g_coh"), (col("ym") - col("g_coh")).as("age"))
+      .agg(sum("cents").as("g_rev"))
+    val wc = Window.partitionBy("g_coh").orderBy("age")
+    rev.withColumn("cum_cents", sum("g_rev").over(wc))
+      .join(broadcast(sized), Seq("g_coh"))
+      .selectExpr("g_coh AS cohort_ym", "age", "n_customers", "cum_cents",
+        "CAST(cum_cents AS DOUBLE) / CAST(n_customers AS DOUBLE) AS ltv")
+  }
+
+  /** q212 — exponential smoothing of daily revenue in exact FIXED-POINT
+    * integer arithmetic (Brown 1956's simple ES): s₁ = x₁,
+    * sₜ = (xₜ + 4·sₜ₋₁) div 5 — α = 1/5 expressed as an integer
+    * recurrence, so the smoothed level and the residual both
+    * hash-gate (float ES never would: its reduction order is the
+    * answer). Same execution discipline as q197's CUSUM: the recursion
+    * is inherently sequential but runs over the AGGREGATED day domain
+    * (bounded at any corpus scale) after one map-side-combined
+    * groupBy, driver-folded, while the oracle replays it as a
+    * recursive CTE. The trend-following complement of q197 (which
+    * detects level SHIFTS; this one tracks the level itself — its
+    * residual is the anomaly signal q133 thresholds). */
+  val q212 = Q("q212_ses_revenue",
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |c AS (
+      |  SELECT rn, day, cents, cents AS s FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.cents, (i.cents + 4 * c.s) // 5
+      |  FROM c JOIN i ON i.rn = c.rn + 1)
+      |SELECT day, cents, s AS smoothed, cents - s AS residual
+      |FROM c""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .orderBy("day")
+    // bounded aggregate domain: |distinct days|, not |orders| (q197)
+    val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+    var run = 0L
+    val out = rows.zipWithIndex.map { case ((day, cents), i) =>
+      run = if (i == 0) cents else (cents + 4 * run) / 5
+      (day, cents, run, cents - run)
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "cents", "smoothed", "residual")
+  }
+
+  /** q213 — decision-stump training (CART's 1-split tree, Breiman et
+    * al. 1984) INSIDE the engine: the best threshold on event value
+    * for predicting a purchase, by minimal weighted Gini impurity.
+    * Everything before the final comparison is exact: candidate
+    * splits are the distinct floor(value) levels, per-candidate
+    * (n, positives) cumulative counts come from TWO
+    * [[graft.operators.PrefixScan]] passes over the value histogram
+    * (no customer/value-domain single-task window), and each
+    * candidate's impurity is the exact rational
+    * [p_L(n_L−p_L)·n_R + p_R(n_R−p_R)·n_L] / (n_L·n_R) in
+    * DECIMAL(38)/HUGEINT — ONE IEEE division per candidate, argmin
+    * with threshold tiebreak (both engines sort the same doubles over
+    * the same exact operands). The supervised sibling of q207's
+    * Markov eval: model TRAINING as two shuffles and a TakeOrdered. */
+  val q213 = Q("q213_decision_stump",
+    """WITH e AS (SELECT CAST(floor("value") AS BIGINT) AS x,
+      |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |           FROM events),
+      |h AS (SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM e GROUP BY 1),
+      |c AS (SELECT x, n, p,
+      |        CAST(SUM(n) OVER w AS BIGINT) AS nl, CAST(SUM(p) OVER w AS BIGINT) AS pl
+      |      FROM h WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp FROM h),
+      |cand AS (
+      |  SELECT c.x AS threshold, c.nl AS n_left, c.pl AS p_left,
+      |         t.tn - c.nl AS n_right, t.tp - c.pl AS p_right
+      |  FROM c, t WHERE t.tn - c.nl > 0),
+      |scored AS (
+      |  SELECT *,
+      |    CAST(CAST(p_left AS HUGEINT) * (n_left - p_left) * n_right
+      |         + CAST(p_right AS HUGEINT) * (n_right - p_right) * n_left AS DOUBLE)
+      |      / CAST(CAST(n_left AS HUGEINT) * n_right AS DOUBLE) AS split_score
+      |  FROM cand)
+      |SELECT threshold, n_left, p_left, n_right, p_right, split_score
+      |FROM scored ORDER BY split_score, threshold LIMIT 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      floor(col("value")).cast("long").as("x"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val hist = e.groupBy("x").agg(count(lit(1)).as("g_n"), sum("y").as("g_p"))
+    val cum = graft.operators.PrefixScan.exclusiveRunningSum(
+      graft.operators.PrefixScan.exclusiveRunningSum(
+        hist, "x", "g_n", "g_cn", expr("x div 100")),
+      "x", "g_p", "g_cp", expr("x div 100"))
+    val tot = hist.agg(sum("g_n").as("g_tn"), sum("g_p").as("g_tp"))
+    cum.crossJoin(broadcast(tot))
+      .selectExpr("x AS threshold",
+        "g_cn + g_n AS n_left", "g_cp + g_p AS p_left",
+        "g_tn - (g_cn + g_n) AS n_right", "g_tp - (g_cp + g_p) AS p_right")
+      .filter(col("n_right") > 0)
+      .selectExpr("threshold", "n_left", "p_left", "n_right", "p_right",
+        "CAST(CAST(p_left AS DECIMAL(38,0)) * (n_left - p_left) * n_right" +
+          " + CAST(p_right AS DECIMAL(38,0)) * (n_right - p_right) * n_left AS DOUBLE)" +
+          " / CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DOUBLE) AS split_score")
+      .orderBy(col("split_score"), col("threshold")).limit(1)
+  }
+
+  /** q214 — integer multinomial NAIVE BAYES (McCallum & Nigam 1998),
+    * trained AND evaluated in the engine, with the transcendental
+    * −log₂ P(tok|class) replaced by the house's exact bit-length
+    * surrogate (the q113 charlm conditional form): cost =
+    * bl(class_token_total) − bl(freq), OOV = bl(class_token_total)+2,
+    * prior = bl(train_docs) − bl(class_docs), bl(x) = ⌊log₂ x⌋+1.
+    * Split is the q207 pure-function rule (doc_id ≢ 0 mod 5 trains);
+    * prediction is argmin(total bits, tie → class ascending); the
+    * report is per-class exact recall counts plus ONE IEEE division.
+    * Honest fixture caveat: the synthetic corpus draws every language
+    * from the SAME 31-token vocabulary, so class recall sits near
+    * chance — what the gate pins is the exact train/score/argmin
+    * pipeline, not fixture separability (the accuracy column is real
+    * signal on any real corpus). Scale: costs are vocab×|classes|
+    * rows, scoring is a ×|classes| broadcast fanout + one
+    * (class, token) equi-join + one (doc, class) aggregate — no
+    * collect anywhere, nothing corpus-wide on the driver. */
+  val q214 = Q("q214_naive_bayes_langid",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, tok FROM (
+      |    SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+      |    FROM documents) WHERE length(tok) > 0),
+      |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+      |ctot AS (SELECT lang AS c_lang, COUNT(*) AS ntok FROM train GROUP BY 1),
+      |costs AS (SELECT lang AS c_lang, tok, COUNT(*) AS freq FROM train GROUP BY 1, 2),
+      |prior AS (SELECT t.c_lang,
+      |                 length(bin((SELECT COUNT(DISTINCT doc_id) FROM train)))
+      |                   - length(bin(COUNT(DISTINCT d.doc_id))) AS pcost
+      |          FROM ctot t JOIN train d ON d.lang = t.c_lang GROUP BY 1),
+      |test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang AS actual, ct.c_lang,
+      |         CAST(SUM(CASE WHEN c.freq IS NULL THEN length(bin(ct.ntok)) + 2
+      |                       ELSE length(bin(ct.ntok)) - length(bin(c.freq)) END) AS BIGINT)
+      |           + MIN(p.pcost) AS bits
+      |  FROM test t CROSS JOIN ctot ct
+      |  JOIN prior p ON p.c_lang = ct.c_lang
+      |  LEFT JOIN costs c ON c.c_lang = ct.c_lang AND c.tok = t.tok
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, actual, c_lang AS predicted FROM (
+      |    SELECT doc_id, actual, c_lang,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY bits, c_lang) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT actual, COUNT(*) AS n_test,
+      |       COUNT(*) FILTER (actual = predicted) AS n_correct,
+      |       CAST(COUNT(*) FILTER (actual = predicted) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM pred GROUP BY 1""".stripMargin) { (s, d) =>
+    val bl = (c: org.apache.spark.sql.Column) => length(bin(c)).cast("long")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val ctot = train.groupBy(col("lang").as("c_lang"))
+      .agg(count(lit(1)).as("g_ntok"))
+    val costs = train.groupBy(col("lang").as("c_lang"), col("tok"))
+      .agg(count(lit(1)).as("g_freq"))
+    val nTrainDocs = train.select("doc_id").distinct()
+      .agg(count(lit(1)).as("g_alldocs"))
+    val prior = train.select("doc_id", "lang").distinct()
+      .groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("g_cdocs"))
+      .crossJoin(broadcast(nTrainDocs))
+      .select(col("c_lang"),
+        (bl(col("g_alldocs")) - bl(col("g_cdocs"))).as("g_pcost"))
+    val classes = ctot.join(prior, Seq("c_lang"))
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    val scored = test.crossJoin(broadcast(classes))
+      .join(costs, Seq("c_lang", "tok"), "left")
+      .withColumn("g_cost",
+        when(col("g_freq").isNull, bl(col("g_ntok")) + 2L)
+          .otherwise(bl(col("g_ntok")) - bl(col("g_freq"))))
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("c_lang"))
+      .agg((sum(col("g_cost")) + min(col("g_pcost"))).as("g_bits"))
+    val pw = Window.partitionBy("doc_id").orderBy(col("g_bits"), col("c_lang"))
+    val pred = scored.withColumn("g_rn", row_number().over(pw))
+      .filter(col("g_rn") === 1)
+      .select(col("doc_id"), col("actual"), col("c_lang").as("predicted"))
+    pred.groupBy("actual")
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("actual") === col("predicted"), 1)).as("n_correct"))
+      .selectExpr("actual", "n_test", "n_correct",
+        "CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS recall")
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
+    q209, q210, q211, q212, q213, q214)
 }

@@ -788,4 +788,92 @@ object Events {
       store.push(marker, id.toString, 1)
     }
   }
+
+  /** Streaming maintenance for per-group KMV distinct sketches: each
+    * micro-batch of (group, key) arrivals hashes through
+    * [[graft.functions.Kmv.h40]] and folds into a standing bottom-k
+    * sketch table committed as one [[graft.pipeline.AtomicTable]]
+    * version per batch. Bottom-k is MERGEABLE set algebra —
+    * `groupSketch(standing ∪ arriving)` IS the incremental update, so
+    * nothing is ever retrained, recounted, or re-scanned: the standing
+    * side is ≤ |groups|·k rows and the union is sketch-plus-batch
+    * sized, never history-sized. Replaying a batch after checkpoint
+    * recovery is idempotent by construction (distinct + bottom-k of a
+    * set already containing the batch's hashes is a fixed point — the
+    * committed version is byte-identical, no replay marker needed).
+    * Serve per-group distinct estimates at any time with
+    * [[graft.functions.Kmv.groupEstimates]] over the current version;
+    * `versions` gives estimate-as-of-batch time travel. Arrivals
+    * serialize per sketch table (the AtomicTable replace contract) —
+    * one streaming query does that by construction. */
+  def kmvSketchMaintainBatch(sketchDir: String, grpCol: String,
+                             keyCol: String, k: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val arriving = batch.select(col(grpCol),
+      graft.functions.Kmv.h40(col(keyCol).cast("string")).as("g_h40"))
+    val merged = graft.pipeline.AtomicTable.currentVersion(spark, sketchDir) match {
+      case None    => arriving
+      case Some(_) =>
+        graft.pipeline.AtomicTable.read(spark, sketchDir).unionByName(arriving)
+    }
+    graft.pipeline.AtomicTable.replace(
+      graft.functions.Kmv.groupSketch(merged, grpCol, "g_h40", k), sketchDir)
+    ()
+  }
+
+  /** Streaming CUSUM monitor — q197's sequential detector lifted to
+    * the stream boundary. Consumes FINALIZED observations (t, value):
+    * each micro-batch carries closed aggregate rows (e.g. day-close
+    * revenue from an upstream watermark-closed windowed aggregate),
+    * each t appears exactly once across the stream, and batches are
+    * per-t monotone — the same append-only contract as
+    * [[scd2MaintainBatch]], `require`-checked loudly here because a
+    * silently re-folded day corrupts the running statistic forever.
+    * Per batch: fold s_t = max(0, s_{t−1} + x_t − μ − κ) in exact
+    * integer arithmetic from the standing s (frozen μ/κ trained
+    * offline — the [[lmQualityGateBatch]] discipline: detection
+    * params never drift with the data they monitor), append each
+    * observation with its cusum + alarm to `outDir`, and commit
+    * (s, last_t, last_batch) as one AtomicTable version. The driver
+    * fold is bounded by the AGGREGATE domain (days per batch), not
+    * arrivals — q197's collect() justification unchanged. Replay
+    * guard: state carries the highest applied batch id and re-delivered
+    * batches short-circuit; the append and the state commit are not
+    * atomic, so a crash exactly between them still duplicates one
+    * batch's out rows (the [[idempotentServingStateBatch]] caveat) —
+    * dedup on (t, _batch_id) downstream if that window matters. */
+  def cusumMonitorBatch(stateDir: String, outDir: String,
+                        tCol: String, valCol: String,
+                        mu: Long, slack: Long, threshold: Long)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val standing = graft.pipeline.AtomicTable.currentVersion(spark, stateDir)
+      .map(_ => graft.pipeline.AtomicTable.read(spark, stateDir).collect().head)
+    if (standing.exists(_.getAs[Long]("last_batch") >= batchId)) return
+    var run = standing.map(_.getAs[Long]("s")).getOrElse(0L)
+    val lastT = standing.map(_.getAs[Long]("last_t")).getOrElse(Long.MinValue)
+    val obs = batch
+      .select(col(tCol).cast("long").as("t"), col(valCol).cast("long").as("v"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(obs.headOption.forall(_._1 > lastT),
+      s"cusumMonitorBatch: batch $batchId arrives at t=${obs.head._1} " +
+        s"≤ last applied t=$lastT — observations must be finalized, " +
+        "once-only, and per-batch monotone")
+    val outRows = obs.map { case (t, v) =>
+      run = math.max(0L, run + v - mu - slack)
+      (t, v, run, if (run > threshold) 1 else 0)
+    }
+    outRows.toSeq.toDF(tCol, valCol, "cusum", "alarm")
+      .withColumn("_batch_id", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    graft.pipeline.AtomicTable.replace(
+      Seq((run, obs.last._1, batchId)).toDF("s", "last_t", "last_batch"),
+      stateDir)
+    ()
+  }
 }

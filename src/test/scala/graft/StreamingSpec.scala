@@ -469,4 +469,35 @@ class StreamingSpec extends SparkSpec {
       restarted.stop()
     } finally queries.filter(_.isActive).foreach(_.stop())
   }
+
+  test("streaming CUSUM: per-batch fold ≡ one-shot recursion, replay-guarded, monotone-enforced") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cusum_stream_").toString
+    val stateDir = s"$root/state"
+    val outDir = s"$root/out"
+    val run = Events.cusumMonitorBatch(stateDir, outDir, "t", "v",
+      mu = 100L, slack = 5L, threshold = 50L) _
+    val b0 = Seq((1L, 130L), (2L, 90L)).toDF("t", "v")
+    val b1 = Seq((3L, 200L), (4L, 10L)).toDF("t", "v")
+    run(b0, 0L)
+    run(b1, 1L)
+    def out: Seq[(Long, Long, Long, Int)] =
+      spark.read.parquet(outDir).select("t", "v", "cusum", "alarm")
+        .as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    // the q197 recursion folded across the batch boundary:
+    // s=max(0,0+130−105)=25, max(0,25+90−105)=10,
+    // max(0,10+200−105)=105 (alarm: >50), max(0,105+10−105)=10
+    assert(out === Seq((1L, 130L, 25L, 0), (2L, 90L, 10L, 0),
+      (3L, 200L, 105L, 1), (4L, 10L, 10L, 0)))
+    // foreachBatch re-delivery of the applied batch: short-circuits on
+    // the recorded batch id — no duplicate out rows, state unchanged
+    run(b1, 1L)
+    assert(out.size === 4)
+    val st = graft.pipeline.AtomicTable.read(spark, stateDir).collect().head
+    assert(st.getAs[Long]("s") === 10L && st.getAs[Long]("last_t") === 4L
+      && st.getAs[Long]("last_batch") === 1L)
+    // a NEW batch id carrying an already-folded t is corruption, not
+    // replay — it must fail loudly, not silently re-fold
+    intercept[IllegalArgumentException] { run(Seq((4L, 1L)).toDF("t", "v"), 2L) }
+  }
 }
