@@ -1194,7 +1194,170 @@ object MiningQueries {
         "CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS recall")
   }
 
+  /** q215 — JOIN-SIZE ESTIMATION from KMV sketches (Beyer et al.
+    * SIGMOD'07 §5; the F₂ self-join case is the AGMS second frequency
+    * moment): the optimizer-statistics primitive that prices a join
+    * WITHOUT running it. For keys in the bottom-k sketch of the key
+    * union, exact per-side multiplicities are counted (a broadcast
+    * k-row semi-join per side — nothing fact-sized shuffles), and
+    * |A ⋈ B| ≈ n̂_union · (Σ m_A·m_B over sketch keys) / k, computed as
+    * ONE integer floor division of exact DECIMAL(38)/HUGEINT products
+    * — ((k−1)·2⁴⁰·Σ) div (h₍ₖ₎·k) — so the estimate replays
+    * bit-for-bit in the oracle (the q191 rule). Reported next to the
+    * EXACT join count and the exact partkey self-join size (F₂), so
+    * the driver's gate pins estimator against target: at sf0.01 the
+    * estimates land within ~5 %. Unsaturated sketches degrade to the
+    * exact answer (the sketch IS the key set). Estimates operate in
+    * h40 space (hash collisions are estimator noise by design); the
+    * exact columns use true keys. */
+  val q215 = {
+    val k = 256
+    val c = (k - 1).toLong * Kmv.R40
+    val hO = Kmv.h40Sql("CAST(o_orderkey AS VARCHAR)")
+    val hL = Kmv.h40Sql("CAST(l_orderkey AS VARCHAR)")
+    val hP = Kmv.h40Sql("CAST(l_partkey AS VARCHAR)")
+    Q("q215_join_size_estimate",
+      s"""WITH oh AS (SELECT $hO AS h FROM orders),
+         |lh AS (SELECT $hL AS h FROM lineitem),
+         |ph AS (SELECT $hP AS h FROM lineitem),
+         |uni AS (SELECT DISTINCT h FROM (SELECT h FROM oh UNION SELECT h FROM lh)),
+         |sk AS (SELECT h FROM uni ORDER BY h LIMIT $k),
+         |sm AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM sk),
+         |ma AS (SELECT h, COUNT(*) AS m FROM oh WHERE h IN (SELECT h FROM sk) GROUP BY 1),
+         |mb AS (SELECT h, COUNT(*) AS m FROM lh WHERE h IN (SELECT h FROM sk) GROUP BY 1),
+         |sp AS (SELECT CAST(SUM(COALESCE(ma.m, 0) * COALESCE(mb.m, 0)) AS BIGINT) AS sp
+         |       FROM sk LEFT JOIN ma USING (h) LEFT JOIN mb USING (h)),
+         |sk2 AS (SELECT h FROM (SELECT DISTINCT h FROM ph) ORDER BY h LIMIT $k),
+         |sm2 AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM sk2),
+         |sq AS (SELECT CAST(SUM(m * m) AS BIGINT) AS sq FROM (
+         |         SELECT h, COUNT(*) AS m FROM ph
+         |         WHERE h IN (SELECT h FROM sk2) GROUP BY 1)),
+         |xj AS (SELECT COUNT(*) AS exact_join
+         |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |xf AS (SELECT CAST(SUM(CAST(m AS HUGEINT) * m) AS BIGINT) AS exact_f2
+         |       FROM (SELECT COUNT(*) AS m FROM lineitem GROUP BY l_partkey))
+         |SELECT
+         |  CASE WHEN sm.cnt < $k THEN sp.sp
+         |       ELSE CAST((CAST($c AS HUGEINT) * sp.sp) // (sm.kth * sm.cnt) AS BIGINT) END AS est_join,
+         |  xj.exact_join,
+         |  CASE WHEN sm2.cnt < $k THEN sq.sq
+         |       ELSE CAST((CAST($c AS HUGEINT) * sq.sq) // (sm2.kth * sm2.cnt) AS BIGINT) END AS est_selfjoin_parts,
+         |  xf.exact_f2 AS exact_selfjoin_parts
+         |FROM sm, sp, sm2, sq, xj, xf""".stripMargin) { (s, d) =>
+      val oh = Tables.orders(s, d)
+        .select(Kmv.h40(col("o_orderkey").cast("string")).as("h"))
+      val lh = Tables.lineitem(s, d)
+        .select(Kmv.h40(col("l_orderkey").cast("string")).as("h"))
+      val ph = Tables.lineitem(s, d)
+        .select(Kmv.h40(col("l_partkey").cast("string")).as("h"))
+      val sk = spillParquet(
+        Kmv.sketch(oh.distinct().unionAll(lh.distinct()).distinct(), "h", k),
+        "graft_jse_sk_")
+      val sm = Kmv.summary(sk, "h")
+      val ma = oh.join(broadcast(sk), Seq("h")).groupBy("h")
+        .agg(count(lit(1)).as("g_ma"))
+      val mb = lh.join(broadcast(sk), Seq("h")).groupBy("h")
+        .agg(count(lit(1)).as("g_mb"))
+      val sp = sk.join(ma, Seq("h"), "left").join(mb, Seq("h"), "left")
+        .agg(sum(coalesce(col("g_ma"), lit(0L)) *
+          coalesce(col("g_mb"), lit(0L))).as("g_sp"))
+      val sk2 = spillParquet(Kmv.sketch(ph, "h", k), "graft_jse_sk2_")
+      val sm2 = Kmv.summary(sk2, "h")
+        .select(col("g_cnt").as("g_cnt2"), col("g_kth").as("g_kth2"))
+      val sq = ph.join(broadcast(sk2), Seq("h")).groupBy("h")
+        .agg(count(lit(1)).as("g_m"))
+        .agg(sum(col("g_m") * col("g_m")).as("g_sq"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"))
+      val li = Tables.lineitem(s, d)
+      val xj = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join"))
+      val xf = li.groupBy("l_partkey").agg(count(lit(1)).as("g_m"))
+        .agg(sum(col("g_m").cast(DecimalType(38, 0)) * col("g_m")).as("g_f2"))
+      sm.crossJoin(sp).crossJoin(sm2).crossJoin(sq)
+        .crossJoin(broadcast(xj)).crossJoin(broadcast(xf))
+        .selectExpr(
+          s"CASE WHEN g_cnt < $k THEN g_sp ELSE (CAST(${c}L AS DECIMAL(38,0)) * g_sp) div (g_kth * g_cnt) END AS est_join",
+          "exact_join",
+          s"CASE WHEN g_cnt2 < $k THEN g_sq ELSE (CAST(${c}L AS DECIMAL(38,0)) * g_sq) div (g_kth2 * g_cnt2) END AS est_selfjoin_parts",
+          "CAST(g_f2 AS BIGINT) AS exact_selfjoin_parts")
+    }
+  }
+
+  /** q216 — spend PERCENTILE feature transform: every customer's exact
+    * revenue rank and percent_rank — the rank/CDF feature every churn
+    * or propensity model starts from, and the transform that pushes
+    * teams to a single-task `Window.orderBy` at exactly the moment the
+    * customer table stops fitting one task. Here rank(x) = 1 + (count
+    * of strictly-poorer customers), with the predecessor counts from
+    * the value histogram via [[graft.operators.PrefixScan]] and joined
+    * back on the value — the shuffle keys are (value, bucket), never a
+    * global sort; ties share a rank by construction, exactly SQL
+    * `RANK()`/`PERCENT_RANK()` semantics, which is what the oracle
+    * replays. percent_rank is ONE IEEE division of exact ints per row. */
+  val q216 = Q("q216_spend_percentile",
+    """WITH pc AS (SELECT o_custkey,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |       FROM orders GROUP BY 1)
+      |SELECT o_custkey, cents,
+      |       rank() OVER (ORDER BY cents) AS spend_rank,
+      |       percent_rank() OVER (ORDER BY cents) AS spend_pctl
+      |FROM pc""".stripMargin) { (s, d) =>
+    val pc = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val hist = pc.groupBy("cents").agg(count(lit(1)).as("g_c"))
+    val pref = graft.operators.PrefixScan.exclusiveRunningSum(
+      hist, "cents", "g_c", "g_pf", expr("cents div 1000000"))
+    val n = pc.agg(count(lit(1)).as("g_n"))
+    pc.join(pref.select("cents", "g_pf"), Seq("cents"))
+      .crossJoin(broadcast(n))
+      .selectExpr("o_custkey", "cents", "g_pf + 1 AS spend_rank",
+        "CASE WHEN g_n = 1 THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE CAST(g_pf AS DOUBLE) / CAST(g_n - 1 AS DOUBLE) END AS spend_pctl")
+  }
+
+  /** q217 — 3-core of the co-purchase graph via bounded peeling
+    * ([[graft.operators.KCore]] — Seidman 1983, three rounds, the
+    * oracle unrolls the same three): the dense-region prefilter that
+    * completes the graph suite (components → PageRank → triangles →
+    * BFS → SSSP → k-core). Same q206 edge construction (support ≥ 2
+    * co-purchases, both directions); output is every surviving part
+    * with its degree inside the peeled remnant. Peel rounds only
+    * shrink the edge set, and each round's edges are staged, so
+    * lineage stays round-deep. */
+  val q217 = Q("q217_kcore_parts",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+      |d1 AS (SELECT x AS v, COUNT(*) AS deg FROM e GROUP BY 1),
+      |a1 AS (SELECT v FROM d1 WHERE deg >= 3),
+      |e1 AS (SELECT e.x, e.y FROM e
+      |       WHERE x IN (SELECT v FROM a1) AND y IN (SELECT v FROM a1)),
+      |d2 AS (SELECT x AS v, COUNT(*) AS deg FROM e1 GROUP BY 1),
+      |a2 AS (SELECT v FROM d2 WHERE deg >= 3),
+      |e2 AS (SELECT e1.x, e1.y FROM e1
+      |       WHERE x IN (SELECT v FROM a2) AND y IN (SELECT v FROM a2)),
+      |d3 AS (SELECT x AS v, COUNT(*) AS deg FROM e2 GROUP BY 1)
+      |SELECT v AS part, deg FROM d3 WHERE deg >= 3""".stripMargin) { (s, d) =>
+    val op = spillParquet(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct(),
+      "graft_kcore_op_")
+    val e0 = op.select(col("o"), col("p").as("x"))
+      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("g_c"))
+      .filter(col("g_c") >= 2).select("x", "y")
+    val edges = spillParquet(
+      e0.unionAll(e0.select(col("y").as("x"), col("x").as("y"))),
+      "graft_kcore_e_")
+    graft.operators.KCore.peel(edges, "x", "y", k = 3, rounds = 3)
+      .select(col("v").as("part"), col("deg"))
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214)
+    q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

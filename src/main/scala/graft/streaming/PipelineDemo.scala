@@ -147,6 +147,35 @@ object PipelineDemo {
     val recs = Seq(("u1", Seq("c1", "v1", "off1"))).toDF("user_id", "recommendations")
     val payload = Events.toKafkaPayload(recs, "user_id").head()
     println(s"[demo] kafka payload: key=${payload.getString(0)} value=${payload.getString(1)}")
+
+    // ---- monitoring tier: KMV sketch + CUSUM maintained per batch ----
+    val kmvStream = MemoryStream[(String, Long)]
+    val q8 = kmvStream.toDF().toDF("etype", "user").writeStream
+      .foreachBatch(Events.kmvSketchMaintainBatch(s"$dir/kmv", "etype", "user", 64) _)
+      .outputMode("update").start()
+    kmvStream.addData(("view", 1L), ("view", 2L), ("buy", 1L))
+    q8.processAllAvailable()
+    kmvStream.addData(("view", 3L), ("buy", 1L))
+    q8.processAllAvailable(); q8.stop()
+    val ests = graft.functions.Kmv.groupEstimates(
+      graft.pipeline.AtomicTable.read(spark, s"$dir/kmv"), "etype", "g_h40", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[demo] kmv distinct-user estimates after 2 batches: $ests")
+
+    val cusumStream = MemoryStream[(Long, Long)]
+    val q9 = cusumStream.toDF().toDF("t", "v").writeStream
+      .foreachBatch(Events.cusumMonitorBatch(
+        s"$dir/cusum_state", s"$dir/cusum_out", "t", "v",
+        mu = 100L, slack = 5L, threshold = 50L) _)
+      .outputMode("update").start()
+    cusumStream.addData((1L, 130L), (2L, 90L))
+    q9.processAllAvailable()
+    cusumStream.addData((3L, 200L), (4L, 10L))
+    q9.processAllAvailable(); q9.stop()
+    val alarms = spark.read.parquet(s"$dir/cusum_out")
+      .orderBy("t").select("t", "cusum", "alarm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    println(s"[demo] cusum (t, s, alarm) stream: $alarms")
     spark.stop()
   }
 }

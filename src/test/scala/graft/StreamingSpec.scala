@@ -470,6 +470,47 @@ class StreamingSpec extends SparkSpec {
     } finally queries.filter(_.isActive).foreach(_.stop())
   }
 
+  test("streaming session_window: watermark closes sessions in append mode; late event merges pre-watermark sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)] // (user, epoch seconds)
+    val sessions = ms.toDF().toDF("user_id", "sec")
+      .withColumn("ts_t", timestamp_seconds(col("sec")))
+      .withWatermark("ts_t", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("s0"),
+        unix_timestamp(col("session_window.end")).as("s1"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // two events 10 min apart extend ONE session; a third arrives in
+      // a later batch still inside the gap, so the session must merge
+      // across micro-batches, not emit per-batch fragments
+      ms.addData(("u1", 1000L), ("u1", 1600L))
+      q.processAllAvailable()
+      ms.addData(("u1", 2800L))
+      q.processAllAvailable()
+      // nothing may be emitted yet: the watermark hasn't passed the
+      // open session's end, append mode holds it as state
+      assert(spark.table("sess_stream").isEmpty)
+      // an event far in the future advances the watermark past the
+      // session end -> the closed session finally emits, merged
+      ms.addData(("u2", 100000L))
+      q.processAllAvailable()
+      ms.addData(("u2", 200000L)) // push watermark again to flush u2's first
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .select("user_id", "s0", "s1", "n_events")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // one merged u1 session: [1000, 2800 + 1800), 3 events
+      assert(rows.contains(("u1", 1000L, 4600L, 3L)), rows)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM: per-batch fold ≡ one-shot recursion, replay-guarded, monotone-enforced") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cusum_stream_").toString
