@@ -1357,7 +1357,61 @@ object MiningQueries {
       .select(col("v").as("part"), col("deg"))
   }
 
+  /** q218 — per-column NDV statistics in ONE pass (the ANALYZE TABLE
+    * primitive; with q215's join-size estimator this completes the
+    * optimizer-statistics suite): stack (column_name, value-as-string)
+    * pairs with a map-side explode, hash once, and let
+    * [[graft.functions.Kmv.groupSketch]] produce every column's
+    * bottom-k sketch in the same shuffle — |columns|·k standing rows
+    * for any table width, one scan of the fact table regardless of how
+    * many columns are profiled (per-column COUNT(DISTINCT) passes
+    * would scan once EACH). Exact NDV and null counts ride along for
+    * the gate; the estimate column is the integer Beyer estimator
+    * (saturated columns estimate, unsaturated ones are exact by
+    * construction). Values are hashed through their canonical string
+    * form — bigint and yyyy-MM-dd date renderings are identical in
+    * both engines (decimal columns would NOT be; they stay out). */
+  val q218 = {
+    val k = 64
+    val h = Kmv.h40Sql("v")
+    Q("q218_column_ndv_stats",
+      s"""WITH stacked AS (
+         |  SELECT 'o_custkey' AS c, CAST(o_custkey AS VARCHAR) AS v FROM orders
+         |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+         |  UNION ALL SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders),
+         |h AS (SELECT DISTINCT c, $h AS g_h40 FROM stacked WHERE v IS NOT NULL),
+         |r AS (SELECT c, g_h40,
+         |             row_number() OVER (PARTITION BY c ORDER BY g_h40) AS rn FROM h),
+         |e AS (SELECT c, COUNT(*) AS g_cnt, MAX(g_h40) AS g_kth
+         |      FROM r WHERE rn <= $k GROUP BY 1),
+         |x AS (SELECT c, COUNT(DISTINCT v) AS exact_ndv,
+         |             CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+         |      FROM stacked GROUP BY 1)
+         |SELECT e.c AS col_name,
+         |       ${Kmv.estimateSql("g_cnt", "g_kth", k)} AS ndv_est,
+         |       x.exact_ndv, x.n_nulls
+         |FROM e JOIN x USING (c)""".stripMargin) { (s, d) =>
+      val stacked = Tables.orders(s, d).select(explode(array(
+        struct(lit("o_custkey").as("c"), col("o_custkey").cast("string").as("v")),
+        struct(lit("o_orderstatus").as("c"), col("o_orderstatus").cast("string").as("v")),
+        struct(lit("o_orderpriority").as("c"), col("o_orderpriority").cast("string").as("v")),
+        struct(lit("o_orderdate").as("c"),
+          to_date(col("o_orderdate")).cast("string").as("v")))).as("s"))
+        .select(col("s.c").as("c"), col("s.v").as("v"))
+      val hashed = stacked.filter(col("v").isNotNull)
+        .select(col("c"), Kmv.h40(col("v")).as("g_h40"))
+      val est = Kmv.groupEstimates(
+        Kmv.groupSketch(hashed, "c", "g_h40", k), "c", "g_h40", k)
+        .select(col("c"), col("distinct_est").as("ndv_est"))
+      val exact = stacked.groupBy("c")
+        .agg(countDistinct(col("v")).as("exact_ndv"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+      est.join(exact, Seq("c")).withColumnRenamed("c", "col_name")
+    }
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }
