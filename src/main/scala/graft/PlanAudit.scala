@@ -80,6 +80,12 @@ object PlanAudit {
       "derived per-query lookup table) — small by the operator's documented " +
       "contract ('the query side MUST be small'); a large query set is a " +
       "different operator (a join-based batch scorer), not a bigger broadcast"
+    val prefixScanOffsets =
+      "the hinted aggregate is PrefixScan's bucket-offset relation — one " +
+        "row per VALUE BUCKET (order-column div a constant width: a " +
+        "value-domain, not a corpus-row, cardinality); the classifier " +
+        "cannot see that the grouping key is a quotient of a bounded-" +
+        "range measure"
     Map(
       "q71_contamination" ->
         ("the hinted side is the gram set of the BENCHMARK docs (doc_id < 25 — " +
@@ -114,7 +120,27 @@ object PlanAudit {
       "q157_bm25_query_table" ->
         ("the hinted sides are the QUERY TABLE (a serving batch — small " +
          "next to the corpus by the bm25QueryTable contract) and its " +
-         "per-query df row (one row per query)"))
+         "per-query df row (one row per query)"),
+      "q209_gini_revenue" -> prefixScanOffsets,
+      "q213_decision_stump" -> prefixScanOffsets,
+      "q216_spend_percentile" -> (prefixScanOffsets +
+        "; the scalar customer count is a no-grouping aggregate"),
+      "q211_cohort_ltv" ->
+        ("the hinted aggregate is the cohort-size dimension — one row " +
+         "per first-order MONTH (calendar-domain, ~12 rows/year at any " +
+         "corpus scale)"),
+      "q214_naive_bayes_langid" ->
+        ("the hinted side is the per-CLASS parameter row (token total + " +
+         "prior) — one row per language, |classes|-domain"),
+      "q207_markov_eval" ->
+        ("the hinted side is the trained argmax MODEL — one row per " +
+         "source event TYPE (rn = 1 under a per-type window), an " +
+         "event-type-domain relation"),
+      "q215_join_size_estimate" ->
+        ("the hinted sides are the STAGED bottom-k sketches — LIMIT " +
+         "k = 256 rows by construction; spillParquet's read-back leaf " +
+         "hides the limit from the shape classifier (the q154/q156 " +
+         "frozen-artifact situation, one stage earlier)"))
   }
   /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
     * record (`target/bench_last.json`, written by [[Bench]]) against the
