@@ -153,4 +153,16 @@ class MiningSpec extends SparkSpec {
     // band that still catches a broken estimator (off by 2^20, etc.)
     assert(est > n / 3 && est < n * 3L, s"estimate $est vs true $n")
   }
+
+  test("q215 join-size estimates land within 2x of the exact counts at sf0.001") {
+    val row = graft.queries.MiningQueries.q215.fn(spark, sf).collect().head
+    val (estJ, exJ) = (row.getAs[Long]("est_join"), row.getAs[Long]("exact_join"))
+    val (estF, exF) = (row.getAs[Long]("est_selfjoin_parts"),
+      row.getAs[Long]("exact_selfjoin_parts"))
+    // k=256 sketch: ~6% relative stddev on the union estimate; 2x is
+    // the break-glass band — a unit mix-up (k vs cnt, 2^40 scaling)
+    // lands orders of magnitude out, not within it
+    assert(estJ > exJ / 2 && estJ < exJ * 2, s"join: est $estJ vs exact $exJ")
+    assert(estF > exF / 2 && estF < exF * 2, s"F2: est $estF vs exact $exF")
+  }
 }
