@@ -21,8 +21,11 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Unordered within-±`window` token pairs of `text`, normalized
-    * (least, greatest), as an array of (a, b) structs — the GloVe /
+  /** POSITIONAL within-`window` token pairs of `text` — (token_i,
+    * token_{i+o}) for o ∈ [1, window] — as an array of (a, b) structs.
+    * NOT normalized: callers that want unordered pairs must apply
+    * least/greatest themselves (q179 and q198 do); a caller that
+    * skips that double-counts asymmetric pairs. The GloVe /
     * TextRank co-occurrence stream (q179 counts it corpus-wide; q198
     * runs PageRank over it). MAP-ONLY: the token array binds once via
     * the single-element-transform trick, so the split doesn't rerun

@@ -278,11 +278,20 @@ object VectorIndex {
       .join(broadcast(books), Seq("block"))
       .select(col("query_id"), col("centroid_id"), col("block"),
         col("code_id").as("code"), Similarity.l2sq(col("sub"), col("sc_emb")).as("d2"))
+    // block-ordered deterministic fold (the pqTopKRefined discipline,
+    // promoted here in round 13): a plain float sum() over the m block
+    // rows is addition-order-nondeterministic; folding the (block, d2)
+    // pairs in block order makes the ADC total — and therefore the
+    // whole unrefined top-k — exactly SQL-replayable, so q156 carries
+    // a full DuckDB oracle instead of a rows-only record. Cost is one
+    // m-element sort_array per (query, candidate) pair — m = 4 here.
     val scored = pqCodes(spark, dir)
       .join(broadcast(lut), Seq("centroid_id", "block", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("block"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adc_d2"))
     Relational.topNPerGroup(
         scored.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_d2")),
         k, Seq(col("query_id")), -col("adc_d2"), col("neighbor_id"))

@@ -1491,38 +1491,15 @@ object ExtensionQueries {
     VectorIndex.pqCodes(s, vecIndexDir(s, d))
   }
 
-  /** q156 — ADC top-10 SERVED FROM the persisted PQ tier
-    * ([[VectorIndex.pqTopKFromIndex]]): q108's workload with nothing
-    * trained at query time — frozen codebook ranks the cells, frozen
-    * books build the per-(query, cell) residual lookup tables, the
-    * committed codes score as m table lookups per vector. Approximate
-    * (quantized) ⇒ rows-only, the q108/q100 convention; the exact
-    * halves are oracled (q52/q136 assign, q155 codes), and serve-from-
-    * artifact ≡ recompute-with-same-artifacts is pinned in
-    * VectorIndexSpec. */
-  val q156 = Q.noOracle("q156_ivfpq_from_index") { (s, d) =>
-    val dir = vecIndexDir(s, d)
-    val vecs = Tables.embeddings(s, d)
-    val baseN = vecs.filter(col("vec_id") % 5 =!= 0).count()
-    val nprobe = math.max(2, Similarity.codebookSize(baseN) / 4)
-    VectorIndex.pqTopKFromIndex(s, dir, vecs.filter(col("vec_id") < 5),
-      k = 10, nprobe = nprobe, m = 4, dim = 64)
-  }
-
-  /** q161 — ADC shortlist + EXACT re-rank from the persisted PQ tier
-    * ([[VectorIndex.pqTopKRefined]], the FAISS IndexRefineFlat
-    * pattern): the committed codes cheaply pick 30 candidates per
-    * query, then only THOSE full vectors are fetched and exactly
-    * cosine-scored for the final top-10. This is the production
-    * serving shape at 100 TB (m bytes per scanned vector, `rerank`
-    * exact fetches per query) — and unlike the raw ADC ranking (q156,
-    * rows-only because a float `sum()` over block rows is
-    * addition-order-nondeterministic), the refined path is FULLY
-    * oracled: the engine folds each vector's m block distances in
-    * block order, so DuckDB replays build → freeze → encode → probe →
-    * LUT → ADC shortlist → exact refine bit-for-bit (q155's f32
-    * residual trick + q23's left-to-right cosine discipline). */
-  val q161 = Q("q161_ivfpq_refine",
+  /** Shared oracle CTE chain for the persisted-PQ serving pair (q156
+    * unrefined ADC top-k, q161 shortlist + exact refine): build →
+    * freeze → encode → probe → LUT → block-ordered ADC totals, ending
+    * at the `adc` relation (query_id, vec_id, adc_d2). Every number is
+    * deterministic — q155's f32 residual trick, integer-quantized
+    * nothing, and the ADC total folded in BLOCK ORDER (`list(d2 ORDER
+    * BY block)` here ≡ the engine's sort_array-then-aggregate fold) —
+    * so both servings replay bit-for-bit in DuckDB. */
+  private def pqAdcCtesSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding AS f,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1610,7 +1587,49 @@ object ExtensionQueries {
        |  JOIN codes c ON c.centroid_id = l.centroid_id
        |              AND c.block = l.block AND c.code = l.code
        |  WHERE c.vec_id <> l.query_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q156 — ADC top-10 SERVED FROM the persisted PQ tier
+    * ([[VectorIndex.pqTopKFromIndex]]): q108's workload with nothing
+    * trained at query time — frozen codebook ranks the cells, frozen
+    * books build the per-(query, cell) residual lookup tables, the
+    * committed codes score as m table lookups per vector. FULLY
+    * ORACLED since round 13 (r12 verdict item 3): the engine folds
+    * each vector's m block distances in BLOCK ORDER (q161's
+    * deterministic-fold discipline promoted into
+    * [[VectorIndex.pqTopKFromIndex]]), so the quantized top-k itself —
+    * not just its refined sibling — replays bit-for-bit from the
+    * [[pqAdcCtesSql]] chain. */
+  val q156 = Q("q156_ivfpq_from_index",
+    s"""$pqAdcCtesSql
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM adc) WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val dir = vecIndexDir(s, d)
+    val vecs = Tables.embeddings(s, d)
+    val baseN = vecs.filter(col("vec_id") % 5 =!= 0).count()
+    val nprobe = math.max(2, Similarity.codebookSize(baseN) / 4)
+    VectorIndex.pqTopKFromIndex(s, dir, vecs.filter(col("vec_id") < 5),
+      k = 10, nprobe = nprobe, m = 4, dim = 64)
+  }
+
+  /** q161 — ADC shortlist + EXACT re-rank from the persisted PQ tier
+    * ([[VectorIndex.pqTopKRefined]], the FAISS IndexRefineFlat
+    * pattern): the committed codes cheaply pick 30 candidates per
+    * query, then only THOSE full vectors are fetched and exactly
+    * cosine-scored for the final top-10. This is the production
+    * serving shape at 100 TB (m bytes per scanned vector, `rerank`
+    * exact fetches per query). FULLY oracled: the engine folds each
+    * vector's m block distances in block order, so DuckDB replays
+    * build → freeze → encode → probe → LUT → ADC shortlist → exact
+    * refine bit-for-bit (q155's f32 residual trick + q23's
+    * left-to-right cosine discipline) — the [[pqAdcCtesSql]] chain
+    * shared with q156, whose unrefined ADC ranking adopted the same
+    * deterministic fold in round 13. */
+  val q161 = Q("q161_ivfpq_refine",
+    s"""$pqAdcCtesSql,
        |short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,

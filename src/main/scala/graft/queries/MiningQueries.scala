@@ -368,12 +368,21 @@ object MiningQueries {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("cents"))
       .orderBy("day")
-    // bounded aggregate domain: |distinct days|, not |orders|
+    // collect() allowlist: the collected relation is the DAILY
+    // aggregate, whose cardinality is |distinct o_orderdate| —
+    // calendar-bounded (≤ 365·years) at ANY corpus scale, never
+    // |orders| — and the max(0, ·) CUSUM recurrence is
+    // NON-ASSOCIATIVE (the clamp discards information), so no
+    // partial-aggregation / PrefixScan decomposition exists; a
+    // driver-side fold over the bounded domain is the correct plan
+    // (the PrefixScan-allowlist standard). floorDiv, not /: the
+    // DuckDB oracle's // floors toward −∞ and a negative-revenue day
+    // (q195's orders_negative_total shape) must not diverge engines.
     val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
     val nd = rows.length.toLong
     val tot = rows.map(_._2).sum
-    val mu = tot / nd
-    val slack = mu / 20
+    val mu = Math.floorDiv(tot, nd)
+    val slack = Math.floorDiv(mu, 20L)
     var run = 0L
     val out = rows.map { case (day, cents) =>
       run = math.max(0L, run + cents - mu - slack)
@@ -1040,11 +1049,17 @@ object MiningQueries {
       .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast("long")).as("cents"))
       .orderBy("day")
-    // bounded aggregate domain: |distinct days|, not |orders| (q197)
+    // collect() allowlist: domain is |distinct o_orderdate| —
+    // calendar-bounded at any corpus scale, never |orders| — and the
+    // SES recurrence s_i = (x_i + 4·s_{i−1})/5 is non-associative
+    // under integer floor division, so a driver fold over the bounded
+    // domain is the correct plan (q197's justification, stated here
+    // per the PrefixScan-allowlist standard). floorDiv matches the
+    // oracle's // on negative-revenue days.
     val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
     var run = 0L
     val out = rows.zipWithIndex.map { case ((day, cents), i) =>
-      run = if (i == 0) cents else (cents + 4 * run) / 5
+      run = if (i == 0) cents else Math.floorDiv(cents + 4 * run, 5L)
       (day, cents, run, cents - run)
     }
     import s.implicits._

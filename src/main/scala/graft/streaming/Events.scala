@@ -864,6 +864,14 @@ object Events {
       s"cusumMonitorBatch: batch $batchId arrives at t=${obs.head._1} " +
         s"≤ last applied t=$lastT — observations must be finalized, " +
         "once-only, and per-batch monotone")
+    // the once-only contract must hold WITHIN the batch too: a tied or
+    // duplicated t would fold into the running statistic twice (orderBy
+    // makes the pair adjacent and the head-vs-last_t check can't see
+    // it), corrupting the CUSUM state permanently
+    require(obs.iterator.sliding(2).withPartial(false)
+        .forall(p => p(1)._1 > p(0)._1),
+      s"cusumMonitorBatch: batch $batchId contains duplicate or tied " +
+        "t values — each t must appear exactly once across the stream")
     val outRows = obs.map { case (t, v) =>
       run = math.max(0L, run + v - mu - slack)
       (t, v, run, if (run > threshold) 1 else 0)

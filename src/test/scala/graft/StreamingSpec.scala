@@ -540,5 +540,13 @@ class StreamingSpec extends SparkSpec {
     // a NEW batch id carrying an already-folded t is corruption, not
     // replay — it must fail loudly, not silently re-fold
     intercept[IllegalArgumentException] { run(Seq((4L, 1L)).toDF("t", "v"), 2L) }
+    // tied t WITHIN one batch is the same corruption (the head-vs-
+    // last_t check alone can't see it; both rows would silently fold)
+    intercept[IllegalArgumentException] {
+      run(Seq((7L, 1L), (7L, 2L)).toDF("t", "v"), 2L)
+    }
+    // and the failed batches must not have advanced the state
+    val st2 = graft.pipeline.AtomicTable.read(spark, stateDir).collect().head
+    assert(st2.getAs[Long]("last_batch") === 1L)
   }
 }
