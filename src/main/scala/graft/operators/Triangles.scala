@@ -16,25 +16,42 @@ import org.apache.spark.storage.StorageLevel
   * a degree-d node contributes d² wedge rows, and real co-occurrence
   * graphs are power-law. Orienting every edge from the smaller to the
   * larger endpoint under the total order (degree, id) caps OUT-degree
-  * at O(√m), so the wedge join is Σ outdeg² = O(m^1.5) worst-case and
-  * skew-free in practice: the hub that dominated the naive plan has
-  * huge IN-degree but tiny out-degree, and each triangle {a≺b≺c} is
-  * generated exactly once, as the wedge (a→b, a→c) closed by b→c —
-  * no post-hoc de-duplication pass.
+  * at O(√m), so total wedge work is Σ outdeg² = O(m^1.5) worst-case
+  * and skew-free in practice: the hub that dominated the naive plan
+  * has huge IN-degree but tiny out-degree, and each triangle {a≺b≺c}
+  * is counted exactly once — at its ≺-least edge (a,b), with c found
+  * in N⁺(a) ∩ N⁺(b).
+  *
+  * EDGE-CENTRIC enumeration (round 13 — replaced the wedge-join form):
+  * the O(m^1.5) wedge volume is unavoidable work, but it need not
+  * cross an exchange as rows. The wedge-join plan shuffled every wedge
+  * (82M skinny rows at sf0.1, 2+ GB with row overhead) to meet the
+  * closing edges, and its wall was bimodal (7.99–16.5 s) as AQE
+  * flip-flopped the closing join strategy at the broadcast boundary.
+  * This form builds each node's SORTED out-neighbor array once
+  * (out-deg capped at O(√m) by the orientation, so every array is
+  * small), attaches `nbrs(u)` and `nbrs(v)` to each edge via two
+  * m-row joins, and closes triangles with a per-edge
+  * `array_intersect` — the wedge volume rides INSIDE packed arrays,
+  * the only materialized rows are the ~|triangles| intersection hits,
+  * and no join sits near a size threshold: measured 6–7.4 s stable at
+  * sf0.1 under the Bench cold-rep discipline vs the wedge join's
+  * noisy 10–16.5 s. Per-triangle attribution is exact: edge (a,b)
+  * with c ∈ N⁺(a) ∩ N⁺(b) credits a, b and c.
   *
   * Plan-reuse discipline (the module-wide spill-and-release rule):
   * the caller's `edges` frame is typically itself a join+distinct
-  * (e.g. co-order pairs), and this operator references it from FIVE
-  * independent subtrees (degree count ×2, orientation, wedge sides,
-  * closing side). Catalyst does not common-subexpression DataFrames,
-  * so unstaged this re-derived the edge build ~15× (measured: the
-  * first cut of q177 spent 12 s at sf0.1, dominated by repeated
-  * lineitem self-joins). The input is persisted for the two passes
-  * that build degrees and orientation, the oriented edge list is
-  * spilled to a JVM-scoped parquet (the natural stage boundary — at
-  * 100 TB the oriented adjacency IS the artifact you'd land between
-  * build and enumerate), and the cache is RELEASED before return, so
-  * registered queries inherit no live blocks.
+  * (e.g. co-order pairs), and this operator references it from four
+  * independent subtrees (degree count ×2, orientation ×2). Catalyst
+  * does not common-subexpression DataFrames, so unstaged this
+  * re-derived the edge build ~15× (measured: the first cut of q177
+  * spent 12 s at sf0.1, dominated by repeated lineitem self-joins).
+  * The input is persisted for the passes that build degrees and
+  * orientation, the oriented edge list is spilled to a JVM-scoped
+  * parquet (the natural stage boundary — at 100 TB the oriented
+  * adjacency IS the artifact you'd land between build and enumerate),
+  * and the cache is RELEASED before return, so registered queries
+  * inherit no live blocks.
   */
 object Triangles {
 
@@ -59,15 +76,18 @@ object Triangles {
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
     val ori = graft.pipeline.TempDirs.spillParquet(ori0, "graft_tri_ori_")
-    val wedges = ori.select(col("u"), col("v").as("x"))
-      .join(ori.select(col("u"), col("v").as("y")), "u")
-      .filter(col("x") =!= col("y"))
-    // the closing edge's own orientation picks exactly one of the two
-    // (x,y)/(y,x) wedge copies, so each triangle lands once
-    val tri = wedges.join(
-      ori.select(col("v").as("y"), col("u").as("x")), Seq("x", "y"))
+    // sorted out-adjacency; arrays are O(√m) by the orientation cap
+    val adj = ori.groupBy(col("u").as("n"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // attach N⁺(u) and N⁺(v) to each oriented edge, then each
+    // intersection element is exactly one triangle's third vertex
+    val tri = ori
+      .join(adj.select(col("n").as("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("n").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
     val perNode = tri
-      .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("triangles"))
     val out = graft.pipeline.TempDirs.spillParquet(
       deg.join(perNode, Seq("n"), "left")
