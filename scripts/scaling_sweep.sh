@@ -15,17 +15,20 @@ cd "$(dirname "$0")/.."
 # the sweep in round 12 when ScaleUp.scaleEvents started replicating
 # the events table (it copied verbatim before, which would have
 # "scaled" the funnel over constant input).
-# q168/q169/q171 (orders/lineitem-based) stay OUT: ScaleUp copies those
-# tables verbatim, so their "scaling" would measure constant input.
-# Same for the round-12 lineitem-graph pair q177/q184 and the
-# orders-joining q183.
-REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q150_|q151_|q152_|q153_|q154_|q155_|q156_|q157_|q158_|q159_|q160_|q161_|q162_|q163_|q164_|q167_|q170_|q172_|q173_|q175_|q176_|q178_|q179_|q180_|q181_|q182_|q185_|q186_|q191_|q193_|q194_|q198_|q199_|q201_|q203_|q208_|q213_|q214_)'
+REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q150_|q151_|q152_|q153_|q154_|q155_|q156_|q157_|q158_|q159_|q160_|q161_|q162_|q163_|q164_|q167_|q168_|q169_|q170_|q171_|q172_|q173_|q175_|q176_|q177_|q178_|q179_|q180_|q181_|q182_|q183_|q184_|q185_|q186_|q188_|q189_|q190_|q191_|q193_|q194_|q198_|q199_|q201_|q203_|q206_|q208_|q209_|q213_|q214_|q215_|q216_|q217_|q218_)'
 # Round-12 additions: q191/q194/q199/q201/q203 (events-based — ScaleUp
-# replicates events) and q193/q198 (documents-based). The rest of the
-# q189-q205 batch reads customer/orders/lineitem, which ScaleUp copies
-# verbatim — constant-input "scaling" rows would be noise, so they stay
-# out (the q168/q169/q171 rule). Late round-12: q208/q213 (events),
-# q214 (documents); q209-q212/q215 are orders/lineitem -> out.
+# replicates events) and q193/q198 (documents-based); q208/q213
+# (events), q214 (documents).
+# Round-13 additions (r12 verdict item 1): ScaleUp.scaleRelational now
+# replicates orders/lineitem/customer/part/supplier as k disjoint
+# relational universes, so the graph tier q177/q184/q188/q190/q206/
+# q217 (lineitem co-purchase), q189 (customer names), and the orders
+# tier q168/q169/q171/q183/q209/q215/q216/q218 produce honest
+# corpus-vs-wall rows. q190/q206 note: seeds stay the single earliest
+# order's basket (a fixed-size query set — the serving shape), so
+# their rows measure edge-build + frontier-join cost against a ×k
+# graph, not ×k frontier mass. Still out: q197/q212 (driver folds over
+# the CALENDAR day domain, which replication does not grow).
 mkdir -p target/scale
 for sf in 0.1 0.5 1.0; do
   if [ "$sf" = "0.1" ]; then DIR=/root/testdata/sf0.1; else DIR="target/scale/sf$sf"; fi

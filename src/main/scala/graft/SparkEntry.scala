@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all ++
       FunctionQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      TrainingQueries.all ++ CorpusQueries.all ++ MiningQueries.all
+      TrainingQueries.all ++ CorpusQueries.all ++ MiningQueries.all ++
+      RecommendQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
