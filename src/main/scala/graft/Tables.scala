@@ -80,6 +80,25 @@ object Tables {
           s"embeddings.embedding: unsupported type $other (expected array<float> or array<double>)")
     }
   }
+
+  /** The BI / ad-hoc SQL seam (SURVEY §3.3's 4th entry point — the
+    * reference exposes the lakehouse to Dremio/Superset as named
+    * tables): register every corpus table as a session temp view under
+    * its canonical name, normalization included (events.ts always
+    * lands as epoch-nanos, embeddings as array<float>), so
+    * `spark.sql(<analyst text>)` runs verbatim against the same
+    * relations every programmatic query reads. Idempotent per session
+    * (createOrReplaceTempView). */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region" -> region _, "nation" -> nation _, "customer" -> customer _,
+      "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+      "lineitem" -> lineitem _, "events" -> events _,
+      "documents" -> documents _, "embeddings" -> embeddings _)
+      .foreach { case (name, f) =>
+        val p = new java.io.File(s"$d/$name.parquet")
+        if (p.exists()) f(s, d).createOrReplaceTempView(name)
+      }
+  }
 }
 
 /** Column helpers shared by every query.
