@@ -140,7 +140,13 @@ object PlanAudit {
         ("the hinted sides are the STAGED bottom-k sketches — LIMIT " +
          "k = 256 rows by construction; spillParquet's read-back leaf " +
          "hides the limit from the shape classifier (the q154/q156 " +
-         "frozen-artifact situation, one stage earlier)"))
+         "frozen-artifact situation, one stage earlier)"),
+      "q220_als_recommend" ->
+        ("the hinted side is the QUERY-USER factor block — the " +
+         "contract-small serving set (id < 50 by the q220 contract; " +
+         "the full-base path is ANN over item factors, q154's job). " +
+         "The filter sits on a spillParquet read-back leaf, so the " +
+         "shape classifier cannot see the bound"))
   }
   /** Wall-time budget gate (VERDICT r8 item 7): compare the last bench
     * record (`target/bench_last.json`, written by [[Bench]]) against the
