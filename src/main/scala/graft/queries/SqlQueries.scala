@@ -99,5 +99,28 @@ object SqlQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q221, q222, q223)
+  /** q226 — GROUPING SETS with GROUPING() provenance flags, verbatim
+    * SQL: the (year, status) lattice — both-keys cells, each marginal,
+    * and the grand total — in ONE statement, the multi-level dashboard
+    * rollup an analyst writes instead of four UNION'd aggregates. The
+    * q34/q35 forms cover ROLLUP/CUBE through the Dataset API; this is
+    * the arbitrary-lattice SQL spelling, and GROUPING() disambiguates
+    * a real NULL key from a rolled-up one (both engines emit NULL for
+    * non-grouped cells). Scale shape: Spark plans one Expand (4 copies
+    * of each input row, map-side) into one hash aggregate — a single
+    * shuffle whatever the lattice size. */
+  val q226 = sqlQ("q226_sql_grouping_sets",
+    """WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT yr, status,
+      |       CAST(GROUPING(yr) AS BIGINT) AS g_yr,
+      |       CAST(GROUPING(status) AS BIGINT) AS g_status,
+      |       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM o
+      |GROUP BY GROUPING SETS ((yr, status), (yr), (status), ())""".stripMargin)
+
+  val all: Seq[Q] = Seq(q221, q222, q223, q226)
 }

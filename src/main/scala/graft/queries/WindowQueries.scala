@@ -793,7 +793,64 @@ object WindowQueries {
       col("c").as("part_c"), col("support"))
   }
 
+  /** q225 — trailing 7-DAY revenue via a RANGE frame (the one window
+    * frame type the battery lacked: q36's functions and the cumsum
+    * queries all use ROWS frames). RANGE BETWEEN 6 PRECEDING looks at
+    * the ORDER-BY *value* domain, so calendar gaps shrink the window —
+    * a day whose trailing week has absent days sums fewer than 7 rows,
+    * which a ROWS frame cannot express. Scale shape: the corpus-sized
+    * work is the per-day hash aggregate (map-side partial, one
+    * shuffle); the window then runs over the CALENDAR-BOUNDED daily
+    * frame (|distinct days| rows — ~2.5k/decade at any corpus size),
+    * the same bounded-domain argument documented at the q197/q212
+    * collect sites, so the unpartitioned window is a bounded tail, not
+    * a corpus-sized single-partition sort. */
+  val q225 = Q("q225_rolling_7day_revenue",
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT day, day_cents,
+      |       CAST(SUM(day_cents) OVER w AS BIGINT) AS rolling_7d_cents,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS days_present
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast(LongType).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("day_cents"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily.select(col("day"), col("day_cents"),
+      sum(col("day_cents")).over(w).as("rolling_7d_cents"),
+      count(lit(1)).over(w).as("days_present"))
+  }
+
+  /** q227 — UNPIVOT (melt): the inverse of q37's pivot, wide event-type
+    * count columns back to (user_id, event_type, n) rows — the tidy-up
+    * step every feature matrix needs before a long-format join. Built
+    * as pivot∘unpivot so the zero-filled cells survive (absent
+    * user×type pairs emit n=0 rows, which a bare GROUP BY would drop);
+    * the oracle spells that as the users × types cross join. Scale
+    * shape: one hash aggregate keyed by user plus a 5-way per-row
+    * explode — no new shuffle beyond q37's. */
+  val q227 = Q("q227_unpivot_event_matrix",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t AS (SELECT * FROM (VALUES ('click'),('error'),('purchase'),('signup'),('view')) AS v(event_type)),
+      |c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM u CROSS JOIN t
+      |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+  }
+
   val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q82, q133, q143, q150,
     q167, q168, q169, q170, q171, q175, q176, q181, q182, q183, q184,
-    q187, q188)
+    q187, q188, q225, q227)
 }
