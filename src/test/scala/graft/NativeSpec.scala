@@ -193,4 +193,28 @@ class NativeSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(viaSql === Seq("ab", "x"))
   }
+
+  test("graft_within_ed1 == levenshtein<=1 on randomized strings incl. surrogates and nulls; SQL form resolves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // alphabet forces the hard cases: repeated chars (dedup runs),
+    // zero-padded digits (the q189 shape), an astral code point
+    // (surrogate pair — the code-point walk must not count it twice),
+    // and a combining mark (levenshtein is code-point, not grapheme)
+    val alpha = Vector("a", "a", "0", "0", "1", "b", "😀", "́")
+    val mk = () => Vector.fill(rnd.nextInt(8))(alpha(rnd.nextInt(alpha.size))).mkString
+    val rows: Seq[(String, String)] =
+      (1 to 800).map(_ => (mk(), mk())) ++
+        Seq(("", ""), ("", "a"), ("a", null), (null, null),
+          ("😀", "a"), ("a😀b", "ab"))
+    val bad = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        NativeExpressions.withinEd1(col("a"), col("b")).as("nat"),
+        (levenshtein(col("a"), col("b")) <= 1).as("ref"))
+      .filter(not(col("nat") <=> col("ref")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString)
+    // SQL registration through GraftExtensions
+    assert(spark.sql("SELECT graft_within_ed1('cat', 'cart') AS e").head().getBoolean(0))
+    assert(!spark.sql("SELECT graft_within_ed1('cat', 'dog') AS e").head().getBoolean(0))
+  }
 }
