@@ -37,16 +37,38 @@ object FuzzyJoin {
 
   /** Distinct unordered pairs (a < b) of values of `strCol` with
     * Levenshtein distance ≤ 1. Output columns: (`w_a`, `w_b`). */
-  def ed1Pairs(df: DataFrame, strCol: String): DataFrame = {
-    val v = df.select(col(strCol).as("w")).filter(col("w").isNotNull).distinct()
+  def ed1Pairs(df: DataFrame, strCol: String): DataFrame =
+    pairs(df.select(col(strCol).as("w")).filter(col("w").isNotNull).distinct())
+      .select("w_a", "w_b")
+
+  /** BLOCKED ED ≤ 1 pairs — the record-linkage shape: only strings
+    * sharing `blockCol` (nation, zip prefix, soundex bucket, …) can
+    * match, and the block key rides IN the deletion-variant equi-join
+    * keys rather than post-filtering the global candidate set. That is
+    * the difference between "fuzzy-join the planet" and "fuzzy-join
+    * each block": candidate group sizes are bounded per block, a skewed
+    * hot name in one country never meets the same name elsewhere, and
+    * the block column prunes exactly like a join key because it IS one.
+    * Output columns: (`blk`, `w_a`, `w_b`), distinct, w_a < w_b. */
+  def ed1PairsBlocked(df: DataFrame, strCol: String,
+                      blockCol: String): DataFrame =
+    pairs(df.select(col(blockCol).as("blk"), col(strCol).as("w"))
+            .filter(col("w").isNotNull && col("blk").isNotNull).distinct(),
+          blocked = true)
+
+  /** Shared FastSS kernel over a distinct relation `v` with columns
+    * (`w`) or (`blk`, `w`); when `blocked`, `blk` joins alongside every
+    * variant key. */
+  private def pairs(v: DataFrame, blocked: Boolean = false): DataFrame = {
+    val blk = if (blocked) Seq("blk") else Seq.empty[String]
     // Single-deletion variants WITH their deletion position (FastSS
     // keys on position; plain SymSpell drops it) — substr is 1-based;
     // deleting position i keeps [1, i-1] ++ [i+1, len].
-    val dels = v.select(col("w"), posexplode(
+    val dels = v.select(blk.map(col) :+ col("w") :+ posexplode(
       transform(sequence(lit(1), length(col("w"))), i =>
         concat(col("w").substr(lit(1), i - 1),
-          col("w").substr(i + 1, length(col("w")) - i)))))
-      .toDF("w", "g_pos", "g_var")
+          col("w").substr(i + 1, length(col("w")) - i)))): _*)
+      .toDF(blk ++ Seq("w", "g_pos", "g_var"): _*)
     // The FastSS ED ≤ 1 case split (exact, per the completeness
     // argument above):
     //  - substitution at i  ⇔ del_i(a) = del_i(b), SAME position —
@@ -63,14 +85,22 @@ object FuzzyJoin {
     // (≈ the true-pair count), q189 wall 76 s → 15 s with the
     // [[graft.plans.WithinEd1]] O(n) verify replacing the O(n·m)
     // `levenshtein` DP (that swap alone was 54 s → 24 s).
-    val subs = dels.select(col("w").as("w_a"), col("g_pos"), col("g_var"))
-      .join(dels.select(col("w").as("w_b"), col("g_pos"), col("g_var")),
-        Seq("g_var", "g_pos"))
-      .select("w_a", "w_b")
-    val insDel = dels.select(col("w").as("g_long"), col("g_var"))
-      .join(v.select(col("w").as("g_short")), col("g_var") === col("g_short"))
-      .select(least(col("g_long"), col("g_short")).as("w_a"),
-        greatest(col("g_long"), col("g_short")).as("w_b"))
+    val subs = dels.select(blk.map(col) :+ col("w").as("w_a") :+
+        col("g_pos") :+ col("g_var"): _*)
+      .join(dels.select(blk.map(col) :+ col("w").as("w_b") :+
+        col("g_pos") :+ col("g_var"): _*),
+        blk ++ Seq("g_var", "g_pos"))
+      .select((blk ++ Seq("w_a", "w_b")).map(col): _*)
+    val shortSide = v.select(blk.map(b => col(b).as(s"g_b_$b")) :+
+      col("w").as("g_short"): _*)
+    val insDelCond = blk.map(b => col(b) === col(s"g_b_$b"))
+      .foldLeft(col("g_var") === col("g_short"))(_ && _)
+    val insDel = dels.select(blk.map(col) :+ col("w").as("g_long") :+
+        col("g_var"): _*)
+      .join(shortSide, insDelCond)
+      .select(blk.map(col) :+
+        least(col("g_long"), col("g_short")).as("w_a") :+
+        greatest(col("g_long"), col("g_short")).as("w_b"): _*)
     subs.union(insDel)
       .filter(col("w_a") < col("w_b") &&
         graft.plans.NativeExpressions.withinEd1(col("w_a"), col("w_b")))

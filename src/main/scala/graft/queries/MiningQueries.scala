@@ -1485,7 +1485,64 @@ object MiningQueries {
     }
   }
 
+  /** q228 — customer ENTITY RESOLUTION end-to-end, the full
+    * record-linkage pipeline the q189 kernel exists for: BLOCK (same
+    * nation — the block key rides IN the FastSS equi-join keys,
+    * [[graft.functions.FuzzyJoin.ed1PairsBlocked]], so a hot name in
+    * one country never meets its twin elsewhere), MATCH (name edit
+    * distance ≤ 1, including exact-name twins via one (name, nation)
+    * equi-join — ed1 pairs are strictly unequal by construction), and
+    * CANONICALIZE (connected components over the match graph; every
+    * customer gets the minimum reachable c_custkey as its surviving
+    * canonical id, plus the cluster size for the dedup report). The
+    * oracle replays the match set with the O(n²) `levenshtein` join the
+    * prune avoids and the component fixpoint as the q68 recursive-CTE
+    * transitive closure — the entire candidates → verify → clusters
+    * chain under one hash gate. Scale shape: FastSS equi-joins per
+    * block + diameter-bounded label propagation (match clusters are
+    * shallow); nothing quadratic, nothing driver-side. */
+  val q228 = Q("q228_entity_resolution",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM customer
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(col("c_custkey").cast("long")
+      .as("c_custkey"), col("c_name"), col("c_nationkey"))
+    // name-level ED ≤ 1 pairs within the nation block, bound back to
+    // custkeys by (name, nation) — names may repeat across customers
+    val byName = (side: String) => c.select(col("c_name").as(s"w_$side"),
+      col("c_nationkey").as("blk"), col("c_custkey").as(s"g_k$side"))
+    val ed1 = FuzzyJoin.ed1PairsBlocked(c, "c_name", "c_nationkey")
+      .join(byName("a"), Seq("w_a", "blk"))
+      .join(byName("b"), Seq("w_b", "blk"))
+      .select(least(col("g_ka"), col("g_kb")).as("ea"),
+        greatest(col("g_ka"), col("g_kb")).as("eb"))
+    // exact-name twins (lev = 0): one equi-join on the block + name
+    val eq = c.select(col("c_name"), col("c_nationkey"),
+        col("c_custkey").as("ea"))
+      .join(c.select(col("c_name"), col("c_nationkey"),
+        col("c_custkey").as("eb")), Seq("c_name", "c_nationkey"))
+      .filter(col("ea") < col("eb"))
+      .select("ea", "eb")
+    val lab = graft.operators.Components.connectedComponents(
+      ed1.union(eq).distinct(), c.select(col("c_custkey")))
+    lab.select(col("v").as("c_custkey"), col("component").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224)
+    q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228)
 }

@@ -79,6 +79,24 @@ class MiningSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == p._2))
   }
 
+  test("fuzzy ed1 blocked: per-block brute-force parity, cross-block excluded") {
+    // "cat"/"bat" match only inside block 1; the same pair split across
+    // blocks (cat@1 vs bat@2) must NOT match; exact duplicates of
+    // (blk, w) collapse; block 2 has its own matches.
+    val rows = Seq((1L, "cat"), (1L, "bat"), (1L, "cat"), (2L, "bat"),
+      (2L, "bad"), (2L, "dog"), (3L, "cat")).toDF("g", "w")
+    val got = FuzzyJoin.ed1PairsBlocked(rows, "w", "g")
+      .as[(Long, String, String)].collect().toSet
+    val v = rows.distinct()
+    val brute = v.select(col("g"), col("w").as("a"))
+      .join(v.select(col("g"), col("w").as("b")), Seq("g"))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .select(col("g"), col("a"), col("b"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === brute)
+    assert(got === Set((1L, "bat", "cat"), (2L, "bad", "bat")))
+  }
+
   // ---- KMV ----
 
   test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {
