@@ -82,14 +82,35 @@ object StreamBench {
     require(bronze == total, s"bronze rows $bronze != generated $total")
     val eps = total / wall
     def r1(x: Double) = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    // Throughput gate (the bench_baseline.json discipline for the
+    // streaming tier): stream_baseline.json holds the committed
+    // min-of-N quiet-box events/s; a run below half of it fails the
+    // main, so a topology regression cannot hide behind "spec-green".
+    // 0.5 mirrors the batch tier's 2× wall-time budget.
+    val basePath = java.nio.file.Paths.get("stream_baseline.json")
+    val baseline = if (java.nio.file.Files.exists(basePath)) {
+      val txt = java.nio.file.Files.readString(basePath)
+      val m = """"value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+      m.map(_.group(1).toDouble)
+    } else None
+    val vsBase = baseline.map(b => s""","baseline":${r1(b)},"vs_baseline":${
+      BigDecimal(eps / b).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""")
+      .getOrElse("")
     val json = s"""{"metric":"stream_events_per_sec","value":${r1(eps)},""" +
       s""""unit":"events/sec","events":$total,"wall_sec":${r1(wall)},""" +
       s""""n_queries":${queries.size},"topology":"4 bronze + 2 kv + 2 rerank",""" +
-      s""""trigger":"AvailableNow","git_head":"${PlanAudit.gitHead()}"}"""
+      s""""trigger":"AvailableNow"$vsBase,"git_head":"${PlanAudit.gitHead()}"}"""
     println(s"STREAMBENCH $json")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/stream_bench.json"), json)
     spark.stop()
+    baseline.foreach { b =>
+      if (eps < 0.5 * b) {
+        System.err.println(f"STREAMBENCH GATE FAILED: $eps%.0f events/s < " +
+          f"half the committed baseline $b%.0f (stream_baseline.json)")
+        sys.exit(1)
+      }
+    }
   }
 }
