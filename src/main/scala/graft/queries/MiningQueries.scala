@@ -1542,7 +1542,34 @@ object MiningQueries {
         count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
   }
 
+  /** q235 — EXACT heavy hitters in two bounded-memory passes: every
+    * user with MORE than 1/140 of all purchase events ("whale
+    * customers"), exact counts. Pass 1 is a Misra–Gries summary
+    * aggregate whose partial buffers are capped at 140 counters — the
+    * exchange carries ≤ partitions·140 rows whatever the user
+    * cardinality (the property that matters at 100 TB, where
+    * `groupBy.count` over a high-cardinality key sizes the shuffle by
+    * the vocabulary); pass 2 recounts the ≤ 140 candidates exactly.
+    * The MG underestimate bound (≤ n/(k+1)) makes the candidate set
+    * provably complete, so the brute-force GROUP BY/HAVING is the
+    * oracle — the deterministic exact tier next to the probabilistic
+    * CMS (q77) and KMV (q191/q208) sketches. */
+  val q235 = Q("q235_purchase_whales",
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      |           WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM t)
+      |SELECT v AS user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM t, n
+      |GROUP BY v, n.n
+      |HAVING COUNT(*) * 140 > n.n""".stripMargin) { (s, d) =>
+    graft.operators.HeavyHitters.exactOverThreshold(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id")),
+      "user_id", m = 140)
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-    q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228)
+    q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
+    q235)
 }

@@ -262,6 +262,49 @@ object SqlQueries {
       |  FROM agg) t
       |WHERE rn <= 20""".stripMargin)
 
+  /** q236 — TPC-H Q17, small-quantity-order revenue: lines of one brand
+    * whose quantity is under 20 % of that PART's average — the
+    * correlated-scalar-subquery shape, written in its decorrelated form
+    * (per-part aggregate CTE + join; Catalyst's DecorrelateInnerQuery
+    * rewrites the correlated spelling to exactly this plan). The 20 %
+    * test is exact integers: 5·qty·cnt < Σqty per part. */
+  val q236 = sqlQ("q236_sql_small_qty_revenue",
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |pa AS (
+      |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS qsum_c,
+      |         CAST(COUNT(*) AS BIGINT) AS qcnt
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(SUM(l.price_c) AS BIGINT) AS small_qty_revenue_c,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(CAST(SUM(l.price_c) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly_c
+      |FROM li l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND 5 * l.qty_c * pa.qcnt < pa.qsum_c""".stripMargin)
+
+  /** q237 — TPC-H Q18, large-volume customers: orders whose total
+    * quantity clears a threshold, with their customers — the
+    * HAVING-filtered aggregate feeding a join (the "find the whales,
+    * then enrich" shape; q235 is its bounded-memory streaming cousin).
+    * The per-order aggregate shrinks lineitem to |orders| before
+    * anything joins. */
+  val q237 = sqlQ("q237_sql_large_volume_customers",
+    """WITH oq AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS oqty_c
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) > 25000)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c,
+      |       oq.oqty_c
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN oq ON oq.l_orderkey = o.o_orderkey""".stripMargin)
+
   val all: Seq[Q] = Seq(q221, q222, q223, q226,
-    q229, q230, q231, q232, q233, q234)
+    q229, q230, q231, q232, q233, q234, q236, q237)
 }
