@@ -37,13 +37,32 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** MG summary aggregator: buffer = (bounded counter map, exact total
-    * row count). OUT = (candidate values, n). The map never exceeds k
-    * entries; reduce's decrement-all path is amortized O(1) per row
-    * (each decrement consumes a prior increment). */
-  private final class MgSummary(k: Int)
+  /** The MG merge: sum counters; if more than k survive, subtract the
+    * (k+1)-th largest count from everyone and drop the non-positive —
+    * ≤ k remain, and the per-value underestimate grows by exactly the
+    * cut (Agarwal et al. Thm 1). Exposed for the streaming maintenance
+    * path ([[graft.streaming.Events.mgSummaryMaintainBatch]]), where
+    * the standing artifact and the arriving batch's summary merge the
+    * same way the Aggregator's partial buffers do. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                             k: Int): Map[String, Long] = {
+    val combined = b.foldLeft(a) { case (acc, (x, c)) =>
+      acc.updated(x, acc.getOrElse(x, 0L) + c) }
+    if (combined.size <= k) combined
+    else {
+      val cut = combined.valuesIterator.toArray.sortBy(-_).apply(k)
+      combined.flatMap { case (x, c) =>
+        if (c > cut) Some(x -> (c - cut)) else None }
+    }
+  }
+
+  /** MG summary aggregator: buffer = OUT = (bounded counter map, exact
+    * total row count). The map never exceeds k entries; reduce's
+    * decrement-all path is amortized O(1) per row (each decrement
+    * consumes a prior increment). */
+  private[graft] final class MgSummary(k: Int)
       extends Aggregator[String, (Map[String, Long], Long),
-                         (Seq[String], Long)] {
+                         (Map[String, Long], Long)] {
     def zero: (Map[String, Long], Long) = (Map.empty, 0L)
 
     def reduce(b: (Map[String, Long], Long),
@@ -58,29 +77,28 @@ object HeavyHitters {
     }
 
     def merge(a: (Map[String, Long], Long),
-              b: (Map[String, Long], Long)): (Map[String, Long], Long) = {
-      val combined = b._1.foldLeft(a._1) { case (acc, (x, c)) =>
-        acc.updated(x, acc.getOrElse(x, 0L) + c) }
-      val trimmed =
-        if (combined.size <= k) combined
-        else {
-          // subtract the (k+1)-th largest count from everyone: ≤ k
-          // survive, and the per-value underestimate grows by exactly
-          // that cut — the mergeable-summaries bound
-          val cut = combined.valuesIterator.toArray.sortBy(-_).apply(k)
-          combined.flatMap { case (x, c) =>
-            if (c > cut) Some(x -> (c - cut)) else None }
-        }
-      (trimmed, a._2 + b._2)
-    }
+              b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+      (mgMerge(a._1, b._1, k), a._2 + b._2)
 
-    def finish(r: (Map[String, Long], Long)): (Seq[String], Long) =
-      (r._1.keys.toSeq.sorted, r._2)
+    def finish(r: (Map[String, Long], Long)): (Map[String, Long], Long) = r
 
     def bufferEncoder: Encoder[(Map[String, Long], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: Encoder[(Seq[String], Long)] =
+    def outputEncoder: Encoder[(Map[String, Long], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** One-scan MG summary of non-null `valueCol` values: (bounded
+    * counter map — ≤ m entries, each counter an underestimate by at
+    * most n/(m+1) — , exact row count n). */
+  private[graft] def summarize(df: DataFrame, valueCol: String,
+                               m: Int): (Map[String, Long], Long) = {
+    require(m >= 1, s"threshold denominator m must be >= 1, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).as[String]
+      .select(new MgSummary(m).toColumn).head()
   }
 
   /** All values of `valueCol` occurring MORE than n/m times (n = number
@@ -88,15 +106,13 @@ object HeavyHitters {
     * STRING, `cnt` LONG). Two passes over `df`; memory bounded by m
     * counters per partial buffer regardless of value cardinality. */
   def exactOverThreshold(df: DataFrame, valueCol: String, m: Int): DataFrame = {
-    require(m >= 1, s"threshold denominator m must be >= 1, got $m")
-    val spark = df.sparkSession
-    import spark.implicits._
     val vals = df.select(col(valueCol).cast("string").as("v"))
-      .filter(col("v").isNotNull).as[String]
+      .filter(col("v").isNotNull)
     // pass 1: MG candidates + exact n in ONE scan. The collect is a
-    // single (≤ m strings, long) row by construction — candidate sets
+    // single (≤ m counters, long) row by construction — candidate sets
     // are driver-bounded the way the k-means|| rounds·l sets are.
-    val (cands, n) = vals.select(new MgSummary(m).toColumn).head()
+    val (candMap, n) = summarize(df, valueCol, m)
+    val cands = candMap.keys.toSeq.sorted
     // pass 2: exact recount of candidates only; `isin` over ≤ m
     // literals stays in codegen and pushes to the scan
     if (cands.isEmpty) {

@@ -823,6 +823,59 @@ object Events {
     ()
   }
 
+  /** Streaming maintenance for the Misra–Gries frequent-items summary
+    * ([[graft.operators.HeavyHitters]]): each micro-batch folds its own
+    * bounded MG summary into the standing one with the SAME merge the
+    * Aggregator's partial buffers use (mergeable-summaries bound: the
+    * standing counters underestimate true frequencies by at most
+    * n/(m+1) across ANY batch split), and the result — ≤ m counters +
+    * exact arrival count n — commits as one AtomicTable version per
+    * batch. Values with lifetime share > 1/m are therefore always in
+    * the standing candidate set, whatever order history arrived in;
+    * exact counts come from the q235 recount pass over the bronze
+    * table when needed. Unlike the KMV fold, MG merge is NOT
+    * idempotent (re-merging a batch inflates counters), so the
+    * artifact carries the highest applied batch id and re-delivered
+    * batches short-circuit — the [[idempotentServingStateBatch]]
+    * pattern, with the marker INSIDE the atomically-replaced version,
+    * so there is no crash window between data and marker. Artifact
+    * rows: (v, c) per counter plus one (NULL, 0) meta row, every row
+    * carrying (n, last_batch) — the meta row keeps n/last_batch alive
+    * even when a merge cut empties the counter map. */
+  def mgSummaryMaintainBatch(dir: String, valueCol: String, m: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val standing = graft.pipeline.AtomicTable.currentVersion(spark, dir)
+      .map(_ => graft.pipeline.AtomicTable.read(spark, dir).collect())
+    val lastBatch = standing.flatMap(_.headOption)
+      .map(_.getAs[Long]("last_batch")).getOrElse(Long.MinValue)
+    if (lastBatch >= batchId) return
+    val sm = standing.map(_.iterator.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getAs[Long]("c")).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val sn = standing.flatMap(_.headOption)
+      .map(_.getAs[Long]("n")).getOrElse(0L)
+    val (bm, bn) = graft.operators.HeavyHitters.summarize(batch, valueCol, m)
+    val merged = graft.operators.HeavyHitters.mgMerge(sm, bm, m)
+    val n = sn + bn
+    val rows = merged.toSeq.sortBy(_._1)
+      .map { case (v, c) => (Option(v), c, n, batchId) } :+
+      ((Option.empty[String], 0L, n, batchId))
+    graft.pipeline.AtomicTable.replace(
+      rows.toDF("v", "c", "n", "last_batch"), dir)
+    ()
+  }
+
+  /** Current standing MG candidates (v, c, n) from [[
+    * mgSummaryMaintainBatch]]'s artifact — the ≤ m counter rows, meta
+    * row dropped. */
+  def mgCandidates(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    graft.pipeline.AtomicTable.read(spark, dir)
+      .filter(col("v").isNotNull).select("v", "c", "n")
+
   /** Streaming CUSUM monitor — q197's sequential detector lifted to
     * the stream boundary. Consumes FINALIZED observations (t, value):
     * each micro-batch carries closed aggregate rows (e.g. day-close

@@ -61,6 +61,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("streaming maintenance: cross-batch fold keeps the MG guarantee; replay no-op") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_mgmaint_") + "/mg"
+    val m = 4
+    // three batches; lifetime: hot=90/180 (> 1/4), warm=40/180 (< 1/4 at
+    // 0.22), tail = 50 one-offs
+    val batches = Seq(
+      (0 until 30).map(_ => "hot") ++ (0 until 20).map(i => s"t1_$i"),
+      (0 until 30).map(_ => "hot") ++ (0 until 40).map(_ => "warm"),
+      (0 until 30).map(_ => "hot") ++ (0 until 30).map(i => s"t3_$i"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.Events.mgSummaryMaintainBatch(dir, "x", m)(
+        b.toDF("x"), i.toLong)
+    }
+    val st = graft.streaming.Events.mgCandidates(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val n = st.head._3
+    assert(n === 180L)
+    val counters = st.map(t => t._1 -> t._2).toMap
+    // completeness: lifetime share > 1/m ⇒ present
+    assert(counters.contains("hot"))
+    // counters never overestimate, and underestimate by ≤ n/(m+1)
+    val truth = batches.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    counters.foreach { case (v, c) =>
+      assert(c <= truth(v), s"$v overestimated")
+      assert(c >= truth(v) - n / (m + 1), s"$v underestimated past the bound")
+    }
+    // replay of the last batch short-circuits: artifact version unchanged
+    val before = graft.pipeline.AtomicTable.currentVersion(spark, dir)
+    graft.streaming.Events.mgSummaryMaintainBatch(dir, "x", m)(
+      batches.last.toDF("x"), 2L)
+    assert(graft.pipeline.AtomicTable.currentVersion(spark, dir) === before)
+  }
+
   test("nulls are ignored in both the count base and the candidates") {
     val vals = (Seq.fill(30)(Some("a")) ++ Seq.fill(20)(Option.empty[String])
       ++ Seq.fill(10)(Some("b"))).toDF("x")
