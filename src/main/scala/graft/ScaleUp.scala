@@ -133,7 +133,15 @@ object ScaleUp {
     val suppStep = supp.agg(max("s_suppkey")).first().getLong(0) + 1
     def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(r => f(df, r)).reduce(_ unionAll _)
-    val nameSuffix = (r: Int) => lit(s"~$r$r")
+    // pairwise edit distance between any two replica suffixes must
+    // exceed the LARGEST fuzzy-join radius in the suite (ED ≤ 2,
+    // q238), or same-base names couple across replicas and the pair
+    // mass grows ×k² by construction — measured: the 2-char "~rr"
+    // suffix put cross-replica same-name pairs at exactly ED 2 and
+    // q238's sf0.5 wall jumped 6.5× on 5× data. Three repeated digits
+    // ⇒ replica-vs-replica = 3 substitutions, base-vs-replica = 4
+    // insertions: both radii stay replica-local.
+    val nameSuffix = (r: Int) => lit(s"~$r$r$r")
     reps(cust) { (c, r) =>
       c.withColumn("c_custkey", col("c_custkey") + lit(r * custStep))
         .withColumn("c_name",

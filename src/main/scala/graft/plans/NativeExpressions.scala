@@ -496,10 +496,92 @@ object WithinEd1 {
   }
 }
 
+/** `levenshtein(a, b) <= 2` as a BANDED Ukkonen DP — O(5·n) cells
+  * instead of the O(n·m) matrix: with threshold k, only cells within
+  * |i − j| ≤ k of the diagonal can stay ≤ k, so each row touches at
+  * most 2k+1 = 5 columns and the scan bails the moment a whole band
+  * exceeds 2. The q189/q238 verify-stage discipline one threshold
+  * higher than [[WithinEd1]] (whose equal-length / off-by-one case
+  * split has no 3-case analogue at k = 2 — the band IS the closed
+  * form). Code points (surrogate-aware); NULL if either side is NULL —
+  * identical to the `levenshtein(a, b) <= 2` predicate it replaces. */
+case class WithinEd2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_within_ed2 expects (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_within_ed2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WithinEd2.check(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.WithinEd2$$.MODULE$$.check($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object WithinEd2 {
+  import org.apache.spark.unsafe.types.UTF8String
+  private final val K = 2
+  private final val Inf = Int.MaxValue >> 1
+
+  /** Static kernel the generated code calls. */
+  def check(ua: UTF8String, ub: UTF8String): Boolean = {
+    if (ua.equals(ub)) return true // byte-equal fast path (lev = 0)
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    val la = a.length; val lb = b.length
+    if (math.abs(la - lb) > K) return false
+    // two rolling rows, cells outside the |i-j| <= K band stay Inf
+    var prev = new Array[Int](lb + 1)
+    var cur = new Array[Int](lb + 1)
+    var j = 0
+    while (j <= lb) { prev(j) = if (j <= K) j else Inf; j += 1 }
+    var i = 1
+    while (i <= la) {
+      val lo = math.max(1, i - K); val hi = math.min(lb, i + K)
+      if (lo > 1) cur(lo - 1) = Inf
+      cur(0) = if (i <= K) i else Inf
+      var rowMin = cur(0)
+      j = lo
+      while (j <= hi) {
+        val sub = if (a(i - 1) == b(j - 1)) prev(j - 1)
+                  else prev(j - 1) + 1
+        val del = prev(j) + 1   // drop a(i-1); Inf+1 stays "infinite"
+        val ins = cur(j - 1) + 1
+        var v = sub
+        if (del < v) v = del
+        if (ins < v) v = ins
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < lb) cur(hi + 1) = Inf
+      if (rowMin > K) return false // the band can only grow
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lb) <= K
+  }
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def withinEd1(a: Column, b: Column): Column =
     ColumnBridge.column(WithinEd1(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def withinEd2(a: Column, b: Column): Column =
+    ColumnBridge.column(WithinEd2(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def dotF32(a: Column, b: Column): Column =
@@ -556,6 +638,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_within_ed1"),
       new ExpressionInfo(classOf[WithinEd1].getName, "graft_within_ed1"),
       (exprs: Seq[Expression]) => WithinEd1(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_within_ed2"),
+      new ExpressionInfo(classOf[WithinEd2].getName, "graft_within_ed2"),
+      (exprs: Seq[Expression]) => WithinEd2(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

@@ -1568,8 +1568,24 @@ object MiningQueries {
       "user_id", m = 140)
   }
 
+  /** q238 — the fuzzy join one threshold up: nation-blocked customer
+    * name pairs at edit distance ≤ 2 (two typos — the realistic
+    * record-linkage radius). Candidates from the depth-≤2
+    * symmetric-delete neighborhood ([[graft.functions.FuzzyJoin
+    * .ed2PairsBlocked]] proves the prune lossless), verified by the
+    * banded O(5n) [[graft.plans.WithinEd2]] kernel; the oracle is the
+    * per-block quadratic `levenshtein` join the prune avoids — the
+    * q189/q178 candidates-under-the-gate discipline at k = 2. */
+  val q238 = Q("q238_fuzzy_name_join_ed2",
+    """WITH v AS (SELECT DISTINCT c_nationkey AS blk, c_name AS w FROM customer)
+      |SELECT a.blk, a.w AS w_a, b.w AS w_b
+      |FROM v a JOIN v b ON a.blk = b.blk AND a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin) { (s, d) =>
+    FuzzyJoin.ed2PairsBlocked(Tables.customer(s, d), "c_name", "c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235)
+    q235, q238)
 }

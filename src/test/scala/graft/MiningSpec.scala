@@ -97,6 +97,32 @@ class MiningSpec extends SparkSpec {
     assert(got === Set((1L, "bat", "cat"), (2L, "bad", "bat")))
   }
 
+  test("fuzzy ed2 blocked: candidates complete vs brute force on all 2-edit kinds") {
+    // 2 subs (cat/big? no — craft): transposition = 2 ops (acb/abc),
+    // 2 dels (abcd/ab), del+ins (abcd/abxd? that's 1 sub... use
+    // (abcde/axcdy) 2 subs), sub+del (abcd/axc), 2 ins (ab/axby),
+    // distance-3 excluded (abc/xyz)
+    val rows = Seq((1L, "abc"), (1L, "acb"), (1L, "abcd"), (1L, "ab"),
+      (1L, "axc"), (1L, "axby"), (1L, "abcde"), (1L, "axcdy"),
+      (1L, "xyz"), (2L, "abc"), (2L, "abd"), (3L, "aaaa"), (3L, "aa"))
+      .toDF("g", "w")
+    val got = FuzzyJoin.ed2PairsBlocked(rows, "w", "g")
+      .as[(Long, String, String)].collect().toSet
+    val v = rows.distinct()
+    val brute = v.select(col("g"), col("w").as("a"))
+      .join(v.select(col("g"), col("w").as("b")), Seq("g"))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 2)
+      .select(col("g"), col("a"), col("b"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === brute)
+    assert(got.contains((1L, "abc", "acb")))   // transposition (2 ops)
+    assert(got.contains((1L, "ab", "abcd")))   // 2 deletions
+    assert(got.contains((1L, "abcde", "axcdy"))) // 2 substitutions
+    assert(got.contains((3L, "aa", "aaaa")))   // repeated-char runs
+    assert(!got.exists(p => p._2 == "abc" && p._3 == "xyz"))
+    assert(!got.exists(p => p._1 == 2L && p._2 == "abc" && p._3 == "acb"))
+  }
+
   // ---- KMV ----
 
   test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {

@@ -217,4 +217,27 @@ class NativeSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_within_ed1('cat', 'cart') AS e").head().getBoolean(0))
     assert(!spark.sql("SELECT graft_within_ed1('cat', 'dog') AS e").head().getBoolean(0))
   }
+
+  test("graft_within_ed2 == levenshtein<=2 on randomized strings incl. surrogates and nulls; SQL form resolves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    // same hard-case alphabet as the ed1 test; slightly longer strings
+    // so length gaps of exactly 2 and 3 both occur
+    val alpha = Vector("a", "a", "0", "0", "1", "b", "😀", "́")
+    val mk = () => Vector.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.size))).mkString
+    val rows: Seq[(String, String)] =
+      (1 to 800).map(_ => (mk(), mk())) ++
+        Seq(("", ""), ("", "ab"), ("", "abc"), ("a", null), (null, null),
+          ("😀😀", "ab"), ("a😀b😀c", "abc"), ("kitten", "sitten"),
+          ("kitten", "sittin"), ("kitten", "sitting"))
+    val bad = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        NativeExpressions.withinEd2(col("a"), col("b")).as("nat"),
+        (levenshtein(col("a"), col("b")) <= 2).as("ref"))
+      .filter(not(col("nat") <=> col("ref")))
+    assert(bad.isEmpty, bad.collect().take(5).mkString)
+    // SQL registration through GraftExtensions
+    assert(spark.sql("SELECT graft_within_ed2('cat', 'carts') AS e").head().getBoolean(0))
+    assert(!spark.sql("SELECT graft_within_ed2('kitten', 'sitting') AS e").head().getBoolean(0))
+  }
 }

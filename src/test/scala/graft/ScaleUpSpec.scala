@@ -49,12 +49,21 @@ class ScaleUpSpec extends SparkSpec {
       col("b").divide(partStep).cast("long")).isEmpty,
       "a co-purchase edge crossed replica bands")
 
-    // q189's workload: replica suffixes ("~rr") keep intra-replica edit
-    // distances (common suffix) while cross-replica names differ in ≥2
-    // positions, so the ED ≤ 1 pair set is exactly k copies of the base
+    // q189/q238's workload: replica suffixes ("~rrr") keep
+    // intra-replica edit distances (common suffix) while any two
+    // replica suffixes differ in 3 positions (base vs replica: 4
+    // insertions), so BOTH fuzzy radii stay replica-local: the ED ≤ 1
+    // pair set and the nation-blocked ED ≤ 2 pair set are each exactly
+    // k copies of the base
     val p0 = graft.functions.FuzzyJoin.ed1Pairs(Tables.customer(spark, sf), "c_name").count()
     val pK = graft.functions.FuzzyJoin.ed1Pairs(cust, "c_name")
     assert(pK.count() === k * p0)
+    val q0 = graft.functions.FuzzyJoin.ed2PairsBlocked(
+      Tables.customer(spark, sf), "c_name", "c_nationkey").count()
+    val qK = graft.functions.FuzzyJoin.ed2PairsBlocked(
+      cust, "c_name", "c_nationkey").count()
+    assert(qK === k * q0,
+      s"ED<=2 pair set must be k copies of the base, got $qK vs $k*$q0")
     val custStep = math.max(
       Tables.customer(spark, sf).agg(max("c_custkey")).first().getLong(0),
       spark.read.parquet(s"$sf/events.parquet").agg(max("user_id")).first().getLong(0)) + 1
