@@ -1584,8 +1584,28 @@ object MiningQueries {
     FuzzyJoin.ed2PairsBlocked(Tables.customer(s, d), "c_name", "c_nationkey")
   }
 
+  /** q239 — INCREMENTAL entity resolution ≡ one-shot: customers arrive
+    * in 3 deterministic hash batches, each folding through
+    * [[graft.operators.IncrementalEr.maintainBatch]] (arrival-probe
+    * FastSS edges + contracted-label CC + AtomicTable commit per
+    * batch), and the final served assignment is gated against q228's
+    * one-shot recursive-CTE oracle VERBATIM — labels are min-custkey
+    * ids and min-of-mins is the global min, so the fold must reproduce
+    * the full fixpoint exactly. The q180/q181 incremental-equals-batch
+    * discipline applied to the record-linkage tier. */
+  val q239 = Q("q239_incremental_entity_resolution", q228.oracle.get) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_incer_") + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235, q238)
+    q235, q238, q239)
 }

@@ -123,6 +123,32 @@ class MiningSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 2L && p._2 == "abc" && p._3 == "acb"))
   }
 
+  test("incremental ER: cross-batch chains, exact twins, block exclusion, replay no-op") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_erspec_") + "/er"
+    def cust(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+    // batch 0: cat@n1, cat@n2 (same name, different block — must NOT
+    // link), dog@n1, aaa@n1
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((10L, "cat", 1L), (20L, "cat", 2L), (30L, "dog", 1L),
+        (40L, "aaa", 1L))), 0L)
+    // batch 1: bat@n1 links to standing cat@n1; dog@n1 twin (lev 0);
+    // aab + abb chain through each other to standing aaa
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((5L, "bat", 1L), (31L, "dog", 1L), (41L, "aab", 1L),
+        (42L, "abb", 1L))), 1L)
+    val got = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 5L, 5L -> 5L, 20L -> 20L, 30L -> 30L,
+      31L -> 30L, 40L -> 40L, 41L -> 40L, 42L -> 40L))
+    // replaying batch 1 is a no-op: labels version unchanged
+    val before = graft.pipeline.AtomicTable.currentVersion(spark, s"$dir/labels")
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((31L, "dog", 1L))), 1L)
+    assert(graft.pipeline.AtomicTable.currentVersion(spark, s"$dir/labels") === before)
+  }
+
   // ---- KMV ----
 
   test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {
