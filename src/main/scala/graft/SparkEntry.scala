@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries.all ++ ExtensionQueries.all ++ WindowQueries.all ++
       FunctionQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
       TrainingQueries.all ++ CorpusQueries.all ++ MiningQueries.all ++
-      RecommendQueries.all ++ SqlQueries.all
+      RecommendQueries.all ++ SqlQueries.all ++ EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.Tables
+import graft.functions.Text
+import graft.operators.PrefixScan
+
+/** Round-13 evaluation/statistics batch: the metrics a training-data
+  * pipeline computes ABOUT its models and curation rules — exact
+  * rank-statistic AUC, a classifier confusion matrix, per-group OLS
+  * trend fitting, robust (median/MAD) outlier detection, Holt linear
+  * trend smoothing, and behavioral subsequence support. Everything
+  * hash-gates: ranks/counts are integers, OLS moments go through
+  * DECIMAL(38,0) (HUGEINT in the oracle), the only floats are single
+  * IEEE divisions of exact operands or the midpoint-interpolated exact
+  * percentile both engines compute identically (the q38 discipline).
+  */
+object EvalQueries {
+
+  /** q245 — exact AUC (Mann-Whitney U with average-rank tie handling)
+    * of the length-quality score `n_chars` as a predictor of
+    * `lang = 'en'` — the eval metric every curation classifier
+    * (q128/q147) reports. Rank statistics over a corpus normally mean
+    * one global sort; here ranks come from the (score → count,
+    * positives) HISTOGRAM — |distinct n_chars|-sized, never
+    * |documents|-sized — with the cumulative "rows strictly below this
+    * score" via [[PrefixScan]]'s two-level scan (no single-task
+    * window). For a tied group of n rows starting at global rank st,
+    * each row's average rank is st + (n−1)/2, so twice the positive
+    * rank-sum is Σ p·(2·cumBefore + n + 1) — integers throughout;
+    * AUC = (2R⁺ − P(P+1)) / (2PN) with ONE final IEEE division.
+    * Products are DECIMAL(38,0): rank·count terms reach N² and a
+    * 100 TB corpus overflows int64. */
+  val q245 = Q("q245_auc_quality",
+    """WITH s AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS score,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+      |             CAST(SUM(y) AS BIGINT) AS p
+      |      FROM s GROUP BY 1),
+      |c AS (SELECT score, n, p,
+      |             CAST(COALESCE(SUM(n) OVER (ORDER BY score
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |      FROM h),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp FROM h),
+      |r AS (SELECT CAST(SUM(CAST(p AS HUGEINT) * (2 * cb + n + 1)) AS HUGEINT) AS r2 FROM c)
+      |SELECT t.tp AS positives, t.tn - t.tp AS negatives,
+      |       CAST(r.r2 - CAST(t.tp AS HUGEINT) * (t.tp + 1) AS BIGINT) AS auc_num2,
+      |       2 * t.tp * (t.tn - t.tp) AS auc_den,
+      |       CAST(r.r2 - CAST(t.tp AS HUGEINT) * (t.tp + 1) AS DOUBLE)
+      |         / CAST(2 * t.tp * (t.tn - t.tp) AS DOUBLE) AS auc
+      |FROM r, t""".stripMargin) { (s, d) =>
+    val sc = Tables.documents(s, d).select(
+      col("n_chars").cast(LongType).as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val h = sc.groupBy("score").agg(count(lit(1)).as("g_n"), sum("y").as("g_p"))
+    val c = PrefixScan.exclusiveRunningSum(h, "score", "g_n", "g_cb", expr("score div 64"))
+    val t = h.agg(sum("g_n").as("g_tn"), sum("g_p").as("g_tp"))
+    c.agg(sum(col("g_p").cast(DecimalType(38, 0))
+        * (lit(2) * col("g_cb") + col("g_n") + 1)).as("g_r2"))
+      .crossJoin(broadcast(t))
+      .selectExpr(
+        "g_tp AS positives",
+        "g_tn - g_tp AS negatives",
+        "CAST(g_r2 - CAST(g_tp AS DECIMAL(38,0)) * (g_tp + 1) AS BIGINT) AS auc_num2",
+        "2 * g_tp * (g_tn - g_tp) AS auc_den",
+        "CAST(g_r2 - CAST(g_tp AS DECIMAL(38,0)) * (g_tp + 1) AS DOUBLE)" +
+          " / CAST(2 * g_tp * (g_tn - g_tp) AS DOUBLE) AS auc")
+  }
+
+  /** q246 — the confusion matrix of the q17 stopword language-ID
+    * against the declared `lang` label, with per-cell recall share
+    * (cell count / declared-class total — ONE IEEE division of two
+    * exact counts). One groupBy over the corpus plus a broadcast join
+    * against the |langs|-sized class totals; the matrix itself is at
+    * most |langs|·(|langs|+1) rows at any corpus size. */
+  val q246 = {
+    val en = Text.Stopwords("en"); val es = Text.Stopwords("es")
+    val de = Text.Stopwords("de"); val fr = Text.Stopwords("fr")
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(string_split(trim(text), ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(",")})))"
+    val (he, hs, hd, hf) = (hits(en), hits(es), hits(de), hits(fr))
+    Q("q246_langid_confusion",
+      s"""WITH pred AS (
+         |  SELECT lang AS lang_declared,
+         |    CASE WHEN $he = 0 AND $hs = 0 AND $hd = 0 AND $hf = 0 THEN 'und'
+         |         WHEN $he >= $hs AND $he >= $hd AND $he >= $hf THEN 'en'
+         |         WHEN $hs >= $hd AND $hs >= $hf THEN 'es'
+         |         WHEN $hd >= $hf THEN 'de' ELSE 'fr' END AS lang_predicted
+         |  FROM documents),
+         |cells AS (
+         |  SELECT lang_declared, lang_predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang_declared, CAST(SUM(n) AS BIGINT) AS class_n
+         |  FROM cells GROUP BY 1)
+         |SELECT c.lang_declared, c.lang_predicted, c.n, t.class_n,
+         |       CAST(c.n AS DOUBLE) / CAST(t.class_n AS DOUBLE) AS recall_share
+         |FROM cells c JOIN tot t ON c.lang_declared = t.lang_declared""".stripMargin) { (s, d) =>
+      val pred = Tables.documents(s, d).select(
+        col("lang").as("lang_declared"),
+        Text.langId(col("text")).as("lang_predicted"))
+      val cells = pred.groupBy("lang_declared", "lang_predicted")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang_declared").agg(sum("n").as("class_n"))
+      cells.join(broadcast(tot), Seq("lang_declared"))
+        .select(col("lang_declared"), col("lang_predicted"), col("n"),
+          col("class_n"),
+          (col("n").cast("double") / col("class_n").cast("double")).as("recall_share"))
+    }
+  }
+
+  /** q247 — per-nation ordinary-least-squares revenue trend: the slope
+    * of monthly revenue against the month index, fit in closed form
+    * from exact integer moments (n, Σx, Σy, Σxy, Σx²) — the
+    * regression every KPI dashboard draws, computed as ONE map-side-
+    * combined aggregate per nation (never a per-nation sort). Moment
+    * products run in DECIMAL(38,0)/HUGEINT — n·Σxy at 100 TB revenue
+    * magnitudes overflows int64 — and land as BIGINT numerator /
+    * denominator (slope = num/den is the single IEEE division).
+    * x = year·12 + month, exact in both engines. */
+  val q247 = Q("q247_ols_trend",
+    """WITH m AS (
+      |  SELECT n.n_name,
+      |         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS x,
+      |         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months,
+      |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM m GROUP BY 1)
+      |SELECT n_name, n_months, sx AS sum_x, sy AS sum_y_cents,
+      |       CAST(n_months * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS slope_num,
+      |       CAST(n_months * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS slope_den,
+      |       CAST(n_months * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |         / CAST(n_months * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_cents_per_month
+      |FROM mo""".stripMargin) { (s, d) =>
+    val m = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType).as("x"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType)).as("y"))
+    m.groupBy("n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+      .selectExpr("n_name", "n_months", "sx AS sum_x", "sy AS sum_y_cents",
+        "CAST(n_months * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT) AS slope_num",
+        "CAST(n_months * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS slope_den",
+        "CAST(n_months * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+          " / CAST(n_months * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)" +
+          " AS slope_cents_per_month")
+  }
+
+  /** q248 — robust per-event-type outlier detection by median/MAD (the
+    * 3-MAD rule, Hampel 1974): the location/scale estimates a drift
+    * monitor trusts when the mean is already poisoned by the outliers
+    * it hunts. Both quantiles are Spark's EXACT `percentile` against
+    * DuckDB's `quantile_cont` (the q38-proven midpoint interpolation —
+    * operands are integer cents, so the .5-grid doubles are exact in
+    * both engines). The aggregate buffers a value→count map per group:
+    * memory is the |distinct cents| DOMAIN per event type (price-grid
+    * bounded), never the row count — the property that keeps an exact
+    * corpus-scale median feasible. Three map-side-combined passes
+    * (median → MAD → outlier count), each joined back via a
+    * |event_type|-row broadcast. */
+  val q248 = Q("q248_mad_outliers",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM e GROUP BY 1),
+      |dv AS (
+      |  SELECT e.event_type, abs(CAST(e.v AS DOUBLE) - m.med) AS dev, m.med
+      |  FROM e JOIN m ON e.event_type = m.event_type),
+      |s AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad,
+      |         CAST(COUNT(*) AS BIGINT) AS n, MIN(med) AS med
+      |  FROM dv GROUP BY 1)
+      |SELECT s.event_type, s.n, s.med AS median_c, s.mad AS mad_c,
+      |       CAST(SUM(CASE WHEN dv.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dv JOIN s ON dv.event_type = s.event_type
+      |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("v"))
+    val m = e.groupBy("event_type").agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dv = e.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("v").cast("double") - col("med")).as("dev"), col("med"))
+    val st = dv.groupBy("event_type").agg(
+      percentile(col("dev"), lit(0.5)).as("mad"),
+      count(lit(1)).as("n"), min("med").as("med"))
+    dv.select("event_type", "dev").join(broadcast(st), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("med").as("median_c"),
+        col("mad").as("mad_c"))
+      .agg(sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select("event_type", "n", "median_c", "mad_c", "n_outliers")
+  }
+
+  /** q249 — Holt linear-trend smoothing of daily revenue in exact
+    * fixed-point integers (Holt 1957): level
+    * lₜ = (xₜ + 4·(lₜ₋₁+bₜ₋₁)) div 5 (α = 1/5) and trend
+    * bₜ = ((lₜ−lₜ₋₁) + 2·bₜ₋₁) div 3 (β = 1/3), l₁ = x₁, b₁ = 0;
+    * the residual is the ONE-STEP-AHEAD forecast error
+    * xₜ − (lₜ₋₁+bₜ₋₁) — the trend-aware upgrade of q212's simple ES
+    * (which a drifting level fools). Same execution contract as
+    * q197/q212: the recurrence is non-associative, so it driver-folds
+    * over the AGGREGATED calendar-day domain (bounded at any corpus
+    * scale — the collect is |distinct days|, never |orders|) after one
+    * map-side-combined groupBy; the oracle replays it as a recursive
+    * CTE. Integer division is TRUNCATION toward zero on both sides
+    * (DuckDB `//` truncates — measured, -7 // 5 = -1 — and so does
+    * Scala Long `/`); the trend term goes negative routinely, so the
+    * sign convention is load-bearing here, unlike q212. */
+  val q249 = Q("q249_holt_trend",
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+      |c AS (
+      |  SELECT rn, day, cents, cents AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(0 AS BIGINT) AS resid
+      |  FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.cents,
+      |         (i.cents + 4 * (c.l + c.b)) // 5,
+      |         (((i.cents + 4 * (c.l + c.b)) // 5) - c.l + 2 * c.b) // 3,
+      |         i.cents - (c.l + c.b)
+      |  FROM c JOIN i ON i.rn = c.rn + 1)
+      |SELECT day, cents, l AS level, b AS trend, resid AS residual
+      |FROM c""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("cents"))
+      .orderBy("day")
+    // collect() allowlist: |distinct o_orderdate| — calendar-bounded at
+    // any corpus scale — and the coupled (l, b) recurrence is
+    // non-associative under integer floor division (the q212 argument).
+    val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+    var l = 0L; var b = 0L
+    val out = rows.zipWithIndex.map { case ((day, cents), i) =>
+      if (i == 0) { l = cents; b = 0L; (day, cents, l, b, 0L) }
+      else {
+        val resid = cents - (l + b)
+        val lNew = (cents + 4 * (l + b)) / 5L
+        val bNew = (lNew - l + 2 * b) / 3L
+        l = lNew; b = bNew
+        (day, cents, l, b, resid)
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "cents", "level", "trend", "residual")
+  }
+
+  /** q250 — behavioral SUBSEQUENCE support (the PrefixSpan-style
+    * "a then b, anywhere later" pattern, vs q182's adjacent-transition
+    * matrix and q201's contiguous paths): how many users ever do
+    * event type A strictly before event type B. The existence test
+    * "∃ tₐ < t_b" collapses to min(tsₐ) < max(ts_b) per user, so the
+    * whole mining pass is ONE groupBy to the |users|·|types| summary
+    * and an equi-join on user over that summary — no per-user sequence
+    * reconstruction, no quadratic event pairing, and the same-type
+    * cell (a repeat visit) falls out of the strict < on (min, max). */
+  val q250 = Q("q250_subsequence_support",
+    """WITH ev AS (SELECT epoch_ns(ts) AS ts, user_id, event_type FROM events),
+      |b AS (
+      |  SELECT user_id, event_type, MIN(ts) AS mn, MAX(ts) AS mx
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT a.event_type AS first_type, z.event_type AS then_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM b a JOIN b z ON a.user_id = z.user_id
+      |WHERE a.mn < z.mx
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min("ts").as("mn"), max("ts").as("mx"))
+    val a = b.select(col("user_id"), col("event_type").as("first_type"), col("mn"))
+    val z = b.select(col("user_id"), col("event_type").as("then_type"), col("mx"))
+    a.join(z, Seq("user_id"))
+      .filter(col("mn") < col("mx"))
+      .groupBy("first_type", "then_type")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250)
+}

@@ -375,14 +375,16 @@ object MiningQueries {
     // NON-ASSOCIATIVE (the clamp discards information), so no
     // partial-aggregation / PrefixScan decomposition exists; a
     // driver-side fold over the bounded domain is the correct plan
-    // (the PrefixScan-allowlist standard). floorDiv, not /: the
-    // DuckDB oracle's // floors toward −∞ and a negative-revenue day
-    // (q195's orders_negative_total shape) must not diverge engines.
+    // (the PrefixScan-allowlist standard). Division sign convention:
+    // DuckDB's integer `//` TRUNCATES toward zero (measured:
+    // -7 // 5 = -1, not -2), exactly Scala Long `/` — so plain `/`
+    // here, NOT Math.floorDiv, keeps a negative-revenue day (q195's
+    // orders_negative_total shape) bit-identical across engines.
     val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
     val nd = rows.length.toLong
     val tot = rows.map(_._2).sum
-    val mu = Math.floorDiv(tot, nd)
-    val slack = Math.floorDiv(mu, 20L)
+    val mu = tot / nd
+    val slack = mu / 20L
     var run = 0L
     val out = rows.map { case (day, cents) =>
       run = math.max(0L, run + cents - mu - slack)
@@ -1054,12 +1056,14 @@ object MiningQueries {
     // SES recurrence s_i = (x_i + 4·s_{i−1})/5 is non-associative
     // under integer floor division, so a driver fold over the bounded
     // domain is the correct plan (q197's justification, stated here
-    // per the PrefixScan-allowlist standard). floorDiv matches the
-    // oracle's // on negative-revenue days.
+    // per the PrefixScan-allowlist standard). Plain `/` (truncation
+    // toward zero), because DuckDB's integer `//` TRUNCATES (measured:
+    // -7 // 5 = -1) — Scala `/` is the matching operator on
+    // negative-revenue days, floorDiv is not.
     val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
     var run = 0L
     val out = rows.zipWithIndex.map { case ((day, cents), i) =>
-      run = if (i == 0) cents else Math.floorDiv(cents + 4 * run, 5L)
+      run = if (i == 0) cents else (cents + 4 * run) / 5L
       (day, cents, run, cents - run)
     }
     import s.implicits._

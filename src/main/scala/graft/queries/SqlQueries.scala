@@ -305,6 +305,124 @@ object SqlQueries {
       |JOIN orders o ON o.o_custkey = c.c_custkey
       |JOIN oq ON oq.l_orderkey = o.o_orderkey""".stripMargin)
 
+  /** q240 — TPC-H Q7, volume shipping between two nations: the
+    * bidirectional nation-pair filter over the 6-relation chain, revenue
+    * by (supplier nation, customer nation, ship year). Both nation dims
+    * broadcast; the OR'd pair predicate prunes BEFORE the orders join,
+    * so the shuffled volume is only the two nations' trade lines. */
+  val q240 = sqlQ("q240_sql_volume_shipping",
+    """WITH shipping AS (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_u4
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT supp_nation, cust_nation, l_year,
+      |       CAST(SUM(rev_u4) AS BIGINT) AS revenue_u4,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM shipping GROUP BY 1, 2, 3""".stripMargin)
+
+  /** q241 — TPC-H Q8, national market share: of one part type sold
+    * into one region, what fraction of yearly volume came from one
+    * supplier nation. 8-relation join; the share is ONE IEEE division
+    * of two exact BIGINT volumes (conditional-sum numerator). */
+  val q241 = sqlQ("q241_sql_market_share",
+    """WITH allnations AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |         n2.n_name AS supp_nation,
+      |         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS volume_u4
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_u4 ELSE 0 END) AS BIGINT) AS nation_volume_u4,
+      |       CAST(SUM(volume_u4) AS BIGINT) AS total_volume_u4,
+      |       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_u4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |         / CAST(CAST(SUM(volume_u4) AS BIGINT) AS DOUBLE) AS mkt_share
+      |FROM allnations GROUP BY 1""".stripMargin)
+
+  /** q242 — TPC-H Q13, customer order distribution: LEFT join so
+    * zero-order customers survive, per-customer order count, then the
+    * histogram of counts. The synthetic orders table has no o_comment,
+    * so the classic NOT-LIKE filter becomes a priority predicate ON THE
+    * JOIN CONDITION (the shape Q13 actually tests: a filtered outer
+    * join that must not drop unmatched left rows). */
+  val q242 = sqlQ("q242_sql_customer_distribution",
+    """WITH c_orders AS (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |                     AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM c_orders GROUP BY 1""".stripMargin)
+
+  /** q243 — TPC-H Q15, top supplier: quarterly revenue per supplier,
+    * return the max-revenue supplier(s) via an uncorrelated scalar
+    * subquery (the view+MAX shape; Spark plans the subquery as a
+    * 1-row broadcast against the |supplier|-sized aggregate — ties all
+    * returned, as the spec requires, so no tiebreak is needed). */
+  val q243 = sqlQ("q243_sql_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS total_revenue_u4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue_u4
+      |FROM supplier s
+      |JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue_u4 = (SELECT MAX(total_revenue_u4) FROM revenue)""".stripMargin)
+
+  /** q244 — TPC-H Q22, global sales opportunity: rich-but-dormant
+    * customers — balance above the positive-balance average, no order
+    * in the trailing window — counted per nation. The synthetic
+    * customer has no c_phone, so the country-code IN-list becomes a
+    * nationkey IN-list, and (all customers having SOME order) dormancy
+    * is "no order since 2001-01-01" — the anti-join is the point and
+    * it stays. The above-average test is an exact integer
+    * cross-multiply (bal·n > Σbal), no float average. */
+  val q244 = sqlQ("q244_sql_sales_opportunity",
+    """WITH pool AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+      |  FROM customer
+      |  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)),
+      |avgbal AS (
+      |  SELECT CAST(SUM(bal_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pool WHERE bal_c > 0)
+      |SELECT p.c_nationkey AS cntrycode,
+      |       CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(p.bal_c) AS BIGINT) AS totacctbal_c
+      |FROM pool p, avgbal a
+      |WHERE p.bal_c * a.n > a.s
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = p.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY 1""".stripMargin)
+
   val all: Seq[Q] = Seq(q221, q222, q223, q226,
-    q229, q230, q231, q232, q233, q234, q236, q237)
+    q229, q230, q231, q232, q233, q234, q236, q237,
+    q240, q241, q242, q243, q244)
 }
