@@ -574,6 +574,129 @@ object WithinEd2 {
   }
 }
 
+/** Aho–Corasick multi-pattern occurrence counting (Aho & Corasick 1975,
+  * CACM 18(6)): ALL occurrences of EVERY dictionary pattern in ONE
+  * left-to-right pass — O(|text| + matches) regardless of dictionary
+  * size, vs one `instr`/`replace` scan PER pattern (the naive plan is
+  * |patterns|× the IO-free cost, and a PII/keyword dictionary is
+  * hundreds of terms). The automaton is built once per expression
+  * instance on the driver (goto trie + BFS failure links, resolved to
+  * a dense DFA over the 7-bit alphabet; dictionary-suffix outputs are
+  * aggregated per node at build time), shipped to executors inside the
+  * serialized expression, and rebuilt lazily per JVM — the scan loop
+  * is two array loads per input char inside whole-stage codegen.
+  * Overlapping matches and patterns nested inside other patterns are
+  * counted correctly (that is what the output-link aggregation is
+  * for). Counts are per-pattern, in dictionary order.
+  * Non-ASCII input chars can never continue an ASCII-pattern match and
+  * reset to the root state; the patterns themselves must be 7-bit (the
+  * constructor rejects otherwise). */
+case class AhoCorasickCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(p => p.nonEmpty && p.forall(_ < 128)),
+    "graft_ac_counts: patterns must be non-empty 7-bit ASCII strings")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ac_counts expects string text, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ac_counts"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val auto: AhoCorasickCounts.Dfa =
+    AhoCorasickCounts.build(patterns)
+
+  /** Instance entry point the generated code calls. */
+  def scan(t: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    AhoCorasickCounts.scan(t.toString, auto, patterns.length)
+
+  override def nullSafeEval(v: Any): Any =
+    scan(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAc", this, classOf[AhoCorasickCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.scan($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AhoCorasickCounts {
+  /** Failure-resolved DFA: `next` is node×128 transitions, `outs` the
+    * pattern ids (dictionary-suffix-aggregated) ending at each node. */
+  final class Dfa(val next: Array[Array[Int]], val outs: Array[Array[Int]])
+
+  def build(patterns: Seq[String]): Dfa = {
+    // goto trie
+    val next = scala.collection.mutable.ArrayBuffer(Array.fill(128)(-1))
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      p.foreach { ch =>
+        if (next(s)(ch) == -1) {
+          next += Array.fill(128)(-1); out += Nil
+          next(s)(ch) = next.size - 1
+        }
+        s = next(s)(ch)
+      }
+      out(s) = pid :: out(s)
+    }
+    // BFS failure links, resolving goto misses into DFA transitions and
+    // merging each node's outputs with its failure node's (already
+    // complete when dequeued — BFS order guarantees it)
+    val fail = Array.fill(next.size)(0)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    (0 until 128).foreach { c =>
+      if (next(0)(c) == -1) next(0)(c) = 0
+      else { fail(next(0)(c)) = 0; queue.enqueue(next(0)(c)) }
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      out(u) = out(u) ++ out(fail(u))
+      (0 until 128).foreach { c =>
+        val v = next(u)(c)
+        if (v == -1) next(u)(c) = next(fail(u))(c)
+        else { fail(v) = next(fail(u))(c); queue.enqueue(v) }
+      }
+    }
+    new Dfa(next.toArray, out.map(_.toArray.sorted).toArray)
+  }
+
+  def scan(text: String, dfa: Dfa, nPatterns: Int): ArrayData = {
+    val counts = new Array[Long](nPatterns)
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val ch = text.charAt(i)
+      s = if (ch < 128) dfa.next(s)(ch) else 0
+      val os = dfa.outs(s)
+      var j = 0
+      while (j < os.length) { counts(os(j)) += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  /** True iff the pattern has NO proper border (no prefix that is also
+    * a suffix — KMP failure of the last position is 0). A border-free
+    * pattern cannot overlap itself, so its all-occurrence count equals
+    * the non-overlapping count a SQL `replace`-length oracle measures —
+    * the structural precondition q251's oracle relies on. */
+  def isBorderFree(p: String): Boolean = {
+    val pi = new Array[Int](p.length)
+    var k = 0
+    (1 until p.length).foreach { i =>
+      while (k > 0 && p.charAt(k) != p.charAt(i)) k = pi(k - 1)
+      if (p.charAt(k) == p.charAt(i)) k += 1
+      pi(i) = k
+    }
+    p.length <= 1 || pi(p.length - 1) == 0
+  }
+}
+
 object NativeExpressions {
   /** Session-free Column form (no registry needed). */
   def withinEd1(a: Column, b: Column): Column =
@@ -607,6 +730,9 @@ object NativeExpressions {
 
   def wordpiece(word: Column, vocab: Seq[String], maxPieceLen: Int): Column =
     ColumnBridge.column(WordPieceEncode(ColumnBridge.expression(word), vocab, maxPieceLen))
+
+  def acCounts(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(AhoCorasickCounts(ColumnBridge.expression(text), patterns))
 }
 
 /** SQL-side registration via SparkSessionExtensions — activates

@@ -293,5 +293,119 @@ object EvalQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250)
+  /** The q251 dictionary. Every pattern is verified BORDER-FREE at
+    * class-init (no proper prefix that is also a suffix), which makes
+    * all-occurrence counts equal non-overlapping counts — the property
+    * that lets a SQL replace-length oracle check the automaton. */
+  private val AcPatterns =
+    Seq("spark", "customer", "fast scan", "data window", "group value", "big vector")
+  require(AcPatterns.forall(graft.plans.AhoCorasickCounts.isBorderFree),
+    "q251 oracle precondition: patterns must be border-free")
+
+  /** q251 — dictionary scan over the corpus with the native
+    * Aho–Corasick kernel ([[graft.plans.AhoCorasickCounts]]): counts of
+    * every dictionary term (PII markers, blocklist phrases, topic
+    * keywords — the curation primitives) per document in ONE pass over
+    * the text whatever the dictionary size, inside whole-stage codegen.
+    * The oracle runs |patterns| separate replace-length scans — the
+    * very plan shape the automaton exists to avoid (at a 500-term
+    * dictionary the SQL form is 500 scans of 100 TB; the kernel is
+    * one). Patterns are border-free (checked structurally above), so
+    * overlapping-vs-non-overlapping counting cannot diverge; the
+    * automaton's general overlap handling is spec-gated separately. */
+  val q251 = {
+    val pats = AcPatterns
+    val values = pats.map(p => s"('$p')").mkString(", ")
+    Q("q251_multi_pattern_scan",
+      s"""WITH pats AS (SELECT * FROM (VALUES $values) AS t(pattern))
+         |SELECT d.doc_id, p.pattern,
+         |       CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+         |              // length(p.pattern) AS BIGINT) AS n_matches
+         |FROM documents d CROSS JOIN pats p
+         |WHERE length(d.text) <> length(replace(d.text, p.pattern, ''))""".stripMargin) { (s, d) =>
+      val counts = graft.plans.NativeExpressions.acCounts(col("text"), pats)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(counts).as(Seq("pos", "n_matches")))
+        .filter(col("n_matches") > 0)
+        .select(col("doc_id"),
+          element_at(typedLit(pats), col("pos") + 1).as("pattern"),
+          col("n_matches"))
+    }
+  }
+
+  /** q252 — Newman modularity of the `source` metadata partition over
+    * the rare-gram near-dup graph (Newman & Girvan 2004): does shared
+    * boilerplate stay WITHIN a crawl source or bridge across sources —
+    * the assortativity number that decides whether per-source dedup is
+    * safe or cross-source decontamination (q135) is mandatory. Exact
+    * integer arithmetic throughout: Q = (4m·e_in − Σ_c D_c²) / 4m²
+    * after multiplying out, with e_in the within-source edge count and
+    * D_c the per-source degree sums — products in DECIMAL(38,0)/
+    * HUGEINT, ONE final IEEE division. Graph shape: the q68 edge
+    * builder (df-capped grams, never O(n²)); everything after it is
+    * one broadcast-joinable label lookup and two tiny aggregates. */
+  val q252 = Q("q252_source_modularity",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks),
+      |rare AS (
+      |  SELECT g.doc_id, g.gram FROM grams g
+      |  JOIN (SELECT gram, COUNT(*) AS gram_df FROM grams GROUP BY 1) f
+      |    ON g.gram = f.gram
+      |  WHERE f.gram_df BETWEEN 2 AND 50),
+      |e0 AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b
+      |  FROM rare ga JOIN rare gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |lab AS (SELECT doc_id, source FROM documents),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+      |ie AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS inside
+      |  FROM e0 e JOIN lab la ON la.doc_id = e.a JOIN lab lb ON lb.doc_id = e.b
+      |  WHERE la.source = lb.source),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) u GROUP BY 1),
+      |dc AS (
+      |  SELECT l.source, CAST(SUM(COALESCE(d.dg, 0)) AS BIGINT) AS dsum
+      |  FROM lab l LEFT JOIN deg d ON d.v = l.doc_id GROUP BY 1),
+      |s2 AS (SELECT CAST(SUM(CAST(dsum AS HUGEINT) * dsum) AS HUGEINT) AS sum_dc2 FROM dc)
+      |SELECT mm.m AS m_edges, ie.inside AS inside_edges,
+      |       CAST(s2.sum_dc2 AS BIGINT) AS sum_dc2,
+      |       CAST(4 * CAST(mm.m AS HUGEINT) * ie.inside - s2.sum_dc2 AS BIGINT) AS q_num,
+      |       4 * mm.m * mm.m AS q_den,
+      |       CAST(4 * CAST(mm.m AS HUGEINT) * ie.inside - s2.sum_dc2 AS DOUBLE)
+      |         / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+      |FROM mm, ie, s2""".stripMargin) { (s, d) =>
+    import graft.functions.Dedup
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
+      maxDf = 50L, minShared = 2L)
+    val lab = docs.select(col("doc_id"), col("source"))
+    val withSrc = edges
+      .join(broadcast(lab.select(col("doc_id").as("a"), col("source").as("src_a"))), Seq("a"))
+      .join(broadcast(lab.select(col("doc_id").as("b"), col("source").as("src_b"))), Seq("b"))
+    val tot = withSrc.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L)).as("inside"))
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val dc = lab.join(deg, lab("doc_id") === deg("v"), "left")
+      .groupBy("source").agg(sum(coalesce(col("dg"), lit(0L))).as("dsum"))
+    val s2 = dc.agg(sum(col("dsum").cast(DecimalType(38, 0)) * col("dsum")).as("sum_dc2"))
+    tot.crossJoin(s2)
+      .selectExpr("m AS m_edges", "inside AS inside_edges",
+        "CAST(sum_dc2 AS BIGINT) AS sum_dc2",
+        "CAST(4 * CAST(m AS DECIMAL(38,0)) * inside - sum_dc2 AS BIGINT) AS q_num",
+        "4 * m * m AS q_den",
+        "CAST(4 * CAST(m AS DECIMAL(38,0)) * inside - sum_dc2 AS DOUBLE)" +
+          " / CAST(4 * m * m AS DOUBLE) AS modularity")
+  }
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252)
 }

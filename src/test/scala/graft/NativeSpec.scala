@@ -240,4 +240,46 @@ class NativeSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_within_ed2('cat', 'carts') AS e").head().getBoolean(0))
     assert(!spark.sql("SELECT graft_within_ed2('kitten', 'sitting') AS e").head().getBoolean(0))
   }
+
+  test("AhoCorasickCounts counts ALL occurrences: overlaps, nesting, randomized brute-force parity") {
+    import spark.implicits._
+    import graft.plans.AhoCorasickCounts
+    // brute force: count every start position where the pattern matches
+    def brute(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+
+    // hand-picked adversarial dictionary: self-overlapping ("aa", "aba"),
+    // nested ("ab" inside "aab"/"aba"), shared prefixes, a full word
+    val pats = Seq("aa", "ab", "aba", "aab", "baa", "b")
+    assert(!AhoCorasickCounts.isBorderFree("aa"))
+    assert(!AhoCorasickCounts.isBorderFree("aba"))
+    assert(AhoCorasickCounts.isBorderFree("ab"))
+    assert(AhoCorasickCounts.isBorderFree("spark"))
+    assert(AhoCorasickCounts.isBorderFree("fast scan"))
+
+    // "aaaa" contains "aa" at 3 OVERLAPPING positions — the case a
+    // replace-length count undercounts (it would say 2)
+    val dfa = AhoCorasickCounts.build(pats)
+    def scanOf(t: String): Seq[Long] =
+      AhoCorasickCounts.scan(t, dfa, pats.length).toLongArray().toSeq
+    assert(scanOf("aaaa") == pats.map(p => brute("aaaa", p)))
+    assert(scanOf("aaaa").head == 3L)
+
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val t = Vector.fill(rnd.nextInt(40))(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(scanOf(t) == pats.map(p => brute(t, p)), s"text=$t")
+    }
+
+    // expression path (codegen + eval) against the same brute force,
+    // including null and non-ASCII resets
+    val texts = Seq("abab aba", "", "aab😀aa", null, "bbbaaab")
+    val out = texts.map(Tuple1(_)).toDF("t")
+      .select(NativeExpressions.acCounts(col("t"), pats).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    texts.zip(out).foreach {
+      case (null, got) => assert(got == null)
+      case (t, got) => assert(got == pats.map(p => brute(t, p)), s"text=$t")
+    }
+  }
 }
