@@ -407,5 +407,119 @@ object EvalQueries {
           " / CAST(4 * m * m AS DOUBLE) AS modularity")
   }
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252)
+  /** One best-Gini-stump pass over (x: Long, y: 0/1) — q213's exact
+    * machinery (histogram → two [[PrefixScan]] cumulative passes →
+    * exact-rational impurity → deterministic argmin) factored so the
+    * depth-2 tree can apply it per branch. */
+  private def bestStump(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hist = e.groupBy("x").agg(count(lit(1)).as("g_n"), sum("y").as("g_p"))
+    val cum = PrefixScan.exclusiveRunningSum(
+      PrefixScan.exclusiveRunningSum(
+        hist, "x", "g_n", "g_cn", expr("x div 100")),
+      "x", "g_p", "g_cp", expr("x div 100"))
+    val tot = hist.agg(sum("g_n").as("g_tn"), sum("g_p").as("g_tp"))
+    cum.crossJoin(broadcast(tot))
+      .selectExpr("x AS threshold",
+        "g_cn + g_n AS n_left", "g_cp + g_p AS p_left",
+        "g_tn - (g_cn + g_n) AS n_right", "g_tp - (g_cp + g_p) AS p_right")
+      .filter(col("n_right") > 0)
+      .selectExpr("threshold", "n_left", "p_left", "n_right", "p_right",
+        "CAST(CAST(p_left AS DECIMAL(38,0)) * (n_left - p_left) * n_right" +
+          " + CAST(p_right AS DECIMAL(38,0)) * (n_right - p_right) * n_left AS DOUBLE)" +
+          " / CAST(CAST(n_left AS DECIMAL(38,0)) * n_right AS DOUBLE) AS split_score")
+      .orderBy(col("split_score"), col("threshold")).limit(1)
+  }
+
+  /** The q213 stump chain as oracle SQL, parameterized by source CTE —
+    * emitted once per tree node. */
+  private def stumpSql(src: String, p: String): String =
+    s"""${p}_h AS (SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM $src GROUP BY 1),
+       |${p}_c AS (SELECT x, n, p,
+       |        CAST(SUM(n) OVER w AS BIGINT) AS nl, CAST(SUM(p) OVER w AS BIGINT) AS pl
+       |      FROM ${p}_h WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |${p}_t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp FROM ${p}_h),
+       |${p}_cand AS (
+       |  SELECT c.x AS threshold, c.nl AS n_left, c.pl AS p_left,
+       |         t.tn - c.nl AS n_right, t.tp - c.pl AS p_right
+       |  FROM ${p}_c c, ${p}_t t WHERE t.tn - c.nl > 0),
+       |${p}_best AS (
+       |  SELECT threshold, n_left, p_left, n_right, p_right,
+       |    CAST(CAST(p_left AS HUGEINT) * (n_left - p_left) * n_right
+       |         + CAST(p_right AS HUGEINT) * (n_right - p_right) * n_left AS DOUBLE)
+       |      / CAST(CAST(n_left AS HUGEINT) * n_right AS DOUBLE) AS split_score
+       |  FROM ${p}_cand ORDER BY split_score, threshold LIMIT 1)""".stripMargin
+
+  /** q253 — depth-2 CART tree on the purchase label: the root stump
+    * (q213) plus the best stump WITHIN each branch — recursive
+    * partitioning as three applications of one exact primitive, each a
+    * pair of shuffles over the value HISTOGRAM (the branch filter
+    * reaches the scan; the root threshold arrives as a 1-row
+    * broadcast, so no collect and no driver value). Every impurity is
+    * the exact rational q213 computes; node selection is the same
+    * deterministic (score, threshold) argmin, so the whole tree is
+    * hash-replayable — the oracle grows the identical tree with three
+    * copies of the stump chain. A branch too pure to split (no
+    * candidate with a non-empty right side) simply emits no row. */
+  val q253 = Q("q253_tree_depth2",
+    s"""WITH e AS (SELECT CAST(floor("value") AS BIGINT) AS x,
+       |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |           FROM events),
+       |${stumpSql("e", "root")},
+       |le AS (SELECT e.x, e.y FROM e, root_best WHERE e.x <= root_best.threshold),
+       |${stumpSql("le", "l")},
+       |re AS (SELECT e.x, e.y FROM e, root_best WHERE e.x > root_best.threshold),
+       |${stumpSql("re", "r")}
+       |SELECT 'root' AS node, threshold, n_left, p_left, n_right, p_right, split_score FROM root_best
+       |UNION ALL
+       |SELECT 'left', threshold, n_left, p_left, n_right, p_right, split_score FROM l_best
+       |UNION ALL
+       |SELECT 'right', threshold, n_left, p_left, n_right, p_right, split_score FROM r_best""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      floor(col("value")).cast(LongType).as("x"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val root = bestStump(e)
+    val thr = broadcast(root.select(col("threshold").as("g_thr")))
+    val left = bestStump(e.crossJoin(thr).filter(col("x") <= col("g_thr")).select("x", "y"))
+    val right = bestStump(e.crossJoin(thr).filter(col("x") > col("g_thr")).select("x", "y"))
+    def tag(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.select(lit(n).as("node"), col("threshold"), col("n_left"), col("p_left"),
+        col("n_right"), col("p_right"), col("split_score"))
+    tag(root, "root").unionAll(tag(left, "left")).unionAll(tag(right, "right"))
+  }
+
+  /** q254 — exact EQUI-DEPTH histogram of order totals (16 buckets):
+    * the optimizer statistic q224's NDV tier lacks — selectivity
+    * estimation needs value DISTRIBUTION, not just cardinality. The 15
+    * interior boundaries are ONE exact-`percentile` aggregate (the q38
+    * discipline — sixteenth fractions are exact binary doubles, and
+    * the aggregation buffer is the |distinct cents| DOMAIN, not the
+    * row count); each row's bucket is then "how many boundaries are
+    * strictly below v" via a 15-element HOF over the broadcast
+    * boundary array — one extra scan, no second shuffle, ties landing
+    * deterministically in the lower bucket on both engines. */
+  val q254 = {
+    val fracs = (1 to 15).map(i => i / 16.0)
+    Q("q254_equi_depth_histogram",
+      s"""WITH e AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |q AS (SELECT quantile_cont(v, [${fracs.mkString(", ")}]) AS qs FROM e)
+         |SELECT CAST(len(list_filter(q.qs, b -> CAST(e.v AS DOUBLE) > b)) AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(MIN(e.v) AS BIGINT) AS lo_c, CAST(MAX(e.v) AS BIGINT) AS hi_c
+         |FROM e, q
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.orders(s, d).select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("v"))
+      val qs = e.agg(percentile(col("v"), typedLit(fracs)).as("qs"))
+      e.crossJoin(broadcast(qs))
+        .select(col("v"),
+          size(filter(col("qs"), b => col("v").cast("double") > b))
+            .cast(LongType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("v").as("lo_c"), max("v").as("hi_c"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
 }
