@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 import graft.Tables
 import graft.functions.Text
 import graft.operators.PrefixScan
@@ -521,5 +521,130 @@ object EvalQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
+  /** q255 — the calibration curve (reliability diagram) for the q245
+    * score: per score-DECILE, predicted-rank position vs observed
+    * positive rate — AUC says the ranking is good, calibration says
+    * whether the score's LEVELS mean anything. Same two-piece shape as
+    * q254: 9 interior decile boundaries from one exact-percentile
+    * aggregate, per-row bucket by counting boundaries strictly below
+    * the score (broadcast array HOF — no second shuffle), then one
+    * grouped count with ONE IEEE division per bucket. Tenth fractions
+    * are inexact doubles but both engines parse the identical literal
+    * and evaluate the identical (n−1)·q interpolation — the q38
+    * precedent (0.9) already pins this. */
+  val q255 = {
+    val fracs = (1 to 9).map(i => i / 10.0)
+    Q("q255_calibration_curve",
+      s"""WITH s AS (
+         |  SELECT CAST(n_chars AS BIGINT) AS score,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |q AS (SELECT quantile_cont(score, [${fracs.mkString(", ")}]) AS qs FROM s)
+         |SELECT CAST(len(list_filter(q.qs, b -> CAST(s.score AS DOUBLE) > b)) AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(s.y) AS BIGINT) AS positives,
+         |       CAST(MIN(s.score) AS BIGINT) AS lo_score,
+         |       CAST(MAX(s.score) AS BIGINT) AS hi_score,
+         |       CAST(SUM(s.y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS observed_rate
+         |FROM s, q
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val sc = Tables.documents(s, d).select(
+        col("n_chars").cast(LongType).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val qs = sc.agg(percentile(col("score"), typedLit(fracs)).as("qs"))
+      sc.crossJoin(broadcast(qs))
+        .select(col("score"), col("y"),
+          size(filter(col("qs"), b => col("score").cast("double") > b))
+            .cast(LongType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("positives"),
+          min("score").as("lo_score"), max("score").as("hi_score"),
+          (sum("y").cast("double") / count(lit(1)).cast("double")).as("observed_rate"))
+    }
+  }
+
+  /** q256 — NDCG@10 of the view-count item ranking against purchase
+    * relevance, with the house's EXACT bit-length discount in place of
+    * the transcendental log₂ (the q113/q214 surrogate): weight(pos) =
+    * 12 / bl(pos+1), bl(x) = ⌊log₂x⌋+1, so every per-position weight
+    * is an INTEGER (12 is lcm of the bl values over pos 1..10 —
+    * {2,3,4}) and DCG·12 / IDCG·12 are exact integer sums; NDCG is the
+    * single IEEE division. Ranking: per user, items by view count
+    * descending with item tiebreak (one groupBy + one user-partitioned
+    * window over the |user × item| summary); relevance: the user ever
+    * purchased the item (a semi-joinable set, here a LEFT join flag);
+    * ideal DCG takes the top-R weights for R = min(relevant-in-corpus,
+    * 10). Users with no purchased item have no defined NDCG and emit
+    * no row. */
+  val q256 = Q("q256_ndcg_bl",
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor("value") AS INT) % 97 AS item_id, event_type
+      |  FROM events),
+      |views AS (
+      |  SELECT user_id, item_id, COUNT(*) AS n_views
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |bought AS (
+      |  SELECT DISTINCT user_id, item_id FROM e WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT v.user_id, v.item_id,
+      |         row_number() OVER (PARTITION BY v.user_id
+      |                            ORDER BY v.n_views DESC, v.item_id) AS pos,
+      |         CASE WHEN b.item_id IS NULL THEN 0 ELSE 1 END AS rel
+      |  FROM views v LEFT JOIN bought b
+      |    ON b.user_id = v.user_id AND b.item_id = v.item_id),
+      |w AS (
+      |  SELECT user_id, pos, rel,
+      |         CASE WHEN pos + 1 < 4 THEN 6
+      |              WHEN pos + 1 < 8 THEN 4 ELSE 3 END AS w12
+      |  FROM ranked WHERE pos <= 10),
+      |r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      |      FROM bought GROUP BY 1),
+      |dcg AS (
+      |  SELECT user_id, CAST(SUM(rel * w12) AS BIGINT) AS dcg12
+      |  FROM w GROUP BY 1),
+      |idcg AS (
+      |  SELECT r.user_id,
+      |         CAST(SUM(CASE WHEN w.pos <= r.n_rel THEN w.w12 ELSE 0 END) AS BIGINT) AS idcg12
+      |  FROM r JOIN (SELECT * FROM (VALUES (1, 6), (2, 6), (3, 4), (4, 4), (5, 4),
+      |                                     (6, 4), (7, 3), (8, 3), (9, 3), (10, 3))
+      |               AS t(pos, w12)) w ON TRUE
+      |  GROUP BY 1)
+      |SELECT d.user_id, d.dcg12, i.idcg12,
+      |       CAST(d.dcg12 AS DOUBLE) / CAST(i.idcg12 AS DOUBLE) AS ndcg
+      |FROM dcg d JOIN idcg i ON d.user_id = i.user_id
+      |WHERE i.idcg12 > 0""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      (floor(col("value")).cast(IntegerType) % 97).as("item_id"), col("event_type"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "item_id").agg(count(lit(1)).as("n_views"))
+    val bought = e.filter(col("event_type") === "purchase")
+      .select("user_id", "item_id").distinct()
+    val boughtR = bought.select(col("user_id").as("b_user"), col("item_id").as("b_item"))
+    val ranked = views.join(boughtR,
+        col("user_id") === col("b_user") && col("item_id") === col("b_item"), "left")
+      .select(col("user_id"), col("item_id"), col("n_views"),
+        when(col("b_item").isNull, 0L).otherwise(1L).as("rel"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_views").desc, col("item_id"))))
+      .filter(col("pos") <= 10)
+      .withColumn("w12",
+        when(col("pos") + 1 < 4, 6L).when(col("pos") + 1 < 8, 4L).otherwise(3L))
+    val dcg = ranked.groupBy("user_id").agg(sum(col("rel") * col("w12")).as("dcg12"))
+    val nRel = bought.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val weights = Seq(1 -> 6L, 2 -> 6L, 3 -> 4L, 4 -> 4L, 5 -> 4L,
+      6 -> 4L, 7 -> 3L, 8 -> 3L, 9 -> 3L, 10 -> 3L)
+    import s.implicits._
+    val wTab = weights.toDF("pos", "w12")
+    val idcg = nRel.crossJoin(broadcast(wTab))
+      .groupBy("user_id")
+      .agg(sum(when(col("pos") <= col("n_rel"), col("w12")).otherwise(0L)).as("idcg12"))
+    dcg.join(idcg, Seq("user_id"))
+      .filter(col("idcg12") > 0)
+      .select(col("user_id"), col("dcg12"), col("idcg12"),
+        (col("dcg12").cast("double") / col("idcg12").cast("double")).as("ndcg"))
+  }
+
+  val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252,
+    q253, q254, q255, q256)
 }
