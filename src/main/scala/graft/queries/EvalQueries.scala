@@ -645,6 +645,105 @@ object EvalQueries {
         (col("dcg12").cast("double") / col("idcg12").cast("double")).as("ndcg"))
   }
 
+  /** q257 — Maximal Marginal Relevance diversified re-ranking
+    * (Carbonell & Goldstein, SIGIR'98) made EXACT: embeddings quantize
+    * to a fixed 1/1024 integer grid, so relevance (dot with the query
+    * vector) and pairwise shortlist similarity are integer sums, and
+    * the greedy trade-off score with λ = 1/2 doubles into the exact
+    * integer rel − max_sim. Execution shape at 100 TB: the corpus-wide
+    * work is the relevance scan + a distributed TakeOrdered to a
+    * k-bounded shortlist and ONE |shortlist|²-row similarity join; the
+    * inherently-sequential greedy selection then folds on the driver
+    * over that bounded set (collect() allowlist: ≤ 12 + 132 rows by
+    * construction — the bounded-candidate-set discipline, same as the
+    * k-means|| rounds·l sets). The oracle replays the identical greedy
+    * with 5 unrolled argmax CTEs. */
+  val q257 = {
+    val k = 5; val shortN = 12
+    def roundSql(i: Int): String = {
+      val sels = (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+      s"""cand$i AS (
+         |  SELECT c.vec_id, c.rel, MAX(s.sim) AS maxsim
+         |  FROM short c
+         |  JOIN sims s ON s.a = c.vec_id
+         |  WHERE s.b IN ($sels) AND c.vec_id NOT IN ($sels)
+         |  GROUP BY 1, 2),
+         |sel$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round, vec_id, rel, maxsim,
+         |         rel - maxsim AS mmr2
+         |  FROM cand$i ORDER BY mmr2 DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val unionAll = (1 to k).map(i =>
+      s"SELECT round, vec_id, rel, maxsim, mmr2 FROM sel$i").mkString("\nUNION ALL\n")
+    Q("q257_mmr_rerank",
+      s"""WITH ql AS (
+         |  SELECT CAST(gi - 1 AS INT) AS dim,
+         |         CAST(floor(CAST(embedding[gi] AS DOUBLE) * 1024) AS BIGINT) AS qv
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS gi) WHERE vec_id = 0),
+         |el AS (
+         |  SELECT vec_id, CAST(gi - 1 AS INT) AS dim,
+         |         CAST(floor(CAST(embedding[gi] AS DOUBLE) * 1024) AS BIGINT) AS qv
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS gi) WHERE vec_id <> 0),
+         |rel AS (
+         |  SELECT e.vec_id, CAST(SUM(e.qv * q.qv) AS BIGINT) AS rel
+         |  FROM el e JOIN ql q ON e.dim = q.dim GROUP BY 1),
+         |short AS (
+         |  SELECT vec_id, rel FROM (
+         |    SELECT vec_id, rel, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+         |    FROM rel) t WHERE rn <= $shortN),
+         |sl AS (SELECT e.vec_id, e.dim, e.qv FROM el e JOIN short s ON s.vec_id = e.vec_id),
+         |sims AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sim
+         |  FROM sl a JOIN sl b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |sel1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS round, vec_id, rel,
+         |         CAST(0 AS BIGINT) AS maxsim, rel AS mmr2
+         |  FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+         |${(2 to k).map(roundSql).mkString(",\n")}
+         |$unionAll""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qLong = emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1024).cast(LongType))).as(Seq("dim", "qv")))
+      val ql = qLong.filter(col("vec_id") === 0).select(col("dim"), col("qv").as("qqv"))
+      val el = qLong.filter(col("vec_id") =!= 0)
+      val rel = el.join(broadcast(ql), Seq("dim"))
+        .groupBy("vec_id").agg(sum(col("qv") * col("qqv")).as("rel"))
+      val short = rel.orderBy(col("rel").desc, col("vec_id")).limit(shortN)
+      val sl = el.join(broadcast(short.select("vec_id")), Seq("vec_id"))
+      val sims = sl.select(col("vec_id").as("a"), col("dim"), col("qv").as("qa"))
+        .join(sl.select(col("vec_id").as("b"), col("dim"), col("qv").as("qb")), Seq("dim"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(sum(col("qa") * col("qb")).as("sim"))
+      // collect() allowlist: both relations are k-bounded by construction
+      // (shortlist ≤ 12 rows, sims ≤ 12·11 rows) and the MMR greedy is
+      // inherently sequential (each argmax depends on the previous
+      // selections), so a driver fold over the bounded candidate set is
+      // the correct plan — the q212/k-means|| discipline.
+      val cands = short.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val simMap = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      (1 to k).foreach { round =>
+        val scored = cands.filterNot(c => chosen(c._1)).map { case (id, r) =>
+          val maxsim =
+            if (chosen.isEmpty) 0L
+            else chosen.map(sid => simMap.getOrElse((id, sid), 0L)).max
+          (id, r, maxsim, r - maxsim)
+        }
+        if (scored.nonEmpty) {
+          val best = scored.minBy { case (id, _, _, m2) => (-m2, id) }
+          chosen += best._1
+          selected += ((round.toLong, best._1, best._2, best._3, best._4))
+        }
+      }
+      import s.implicits._
+      selected.toSeq.toDF("round", "vec_id", "rel", "maxsim", "mmr2")
+    }
+  }
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252,
-    q253, q254, q255, q256)
+    q253, q254, q255, q256, q257)
 }
