@@ -123,6 +123,19 @@ object PlanAudit {
          "per-query df row (one row per query)"),
       "q209_gini_revenue" -> prefixScanOffsets,
       "q213_decision_stump" -> prefixScanOffsets,
+      "q245_auc_quality" -> prefixScanOffsets,
+      "q253_tree_depth2" -> (prefixScanOffsets +
+        "; the remaining hinted sides are the no-grouping total row and " +
+        "the root stump's 1-row threshold (LIMIT 1 behind a projection)"),
+      "q246_langid_confusion" ->
+        ("the hinted aggregate is the per-declared-class total — " +
+         "≤ |langs| rows (the confusion matrix itself is ≤ " +
+         "|langs|·(|langs|+1) cells at any corpus size)"),
+      "q247_ols_trend" -> fixedDim,
+      "q248_mad_outliers" ->
+        ("the hinted aggregates are the per-event-type median and " +
+         "(median, MAD, n) rows — one row per event TYPE, an " +
+         "event-type-domain relation (the q207/q214 situation)"),
       "q216_spend_percentile" -> (prefixScanOffsets +
         "; the scalar customer count is a no-grouping aggregate"),
       "q211_cohort_ltv" ->

@@ -386,9 +386,12 @@ object EvalQueries {
     val edges = Dedup.rareGramEdges(docs, "doc_id", "text", n = 3,
       maxDf = 50L, minShared = 2L)
     val lab = docs.select(col("doc_id"), col("source"))
+    // no broadcast hint: the label projection is |documents|-sized (a
+    // corpus-scaling relation — PlanAudit rightly rejects hinting it);
+    // AQE broadcasts it when it happens to fit, shuffles when not
     val withSrc = edges
-      .join(broadcast(lab.select(col("doc_id").as("a"), col("source").as("src_a"))), Seq("a"))
-      .join(broadcast(lab.select(col("doc_id").as("b"), col("source").as("src_b"))), Seq("b"))
+      .join(lab.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(lab.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
     val tot = withSrc.agg(
       count(lit(1)).as("m"),
       sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L)).as("inside"))
@@ -744,6 +747,142 @@ object EvalQueries {
     }
   }
 
+  /** q258 — Kaplan–Meier survival over user lifetimes (Kaplan & Meier
+    * 1958): per user, duration = last-event day − first-event day;
+    * users whose last activity predates the corpus horizon are CHURN
+    * events, users active on the final day are right-CENSORED — the
+    * estimator survival analysis exists for (naive "avg lifetime"
+    * UNDERSTATES retention because it treats the still-alive as dead
+    * today). Per distinct duration t: at-risk n_t = users with
+    * duration ≥ t (N − exclusive-prefix-count via [[PrefixScan]] — no
+    * single-task window), churn d_t, and the product-limit
+    * Ŝ(t) = Π_{u≤t} (1 − d_u/n_u). The product recurrence folds on
+    * the driver over the duration domain (calendar-bounded — ≤ |days|
+    * rows at any corpus scale) and the oracle replays it as a
+    * recursive CTE; every step is the same IEEE divide/subtract/
+    * multiply on the same exact integer operands in the same order,
+    * so even the float survival hash-matches. */
+  val q258 = Q("q258_kaplan_meier",
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |u AS (
+      |  SELECT user_id, MAX(day) - MIN(day) AS dur FROM ev GROUP BY 1),
+      |mx AS (SELECT MAX(day) AS horizon FROM ev),
+      |lab AS (
+      |  SELECT u.dur,
+      |         CASE WHEN e.last_day < mx.horizon THEN 1 ELSE 0 END AS churned
+      |  FROM u JOIN (SELECT user_id, MAX(day) AS last_day FROM ev GROUP BY 1) e
+      |    ON e.user_id = u.user_id, mx),
+      |h AS (
+      |  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |         CAST(SUM(churned) AS BIGINT) AS d_churn
+      |  FROM lab GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM h),
+      |i AS (
+      |  SELECT dur, n_users, d_churn,
+      |         t.total - CAST(COALESCE(SUM(n_users) OVER (ORDER BY dur
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+      |         row_number() OVER (ORDER BY dur) AS rn
+      |  FROM h, t),
+      |c AS (
+      |  SELECT rn, dur, n_users, d_churn, n_at_risk,
+      |         1.0 - CAST(d_churn AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS surv
+      |  FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.dur, i.n_users, i.d_churn, i.n_at_risk,
+      |         c.surv * (1.0 - CAST(i.d_churn AS DOUBLE) / CAST(i.n_at_risk AS DOUBLE))
+      |  FROM c JOIN i ON i.rn = c.rn + 1)
+      |SELECT dur AS duration_days, n_at_risk, d_churn,
+      |       n_users - d_churn AS c_censored, surv AS survival
+      |FROM c""".stripMargin) { (s, d) =>
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division and
+    // epoch-nanos exceed 2^53 (the Cols.nanosToTimestamp lesson).
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    val u = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val mx = ev.agg(max("day").as("horizon"))
+    val h = u.crossJoin(broadcast(mx))
+      .select((col("last_day") - col("first_day")).as("dur"),
+        when(col("last_day") < col("horizon"), 1L).otherwise(0L).as("churned"))
+      .groupBy("dur")
+      .agg(count(lit(1)).as("g_n"), sum("churned").as("g_d"))
+    val withRisk = PrefixScan.exclusiveRunningSum(h, "dur", "g_n", "g_cb", expr("dur div 64"))
+      .crossJoin(broadcast(h.agg(sum("g_n").as("g_tot"))))
+      .select(col("dur"), col("g_n"), col("g_d"),
+        (col("g_tot") - col("g_cb")).as("n_at_risk"))
+      .orderBy("dur")
+    // collect() allowlist: the duration domain is calendar-bounded
+    // (≤ |distinct days| rows at any corpus scale) and the
+    // product-limit recurrence is non-associative — the q212 plan.
+    val rows = withRisk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var surv = 1.0
+    val out = rows.map { case (dur, n, dch, risk) =>
+      surv = surv * (1.0 - dch.toDouble / risk.toDouble)
+      (dur, risk, dch, n - dch, surv)
+    }
+    import s.implicits._
+    out.toSeq.toDF("duration_days", "n_at_risk", "d_churn", "c_censored", "survival")
+  }
+
+  /** q259 — PMI-style collocation mining: the top-20 adjacent bigrams
+    * by LIFT, n_big·c(a,b) / (c(a)·c(b)) — the log-free monotone twin
+    * of pointwise mutual information (log is transcendental; the RATIO
+    * of exact integers orders identically and both engines compute the
+    * identical IEEE quotient of identical BIGINTs). One explode for
+    * bigram counts, one for unigram counts (both vocab-bounded
+    * aggregates with map-side combine), two vocab-sized joins, a
+    * distributed TakeOrdered — no corpus-sized sort. Support floor
+    * c(a,b) ≥ 5 keeps the rare-pair PMI pathology (hapax pairs score
+    * infinity) out, the textbook fix. Products go through
+    * DECIMAL(38,0)/HUGEINT: n_big·c_ab at corpus scale overflows
+    * int64. */
+  val q259 = Q("q259_pmi_collocations",
+    """WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+      |                               i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks),
+      |cab AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+      |               CAST(COUNT(*) AS BIGINT) AS c_ab
+      |        FROM big GROUP BY 1, 2),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM uni GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_big FROM cab),
+      |scored AS (
+      |  SELECT cab.a, cab.b, cab.c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+      |         CAST(CAST(nb.n_big AS HUGEINT) * cab.c_ab AS DOUBLE)
+      |           / CAST(CAST(ca.c_w AS HUGEINT) * cb.c_w AS DOUBLE) AS lift
+      |  FROM cab JOIN cu ca ON ca.w = cab.a JOIN cu cb ON cb.w = cab.b, nb
+      |  WHERE cab.c_ab >= 5)
+      |SELECT a, b, c_ab, c_a, c_b, lift FROM (
+      |  SELECT *, row_number() OVER (ORDER BY lift DESC, a, b) AS rn FROM scored) t
+      |WHERE rn <= 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(split(trim(col("text")), " ").as("t"))
+    val cab = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val cu = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nb = toks.select(
+        when(size(col("t")) >= 2, size(col("t")) - 1).otherwise(0).cast(LongType).as("k"))
+      .agg(sum("k").as("n_big"))
+    val scored = cab
+      .join(cu.select(col("w").as("a"), col("c_w").as("c_a")), Seq("a"))
+      .join(cu.select(col("w").as("b"), col("c_w").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("n_big").cast(DecimalType(38, 0)) * col("c_ab")).cast("double")
+          ./(
+          (col("c_a").cast(DecimalType(38, 0)) * col("c_b")).cast("double"))
+          .as("lift"))
+    scored.orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252,
-    q253, q254, q255, q256, q257)
+    q253, q254, q255, q256, q257, q258, q259)
 }
