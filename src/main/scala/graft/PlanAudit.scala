@@ -136,6 +136,9 @@ object PlanAudit {
         ("the hinted aggregates are the per-event-type median and " +
          "(median, MAD, n) rows — one row per event TYPE, an " +
          "event-type-domain relation (the q207/q214 situation)"),
+      "q260_seasonal_decompose" ->
+        ("the hinted aggregate is the per-ISODOW seasonal fraction — " +
+         "exactly 7 rows at any corpus scale (weekday domain)"),
       "q216_spend_percentile" -> (prefixScanOffsets +
         "; the scalar customer count is a no-grouping aggregate"),
       "q211_cohort_ltv" ->

@@ -883,6 +883,66 @@ object EvalQueries {
     scored.orderBy(col("lift").desc, col("a"), col("b")).limit(20)
   }
 
+  /** q260 — classical seasonal decomposition of daily revenue
+    * (trend + seasonal + residual, the moving-average method of
+    * Macaulay 1931 / the STL ancestor), EXACT: the trend is a centered
+    * 7-OBSERVATION moving sum kept as the integer `trend_sum7` (÷7
+    * deferred), the detrended series is the integer 7·xₜ − trend_sum7,
+    * the weekday seasonal is that integer's per-isodow mean as an
+    * exact fraction (s_num/s_den), and the residual
+    * xₜ − trend − seasonal collapses to (dt·s_den − 7·s_num)/(7·s_den)
+    * — every float output is ONE IEEE division of DECIMAL(38,0)/
+    * HUGEINT integers. Edge days without a full 7-observation window
+    * are excluded from the fit and the output (both engines apply the
+    * same count-7 predicate). The window runs over the AGGREGATED
+    * calendar-day relation — the q225 discipline: a single-task window
+    * is correct on a domain that is ≤ |days| at any corpus scale;
+    * the corpus-sized work is the one map-side-combined daily groupBy.
+    * Complements q210 (which fits weekday shares of the RAW level —
+    * confounded by trend; this one fits them on the detrended
+    * series). */
+  val q260 = Q("q260_seasonal_decompose",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, cents,
+      |         CAST(SUM(cents) OVER win AS BIGINT) AS t7,
+      |         CAST(COUNT(*) OVER win AS BIGINT) AS c7,
+      |         CAST(isodow(day) AS BIGINT) AS dow
+      |  FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |i AS (SELECT day, cents, t7, dow, 7 * cents - t7 AS dt FROM w WHERE c7 = 7),
+      |s AS (SELECT dow, CAST(SUM(dt) AS BIGINT) AS s_num,
+      |             CAST(7 * COUNT(*) AS BIGINT) AS s_den
+      |      FROM i GROUP BY 1)
+      |SELECT i.day, i.cents, i.t7 AS trend_sum7, i.dow AS isodow,
+      |       s.s_num AS seasonal_num, s.s_den AS seasonal_den,
+      |       CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS seasonal,
+      |       CAST(CAST(i.dt AS HUGEINT) * s.s_den - 7 * CAST(s.s_num AS HUGEINT) AS DOUBLE)
+      |         / CAST(7 * CAST(s.s_den AS HUGEINT) AS DOUBLE) AS residual
+      |FROM i JOIN s ON i.dow = s.dow""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("cents"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("day").rowsBetween(-3, 3)
+    val i = daily.select(col("day"), col("cents"),
+        sum("cents").over(win).as("t7"),
+        count(lit(1)).over(win).as("c7"),
+        (weekday(col("day")) + 1).cast(LongType).as("dow"))
+      .filter(col("c7") === 7)
+      .withColumn("dt", lit(7) * col("cents") - col("t7"))
+    val sTab = i.groupBy("dow")
+      .agg(sum("dt").as("s_num"), (lit(7L) * count(lit(1))).as("s_den"))
+    i.join(broadcast(sTab), Seq("dow"))
+      .selectExpr("day", "cents", "t7 AS trend_sum7", "dow AS isodow",
+        "s_num AS seasonal_num", "s_den AS seasonal_den",
+        "CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE) AS seasonal",
+        "CAST(CAST(dt AS DECIMAL(38,0)) * s_den - 7 * CAST(s_num AS DECIMAL(38,0)) AS DOUBLE)" +
+          " / CAST(7 * CAST(s_den AS DECIMAL(38,0)) AS DOUBLE) AS residual")
+  }
+
   val all: Seq[Q] = Seq(q245, q246, q247, q248, q249, q250, q251, q252,
-    q253, q254, q255, q256, q257, q258, q259)
+    q253, q254, q255, q256, q257, q258, q259, q260)
 }
