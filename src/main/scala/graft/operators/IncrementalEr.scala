@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** INCREMENTAL entity resolution — q228's block → match → canonicalize
   * pipeline maintained under customer ARRIVALS without re-matching the
   * accumulated base against itself (the q180 contracted-label
-  * discipline applied to the record-linkage tier):
+  * discipline applied to the record-linkage tier), and — since r14 —
+  * without REWRITING the accumulated state either:
   *
   *  - per batch, ED ≤ 1 match edges are generated only for pairs
   *    TOUCHING an arrival: the arrivals' deletion variants probe the
@@ -19,9 +21,32 @@ import org.apache.spark.sql.functions._
   *  - new edges contract through the STANDING labels (arrivals label
   *    themselves), and a second CC runs over the contracted label
   *    graph only — bounded by touched components, not customers;
-  *  - composed labels and the accumulated base commit as one
-  *    AtomicTable version each per batch, replay-guarded by a batch id
-  *    INSIDE the atomically-replaced labels version.
+  *  - COMMITS ARE APPEND-ONLY (the lshDedupGateBatch dynamic-partition
+  *    discipline): the batch's arrivals land as their own
+  *    `_er_batch=<id>/` partition of the base table, and the labels
+  *    table receives only the batch's DELTA — assignments that are new
+  *    (the arrivals) or CHANGED (vertices of touched components whose
+  *    canonical id moved) — as its own `_er_batch=<id>/` partition.
+  *    Per-batch commit bytes are O(batch + touched), independent of
+  *    standing-base size; B batches cost O(N) total write I/O, not
+  *    O(B·N) as the pre-r14 full-rewrite commit did.
+  *
+  * Commit protocol: both partition writes are dynamic partition
+  * overwrites of the batch's OWN partition (idempotent under replay),
+  * and the commit point is an empty `_er_commit_<id>` marker created in
+  * the labels dir AFTER both writes land. Readers resolve the highest
+  * marker first and filter both tables to `_er_batch <=` that id, so a
+  * writer that dies mid-partition leaves files no reader ever serves;
+  * the replay overwrites them. Batch ids must be monotone (Structured
+  * Streaming's foreachBatch contract), so marker-max implies every
+  * partition at-or-below it is committed.
+  *
+  * Serving folds the label deltas latest-per-vertex (one window over
+  * the labels table — O(assignments + deltas) read, the standard
+  * base ⟕ delta merge-on-read). Read amplification grows with the
+  * delta count until a compaction folds them — the same OPTIMIZE
+  * discipline as [[graft.pipeline.AtomicTable.compact]]; the COMMIT
+  * path never pays it.
   *
   * Labels are min-custkey canonical ids, and min-of-mins is the global
   * min, so the cross-batch fold reproduces EXACTLY the one-shot q228
@@ -30,8 +55,48 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalEr {
 
+  private val BatchCol = "_er_batch"
+  private val MarkerPrefix = "_er_commit_"
+
   private def baseDir(dir: String) = s"$dir/base"
   private def labelsDir(dir: String) = s"$dir/labels"
+
+  private def fc(spark: SparkSession, dir: String): FileContext =
+    FileContext.getFileContext(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed batch id, if any batch has committed. */
+  def lastCommitted(spark: SparkSession, dir: String): Option[Long] = {
+    val ctx = fc(spark, dir)
+    val p = new Path(labelsDir(dir))
+    if (!ctx.util.exists(p)) None
+    else {
+      val ids = ctx.util.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(MarkerPrefix))
+        .map(_.stripPrefix(MarkerPrefix).toLong)
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+  }
+
+  private def touchMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val nio = java.nio.file.Paths.get(
+      new Path(labelsDir(dir), s"$MarkerPrefix$batchId").toUri.getPath)
+    java.nio.file.Files.createDirectories(nio.getParent)
+    try java.nio.file.Files.createFile(nio)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Committed label assignments, one row per vertex: the latest delta
+    * row per v across committed partitions (merge-on-read). */
+  private def currentLabels(spark: SparkSession, dir: String,
+                            upTo: Long): DataFrame = {
+    val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
+    spark.read.parquet(labelsDir(dir))
+      .filter(col(BatchCol) <= upTo)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("v"), col("component"))
+  }
 
   /** Deletion variants of `name` with position, custkey attached:
     * (blk, k, w, g_pos, g_var). */
@@ -85,27 +150,28 @@ object IncrementalEr {
   }
 
   /** Fold one batch of NEW customers (c_custkey, c_name, c_nationkey)
-    * into the standing base + labels. */
+    * into the standing base + labels. Commit cost is O(batch + touched
+    * components) — the standing tables are read, never rewritten. */
   def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val last = lastCommitted(spark, dir)
+    if (last.exists(_ >= batchId)) return
     val arrivals = batch.select(col("c_custkey").cast("long").as("k"),
       col("c_name").as("w"), col("c_nationkey").as("blk"))
       .filter(col("w").isNotNull && col("blk").isNotNull).distinct()
-    val standingLabels = graft.pipeline.AtomicTable
-      .currentVersion(spark, labelsDir(dir))
-      .map(_ => graft.pipeline.AtomicTable.read(spark, labelsDir(dir)))
-    val lastBatch = standingLabels
-      .map(_.agg(max("last_batch")).head().getLong(0)).getOrElse(Long.MinValue)
-    if (lastBatch >= batchId) return
-    val standingBase = graft.pipeline.AtomicTable
-      .currentVersion(spark, baseDir(dir))
-      .map(_ => graft.pipeline.AtomicTable.read(spark, baseDir(dir)))
+    // standing state restricted to COMMITTED partitions: a crashed
+    // prior attempt's partial partition (> last marker) is invisible
+    // here and overwritten below
+    val standingBase = last.map(up =>
+      spark.read.parquet(baseDir(dir))
+        .filter(col(BatchCol) <= up).select(col("blk"), col("k"), col("w")))
+    val standingLabels = last.map(up => currentLabels(spark, dir, up))
     val union = standingBase.map(_.unionByName(arrivals)).getOrElse(arrivals)
     val newEdges = edgesTouching(arrivals, union)
     // current labels: standing ∪ self-labeled arrivals
     val labels0 = standingLabels
-      .map(_.select(col("v"), col("component")).unionByName(
+      .map(_.unionByName(
         arrivals.select(col("k").as("v"), col("k").as("component"))))
       .getOrElse(arrivals.select(col("k").as("v"), col("k").as("component")))
     // contract new edges through the current labels; CC over the label
@@ -120,7 +186,7 @@ object IncrementalEr {
     // an edge-free batch (no arrival matches anything) merges nothing —
     // and Components refuses empty relations (its convergence probe has
     // no fixpoint to find), so short-circuit the contraction
-    val composed = (if (contracted.isEmpty) labels0
+    val composed = if (contracted.isEmpty) labels0
       else {
         val merged = Components.connectedComponents(contracted, touched)
         labels0
@@ -128,17 +194,40 @@ object IncrementalEr {
             col("component").as("g_new")), Seq("component"), "left")
           .select(col("v"),
             coalesce(col("g_new"), col("component")).as("component"))
-      }).withColumn("last_batch", lit(batchId))
-    graft.pipeline.AtomicTable.replace(union, baseDir(dir))
-    graft.pipeline.AtomicTable.replace(composed, labelsDir(dir))
-    ()
+      }
+    // LABEL DELTA: assignments that are new (arrivals) or changed
+    // (touched-component members whose canonical id moved) — the only
+    // rows this batch commits
+    val delta = standingLabels match {
+      case None => composed
+      case Some(prev) => composed
+        .join(prev.select(col("v"), col("component").as("g_prev")),
+          Seq("v"), "left")
+        .filter(col("g_prev").isNull || col("g_prev") =!= col("component"))
+        .select(col("v"), col("component"))
+    }
+    // append-only commits: each batch overwrites exactly its own
+    // partition (replay-idempotent), marker creation is the commit point
+    arrivals.withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(baseDir(dir))
+    delta.withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(labelsDir(dir))
+    touchMarker(spark, dir, batchId)
   }
 
   /** Current canonical assignment in q228's output shape:
-    * (c_custkey, canonical_id, cluster_size). */
-  def resolved(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.AtomicTable.read(spark, labelsDir(dir))
+    * (c_custkey, canonical_id, cluster_size) — served base ⟕ delta
+    * (latest committed delta row per vertex). */
+  def resolved(spark: SparkSession, dir: String): DataFrame = {
+    val up = lastCommitted(spark, dir).getOrElse(
+      throw new IllegalStateException(s"IncrementalEr at $dir has no committed batch"))
+    currentLabels(spark, dir, up)
       .select(col("v").as("c_custkey"), col("component").as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
+  }
 }

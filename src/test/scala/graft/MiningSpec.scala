@@ -142,11 +142,26 @@ class MiningSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(10L -> 5L, 5L -> 5L, 20L -> 20L, 30L -> 30L,
       31L -> 30L, 40L -> 40L, 41L -> 40L, 42L -> 40L))
-    // replaying batch 1 is a no-op: labels version unchanged
-    val before = graft.pipeline.AtomicTable.currentVersion(spark, s"$dir/labels")
+    // the commit is a DELTA: batch 1's labels partition holds only the
+    // arrivals (5, 31, 41, 42) plus the one standing vertex whose
+    // canonical id moved (10: cat's min custkey dropped 10 → 5) — NOT
+    // the full 8-vertex assignment (the pre-r14 full-rewrite commit)
+    val d1 = spark.read.parquet(s"$dir/labels")
+      .filter($"_er_batch" === 1L).select("v").as[Long].collect().toSet
+    assert(d1 === Set(5L, 31L, 41L, 42L, 10L))
+    // batch 0's partition is untouched by batch 1 (append-only base)
+    val b0 = spark.read.parquet(s"$dir/base")
+      .filter($"_er_batch" === 0L).select("k").as[Long].collect().toSet
+    assert(b0 === Set(10L, 20L, 30L, 40L))
+    // replaying batch 1 is a no-op: commit markers and serving unchanged
+    val before = graft.operators.IncrementalEr.lastCommitted(spark, dir)
     graft.operators.IncrementalEr.maintainBatch(dir)(
       cust(Seq((31L, "dog", 1L))), 1L)
-    assert(graft.pipeline.AtomicTable.currentVersion(spark, s"$dir/labels") === before)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === before)
+    val got2 = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
   }
 
   // ---- KMV ----
