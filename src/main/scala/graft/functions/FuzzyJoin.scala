@@ -76,11 +76,27 @@ object FuzzyJoin {
     * BEFORE the verify so each candidate pair is checked once, not
     * O(L) times. At ED 2 there is no positional refinement with a
     * 2-case closed form (the deleted-position sets interact), so the
-    * candidate volume is the price of the threshold; a df cap on hot
-    * variants is the production knob if a corpus concentrates.
+    * candidate volume is the price of the threshold; `maxVariantDf`
+    * is the production knob if a corpus concentrates.
+    *
+    * `maxVariantDf` caps the hot-variant blowup (the same treatment as
+    * [[Dedup]]'s gram df caps): a (block, variant) group shared by k
+    * strings emits k·(k−1)/2 candidate rows, so one mass-duplicated
+    * name turns the equi-join quadratic in its multiplicity. Groups
+    * with df > cap are dropped from the index, bounding every group's
+    * fan-out at cap²/2. Unlike the ED ≤ 1 positional prune this IS
+    * lossy under concentration: a pair is lost only if EVERY variant
+    * it shares is hot — which happens exactly in the mass-near-
+    * duplicate clusters the cap exists to bound (their pairs are the
+    * quadratic mass; recall on pairs outside the hot cluster is
+    * untouched, pinned by spec). With the default (no cap) the prune
+    * is lossless per the completeness argument above; production
+    * corpora with adversarial concentration set cap ≫ honest per-
+    * (block, variant) multiplicity — the df histogram (q254's
+    * discipline) tells you where honest ends.
     * Output columns: (`blk`, `w_a`, `w_b`), distinct, w_a < w_b. */
-  def ed2PairsBlocked(df: DataFrame, strCol: String,
-                      blockCol: String): DataFrame = {
+  def ed2PairsBlocked(df: DataFrame, strCol: String, blockCol: String,
+                      maxVariantDf: Long = Long.MaxValue): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(strCol).as("w"))
       .filter(col("w").isNotNull && col("blk").isNotNull).distinct()
     val L = length(col("w"))
@@ -108,9 +124,19 @@ object FuzzyJoin {
     // coincidental (the candidates-then-verify contract absorbs the
     // collision probability instead of paying for exactness in the
     // join key).
-    val idx = v.select(col("blk"), col("w"), explode(
+    val idx0 = v.select(col("blk"), col("w"), explode(
       array_distinct(concat(array(col("w")), d1, d2))).as("g_var"))
       .select(col("blk"), col("w"), xxhash64(col("g_var")).as("g_vh"))
+    // hot-variant df cap: one window count over the SAME (blk, g_vh)
+    // key the self-join shuffles on — the count reuses the join's
+    // partitioning, so the cap costs a sort, not an extra shuffle.
+    // Rows are distinct (w, variant) per string (array_distinct), so
+    // count(*) per group IS the variant's string-df.
+    val idx = if (maxVariantDf == Long.MaxValue) idx0
+      else idx0
+        .withColumn("g_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("blk", "g_vh")))
+        .filter(col("g_df") <= maxVariantDf).drop("g_df")
     idx.select(col("blk"), col("w").as("w_a"), col("g_vh"))
       .join(idx.select(col("blk"), col("w").as("w_b"), col("g_vh")),
         Seq("blk", "g_vh"))

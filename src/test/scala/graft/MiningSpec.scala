@@ -123,6 +123,40 @@ class MiningSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 2L && p._2 == "abc" && p._3 == "acb"))
   }
 
+  test("fuzzy ed2 df cap: identity above max df; bounds a concentrated block; cold pairs survive") {
+    // observed per-(block, variant) multiplicity on the completeness
+    // fixture, then cap AT it: capped must equal uncapped exactly
+    val rows = Seq((1L, "abc"), (1L, "acb"), (1L, "abcd"), (1L, "ab"),
+      (1L, "axc"), (1L, "axby"), (1L, "abcde"), (1L, "axcdy"),
+      (1L, "xyz"), (2L, "abc"), (2L, "abd"), (3L, "aaaa"), (3L, "aa"))
+      .toDF("g", "w")
+    val uncapped = FuzzyJoin.ed2PairsBlocked(rows, "w", "g")
+      .as[(Long, String, String)].collect().toSet
+    // max df on this fixture is small; any cap ≥ the fixture's 13
+    // distinct strings dominates every group
+    val capped = FuzzyJoin.ed2PairsBlocked(rows, "w", "g", maxVariantDf = 13L)
+      .as[(Long, String, String)].collect().toSet
+    assert(capped === uncapped)
+    // concentration: 26 strings "q<c>x" share the hot depth-2 variant
+    // "q" (df 26) and pairwise hot "qx"/"q<c>" families; every pair is
+    // within ED ≤ 2 (same length, ≤ 2 substitutions), so uncapped
+    // emits all C(26,2) = 325 pairs. A cap of 5 drops the hot groups,
+    // bounding each surviving group's fan-out at 5²/2 — the capped
+    // result must shrink strictly, stay a subset, and leave the COLD
+    // block's pair untouched (recall outside the hot cluster intact).
+    val hot = ('a' to 'z').map(c => (9L, s"q${c}x")) ++
+      Seq((7L, "cold"), (7L, "colt"))
+    val hotDf = hot.toDF("g", "w")
+    val u2 = FuzzyJoin.ed2PairsBlocked(hotDf, "w", "g")
+      .as[(Long, String, String)].collect().toSet
+    assert(u2.count(_._1 == 9L) === 26 * 25 / 2)
+    val c2 = FuzzyJoin.ed2PairsBlocked(hotDf, "w", "g", maxVariantDf = 5L)
+      .as[(Long, String, String)].collect().toSet
+    assert(c2.subsetOf(u2))
+    assert(c2.count(_._1 == 9L) < 26 * 25 / 2)
+    assert(c2.contains((7L, "cold", "colt")))
+  }
+
   test("incremental ER: cross-batch chains, exact twins, block exclusion, replay no-op") {
     val dir = graft.pipeline.TempDirs.scoped("graft_erspec_") + "/er"
     def cust(rows: Seq[(Long, String, Long)]) =
