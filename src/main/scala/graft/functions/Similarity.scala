@@ -564,9 +564,12 @@ object Similarity {
     * it, and score every vector as the SUM of m table lookups — an
     * equi-join on (block, code) plus one hash aggregate; the corpus
     * embeddings themselves are never read. Approximate by construction
-    * (codes quantize), so no SQL oracle — recall vs the exact scan is
-    * pinned in SimilaritySpec, and the exact assign pass is oracled as
-    * q99. Ranks ascend by ADC distance (ties to the lower id). */
+    * (codes quantize) yet fully DETERMINISTIC: every arithmetic step
+    * (LUT distances, block-ordered ADC fold, ranking) replays in SQL,
+    * so q100 carries a full DuckDB oracle; recall vs the exact scan is
+    * additionally pinned in SimilaritySpec, and the exact assign pass
+    * is oracled as q99. Ranks ascend by ADC distance (ties to the
+    * lower id). */
   def pqTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
              k: Int, m: Int, dim: Int): DataFrame = {
     val lut = explodeBlocks(queries.withColumnRenamed("vec_id", "query_id"),
@@ -574,10 +577,17 @@ object Similarity {
       .join(books, Seq("block"))
       .select(col("query_id"), col("block"), col("code_id").as("code"),
         l2sq(col("sub"), col("sc_emb")).as("d2"))
+    // block-ordered deterministic fold (the q156/q161 discipline,
+    // promoted here in round 14): a plain float sum() over the m block
+    // rows is addition-order-nondeterministic; folding (block, d2) in
+    // block order makes the ADC total — and so the flat-PQ top-k —
+    // exactly SQL-replayable, carrying q100's full DuckDB oracle.
     val scored = codes.join(broadcast(lut), Seq("block", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adc_d2"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("block"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adc_d2"))
     Relational.topNPerGroup(
         scored.select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("adc_d2")),

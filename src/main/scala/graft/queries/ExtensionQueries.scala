@@ -1003,8 +1003,12 @@ object ExtensionQueries {
     * the one full-data pass of a PQ index — at 100 TB it turns 256 B
     * float vectors into m bytes (c=16 here for the test grid; 256 in
     * production), which is what makes billion-vector ANN storable. */
-  val q99 = Q("q99_pq_codes",
-    """WITH v AS (
+  /** Shared flat-PQ oracle chain (q99's full encode pass): doubles
+    * view, id-sampled 16-centroid codebook, per-block sub-slices, and
+    * the `codes` relation of nearest sub-centroids. q100 extends it
+    * with the query LUT + block-ordered ADC fold. */
+  private val pqFlatCtesSql =
+    """v AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
       |cents AS (
@@ -1024,12 +1028,17 @@ object ExtensionQueries {
       |         list_reduce(list_transform(range(1, 17),
       |                       i -> (vb.sub[i] - cb.sc[i]) * (vb.sub[i] - cb.sc[i])),
       |                     (x, y) -> x + y) AS d2
-      |  FROM vb JOIN cb ON vb.block = cb.block)
-      |SELECT vec_id, block, code FROM (
-      |  SELECT vec_id, block, code_id AS code,
-      |         row_number() OVER (PARTITION BY vec_id, block
-      |                            ORDER BY d2, code_id) AS rn
-      |  FROM scored) WHERE rn = 1""".stripMargin) { (s, d) =>
+      |  FROM vb JOIN cb ON vb.block = cb.block),
+      |codes AS (
+      |  SELECT vec_id, block, code FROM (
+      |    SELECT vec_id, block, code_id AS code,
+      |           row_number() OVER (PARTITION BY vec_id, block
+      |                              ORDER BY d2, code_id) AS rn
+      |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  val q99 = Q("q99_pq_codes",
+    s"""WITH $pqFlatCtesSql
+       |SELECT vec_id, block, code FROM codes""".stripMargin) { (s, d) =>
     val vecs = Tables.embeddings(s, d)
     Similarity.pqAssign(vecs, Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64),
       m = 4, dim = 64)
@@ -1037,11 +1046,37 @@ object ExtensionQueries {
 
   /** q100 — ADC top-10 over the q99 codes: per query an m·c lookup
     * table of exact sub-distances, broadcast; every corpus vector
-    * scores as m table lookups summed in a hash aggregate — the corpus
-    * embeddings are never re-read. Approximate (quantized) ⇒ no SQL
-    * oracle; recall vs the exact scan is pinned in SimilaritySpec and
-    * the encode pass is oracled (q99). */
-  val q100 = Q.noOracle("q100_pq_adc_topk") { (s, d) =>
+    * scores as m table lookups folded in BLOCK ORDER — the corpus
+    * embeddings are never re-read. FULLY ORACLED since round 14 (the
+    * q156/q161 deterministic-fold discipline promoted into
+    * [[Similarity.pqTopK]]): approximate-by-quantization but exact-by-
+    * arithmetic, so DuckDB replays encode → LUT → ADC → top-10
+    * bit-for-bit; recall vs the exact scan stays pinned in
+    * SimilaritySpec. */
+  val q100 = Q("q100_pq_adc_topk",
+    s"""WITH $pqFlatCtesSql,
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+       |qvb AS (SELECT q.query_id, b.block,
+       |               list_slice(q.qe, b.block*16 + 1, b.block*16 + 16) AS sub
+       |        FROM q CROSS JOIN blocks b),
+       |lut AS (
+       |  SELECT qvb.query_id, qvb.block, cb.code_id AS code,
+       |         list_reduce(list_transform(range(1, 17),
+       |                       i -> (qvb.sub[i] - cb.sc[i]) * (qvb.sub[i] - cb.sc[i])),
+       |                     (x, y) -> x + y) AS d2
+       |  FROM qvb JOIN cb ON qvb.block = cb.block),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id,
+       |         list_reduce(list(l.d2 ORDER BY l.block), (x, y) -> x + y) AS adc_d2
+       |  FROM lut l
+       |  JOIN codes c ON c.block = l.block AND c.code = l.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM adc) WHERE rank <= 10""".stripMargin) { (s, d) =>
     val vecs = Tables.embeddings(s, d)
     val books = Similarity.pqCodebooks(vecs, m = 4, c = 16, dim = 64)
     val codes = Similarity.pqAssign(vecs, books, m = 4, dim = 64)
