@@ -120,7 +120,11 @@ object EvalQueries {
     * products run in DECIMAL(38,0)/HUGEINT — n·Σxy at 100 TB revenue
     * magnitudes overflows int64 — and land as BIGINT numerator /
     * denominator (slope = num/den is the single IEEE division).
-    * x = year·12 + month, exact in both engines. */
+    * x = year·12 + month, exact in both engines. Nations whose orders
+    * span a single month are excluded (identically in both engines):
+    * their slope_den is 0 and 0/0 = NaN, whose serialization/hash
+    * parity across the two result paths is exactly the bet this guard
+    * refuses to make (r13 advice). */
   val q247 = Q("q247_ols_trend",
     """WITH m AS (
       |  SELECT n.n_name,
@@ -141,7 +145,7 @@ object EvalQueries {
       |       CAST(n_months * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS slope_den,
       |       CAST(n_months * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
       |         / CAST(n_months * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_cents_per_month
-      |FROM mo""".stripMargin) { (s, d) =>
+      |FROM mo WHERE n_months >= 2""".stripMargin) { (s, d) =>
     val m = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -153,6 +157,7 @@ object EvalQueries {
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
         sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+      .filter(col("n_months") >= 2)
       .selectExpr("n_name", "n_months", "sx AS sum_x", "sy AS sum_y_cents",
         "CAST(n_months * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT) AS slope_num",
         "CAST(n_months * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS slope_den",
@@ -343,7 +348,14 @@ object EvalQueries {
     * D_c the per-source degree sums — products in DECIMAL(38,0)/
     * HUGEINT, ONE final IEEE division. Graph shape: the q68 edge
     * builder (df-capped grams, never O(n²)); everything after it is
-    * one broadcast-joinable label lookup and two tiny aggregates. */
+    * one broadcast-joinable label lookup and two tiny aggregates.
+    * Hash-collision tolerance (the standard rare-gram caveat, see
+    * [[graft.functions.Dedup.rareGramEdges]]): the engine keys grams
+    * by xxhash64 while the oracle compares raw trigram strings, so a
+    * 64-bit collision merging two gram classes could add an engine-
+    * side edge the oracle lacks (~k²/2⁶⁵ for k distinct grams —
+    * negligible at any tested scale, and absorbed the same way by
+    * every rare-gram consumer: q68, q83, q110). */
   val q252 = Q("q252_source_modularity",
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
