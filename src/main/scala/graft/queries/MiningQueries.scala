@@ -1608,8 +1608,82 @@ object MiningQueries {
     graft.operators.IncrementalEr.resolved(s, dir)
   }
 
+  /** q261 — NORMALIZED entity resolution: q228's block → match → CC
+    * pipeline run over a CANONICAL name key instead of the raw string
+    * — NFC unicode normalization ([[graft.plans.NativeExpressions
+    * .nfc]], the q121 kernel), casefold, trim, and token sort (so
+    * "Smith Anna" ≡ "anna smith") — the preprocessing every real
+    * record-linkage system applies before spending its edit-distance
+    * budget, composed entirely from primitives already in the engine.
+    * Normalization runs BEFORE blocking/matching, so two records a
+    * case or token-order difference would push past the ED ≤ 1 radius
+    * still link; the ED budget is spent only on genuine typos. The
+    * oracle replays the IDENTICAL normalization in DuckDB
+    * (nfc_normalize/lower/trim/list_sort) and then q228's exact
+    * algebra — O(n²) levenshtein join + recursive-CTE closure — over
+    * the normalized column, so the hash gate verifies normalization
+    * parity across 1500+ names AND the cluster fixpoint; the
+    * crafted-variant behavior (case, token order, accent + typo
+    * composition) is pinned in MiningSpec. Scale shape is exactly
+    * q228: normalization is map-only, everything downstream is the
+    * same FastSS equi-joins + bounded label propagation. */
+  val q261 = Q("q261_entity_resolution_normalized",
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         array_to_string(list_sort(string_split(
+      |           lower(trim(nfc_normalize(c_name))), ' ')), ' ') AS w
+      |  FROM customer),
+      |e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.w, b.w) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM c
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    resolveNormalized(Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_nationkey")))
+  }
+
+  /** q261's engine body over any (c_custkey, c_name, c_nationkey)
+    * relation — factored so the spec can drive crafted variants. */
+  private[graft] def resolveNormalized(
+      cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = cust.select(col("c_custkey"),
+      concat_ws(" ", sort_array(split(
+        lower(trim(graft.plans.NativeExpressions.nfc(col("c_name")))), " ")))
+        .as("c_name"),
+      col("c_nationkey"))
+    val byName = (side: String) => c.select(col("c_name").as(s"w_$side"),
+      col("c_nationkey").as("blk"), col("c_custkey").as(s"g_k$side"))
+    val ed1 = FuzzyJoin.ed1PairsBlocked(c, "c_name", "c_nationkey")
+      .join(byName("a"), Seq("w_a", "blk"))
+      .join(byName("b"), Seq("w_b", "blk"))
+      .select(least(col("g_ka"), col("g_kb")).as("ea"),
+        greatest(col("g_ka"), col("g_kb")).as("eb"))
+    val eq = c.select(col("c_name"), col("c_nationkey"),
+        col("c_custkey").as("ea"))
+      .join(c.select(col("c_name"), col("c_nationkey"),
+        col("c_custkey").as("eb")), Seq("c_name", "c_nationkey"))
+      .filter(col("ea") < col("eb"))
+      .select("ea", "eb")
+    val lab = graft.operators.Components.connectedComponents(
+      ed1.union(eq).distinct(), c.select(col("c_custkey")))
+    lab.select(col("v").as("c_custkey"), col("component").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235, q238, q239)
+    q235, q238, q239, q261)
 }

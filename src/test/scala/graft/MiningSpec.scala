@@ -157,6 +157,27 @@ class MiningSpec extends SparkSpec {
     assert(c2.contains((7L, "cold", "colt")))
   }
 
+  test("normalized ER: case, token order, and accent collapse before the ED budget") {
+    // raw ED would miss every pair here; normalization links them:
+    //  - 1/2: casefold ("Anna Smith" vs "anna smith")
+    //  - 2/3: token sort ("anna smith" vs "Smith Anna")
+    //  - 4/5: NFC (é composed vs e + combining acute) + same text
+    //  - 6/7: normalization THEN one real typo (smith/smyth, ED 1)
+    //  - 8: unrelated, stays a singleton
+    //  - 9: same normalized name as 1 but another nation — blocked
+    val rows = Seq(
+      (1L, "Anna Smith", 1L), (2L, "anna smith", 1L), (3L, "Smith Anna", 1L),
+      (4L, "Jos\u00e9 Cruz", 1L), (5L, "Jose\u0301 Cruz", 1L),
+      (6L, "mary smith", 1L), (7L, "mary smyth", 1L),
+      (8L, "peter jones", 1L), (9L, "anna smith", 2L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = graft.queries.MiningQueries.resolveNormalized(rows)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("incremental ER: cross-batch chains, exact twins, block exclusion, replay no-op") {
     val dir = graft.pipeline.TempDirs.scoped("graft_erspec_") + "/er"
     def cust(rows: Seq[(Long, String, Long)]) =
