@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Marginal-cost measurement for the maintained-artifact tier (r13
+  * verdict item 2): every `maintainBatch`-style docstring claims
+  * "arrival cost independent of standing size" — this main MEASURES
+  * it instead of arguing it. For each artifact family, the standing
+  * state is built from 1×/5×/10× corpora (sf0.1 and its ScaleUp
+  * replicas — the scaling sweep's own data), then ONE FIXED batch
+  * (always derived from sf0.1, ids offset far past any replica) folds
+  * in while the wall clock and the COMMIT BYTES (size of exactly the
+  * files the fold wrote) are recorded. Flat wall and flat bytes
+  * across 1×/5×/10× is the incremental claim; a linear column is a
+  * rewrite hiding in the commit path.
+  *
+  * Families measured (the four the round-13 verdict names):
+  *  - `er`    — [[graft.operators.IncrementalEr.maintainBatch]]
+  *    (q239): arrival-probe FastSS matching + append-only partition
+  *    commits. Expected: commit bytes flat (the r14 delta commit);
+  *    wall grows sub-linearly with the map-only standing variant
+  *    re-expansion (the documented 100 TB refinement is a persisted
+  *    bucketed variant index).
+  *  - `text`  — [[graft.functions.TextIndex.addShard]] (q148):
+  *    delete-then-insert upsert. Expected: compute is O(shard) but
+  *    the commit REWRITES the postings table — bytes grow with
+  *    standing size (measured here to quantify the gap; the ER-style
+  *    delta commit is the upgrade path).
+  *  - `stats` — [[graft.functions.StatsIndex.addBatch]] (q224):
+  *    bounded artifact (k rows per column + one counter row), so both
+  *    columns must be flat.
+  *  - `kmv`   — [[graft.streaming.Events.kmvSketchMaintainBatch]]
+  *    (q208's persisted form): standing is ≤ |groups|·k rows whatever
+  *    the corpus; both columns must be flat.
+  *
+  * Usage: runMain graft.IncrementalBench  (replicas under
+  * target/scale/ are generated on demand, as scaling_sweep.sh does).
+  * Emits one JSON line per (artifact, scale) to stdout and the full
+  * record to target/incremental_bench.json.
+  */
+object IncrementalBench {
+
+  private def du(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!ctx.util.exists(p)) 0L
+    else {
+      val it = ctx.util.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
+  }
+
+  /** AtomicTable versions present under `dir` (empty if no table). */
+  private def versionSet(spark: SparkSession, dir: String): Set[String] =
+    try graft.pipeline.AtomicTable.versions(spark, dir).toSet
+    catch { case _: Throwable => Set.empty }
+
+  /** Bytes of the versions committed by `f` into the given tables. */
+  private def committedBytes(spark: SparkSession, tables: Seq[String])(
+      f: => Unit): (Double, Long) = {
+    val before = tables.map(t => t -> versionSet(spark, t)).toMap
+    System.gc()
+    val t0 = System.nanoTime()
+    f
+    val wall = (System.nanoTime() - t0) / 1e9
+    val bytes = tables.map { t =>
+      (versionSet(spark, t) -- before(t)).toSeq.map(v => du(spark, s"$t/$v")).sum
+    }.sum
+    (wall, bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val base = "/root/testdata/sf0.1"
+    val scales = Seq(1 -> base, 5 -> "target/scale/sf0.5", 10 -> "target/scale/sf1.0")
+    scales.filter(_._1 > 1).foreach { case (k, dir) =>
+      if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+        println(s"[incbench] generating $dir (x$k replicas)")
+        ScaleUp.main(Array(base, dir, k.toString))
+      }
+    }
+    val idOffset = 10_000_000_000L
+    // the FIXED batches — identical objects at every scale point
+    def fixedCust = spark.read.parquet(s"$base/customer.parquet")
+      .select((col("c_custkey") + idOffset).as("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    def fixedDocs = Tables.documents(spark, base)
+      .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
+    def fixedOrders = Tables.orders(spark, base)
+    def fixedEvents = Tables.events(spark, base)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+
+    val out = new StringBuilder
+    def record(artifact: String, k: Int, standingRows: Long, wall: Double,
+               bytes: Long): Unit = {
+      val line = s"""{"artifact":"$artifact","scale_x":$k,""" +
+        s""""standing_rows":$standingRows,"wall_s":${f"$wall%.3f"},""" +
+        s""""commit_bytes":$bytes}"""
+      println(s"INCBENCH $line")
+      out.append(line).append('\n')
+    }
+
+    for ((k, dir) <- scales) {
+      // --- er ---
+      {
+        val erDir = graft.pipeline.TempDirs.scoped("graft_incbench_er_") + "/er"
+        val standing = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = standing.count()
+        graft.operators.IncrementalEr.maintainBatch(erDir)(standing, 0L)
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.operators.IncrementalEr.maintainBatch(erDir)(fixedCust, 1L)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bytes = du(spark, s"$erDir/base/_er_batch=1") +
+          du(spark, s"$erDir/labels/_er_batch=1")
+        record("er", k, n, wall, bytes)
+      }
+      // --- text ---
+      {
+        val tDir = graft.pipeline.TempDirs.scoped("graft_incbench_text_")
+        val standing = Tables.documents(spark, dir).select("doc_id", "text")
+        val n = standing.count()
+        graft.functions.TextIndex.build(standing, "doc_id", "text", tDir)
+        val (wall, bytes) = committedBytes(spark, Seq(s"$tDir/postings")) {
+          graft.functions.TextIndex.addShard(fixedDocs, "doc_id", "text", tDir)
+        }
+        record("text", k, n, wall, bytes)
+      }
+      // --- stats ---
+      {
+        val sDir = graft.pipeline.TempDirs.scoped("graft_incbench_stats_")
+        val standing = graft.functions.StatsIndex.stackedOrders(
+          Tables.orders(spark, dir))
+        val n = standing.count()
+        graft.functions.StatsIndex.build(standing, sDir, k = 64)
+        val (wall, bytes) = committedBytes(spark,
+          Seq(s"$sDir/sketches", s"$sDir/counters")) {
+          graft.functions.StatsIndex.addBatch(
+            graft.functions.StatsIndex.stackedOrders(fixedOrders),
+            sDir, k = 64, batchId = 0L)
+        }
+        record("stats", k, n, wall, bytes)
+      }
+      // --- kmv ---
+      {
+        val kDir = graft.pipeline.TempDirs.scoped("graft_incbench_kmv_")
+        val standing = Tables.events(spark, dir)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        val n = standing.count()
+        graft.streaming.Events.kmvSketchMaintainBatch(
+          kDir, "day", "user_id", k = 64)(standing, 0L)
+        val (wall, bytes) = committedBytes(spark, Seq(kDir)) {
+          graft.streaming.Events.kmvSketchMaintainBatch(
+            kDir, "day", "user_id", k = 64)(fixedEvents, 1L)
+        }
+        record("kmv", k, n, wall, bytes)
+      }
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/incremental_bench.json"),
+      out.toString.getBytes("UTF-8"))
+    println("[incbench] wrote target/incremental_bench.json")
+  }
+}

@@ -74,6 +74,26 @@ object StreamBench {
       Events.InMemoryKV, clock)
     queries.foreach(_.awaitTermination())
     val wall = (System.nanoTime() - t0) / 1e9
+    // per-sink-family attribution (r13 advice item 8): the topology
+    // gate is total events/s; when it trips, these localize WHICH
+    // sink family regressed. Per query, the busy time is the sum of
+    // its triggerExecution durations across batches (concurrent
+    // queries overlap, so busy sums exceed wall — that's utilization,
+    // not double-counting), rolled up by the queryName prefix
+    // (bronze_/kv_/rerank_).
+    val perQuery = queries.map { q =>
+      val prog = q.recentProgress
+      (Option(q.name).getOrElse("unnamed"),
+        prog.map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)).sum,
+        prog.map(_.numInputRows).sum)
+    }
+    val families = perQuery.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (fam, qs) =>
+        s""""$fam":{"busy_sec":${BigDecimal(qs.map(_._2).sum / 1e3)
+          .setScale(1, BigDecimal.RoundingMode.HALF_UP)},"input_rows":${qs.map(_._3).sum}}"""
+      }
+    val sinksJson = families.mkString("{", ",", "}")
     val total = mix.map { case (_, pct) => n.toLong * pct / 100 }.sum
     // sanity: every event landed in its bronze sink exactly once
     val bronze = mix.map { case (etype, _) =>
@@ -99,6 +119,7 @@ object StreamBench {
     val json = s"""{"metric":"stream_events_per_sec","value":${r1(eps)},""" +
       s""""unit":"events/sec","events":$total,"wall_sec":${r1(wall)},""" +
       s""""n_queries":${queries.size},"topology":"4 bronze + 2 kv + 2 rerank",""" +
+      s""""sinks":$sinksJson,""" +
       s""""trigger":"AvailableNow"$vsBase,"git_head":"${PlanAudit.gitHead()}"}"""
     println(s"STREAMBENCH $json")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
