@@ -132,6 +132,23 @@ object IncrementalBench {
         }
         record("text", k, n, wall, bytes)
       }
+      // --- text_delta: the O(batch)-commit maintenance path the
+      // stream tier already implements (per-batch partition +
+      // latest-batch-wins + periodic compactStream) — measured next
+      // to addShard so the rewrite-vs-delta trade is quantified on
+      // the same standing artifact ---
+      {
+        val tDir = graft.pipeline.TempDirs.scoped("graft_incbench_textd_")
+        val standing = Tables.documents(spark, dir).select("doc_id", "text")
+        val n = standing.count()
+        graft.functions.TextIndex.build(standing, "doc_id", "text", tDir)
+        val streamDir = s"$tDir/delta"
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.streaming.Events.textIndexMaintainBatch(streamDir)(fixedDocs, 1L)
+        val wall = (System.nanoTime() - t0) / 1e9
+        record("text_delta", k, n, wall, du(spark, s"$streamDir/_gate_batch=1"))
+      }
       // --- stats ---
       {
         val sDir = graft.pipeline.TempDirs.scoped("graft_incbench_stats_")

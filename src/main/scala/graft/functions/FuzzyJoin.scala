@@ -137,9 +137,16 @@ object FuzzyJoin {
         .withColumn("g_df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("blk", "g_vh")))
         .filter(col("g_df") <= maxVariantDf).drop("g_df")
-    idx.select(col("blk"), col("w").as("w_a"), col("g_vh"))
-      .join(idx.select(col("blk"), col("w").as("w_b"), col("g_vh")),
-        Seq("blk", "g_vh"))
+    // MERGE hint (r14, found at the 20× scale probe): Catalyst's
+    // static size estimate of the index is the pre-explode scan — the
+    // L²-fold posexplode blowup is invisible to it — so it happily
+    // planned BroadcastHashJoin and tried to build the WHOLE variant
+    // index as a broadcast table (~90 M rows at 20× names; driver
+    // OOM). A self-join of two identically-huge exploded sides is
+    // never broadcastable; pin sort-merge.
+    idx.select(col("blk"), col("w").as("w_a"), col("g_vh")).hint("shuffle_merge")
+      .join(idx.select(col("blk"), col("w").as("w_b"), col("g_vh"))
+        .hint("shuffle_merge"), Seq("blk", "g_vh"))
       // verify BEFORE the distinct: the O(5n) kernel per duplicate
       // candidate row is cheaper than shuffling the coincidental
       // candidates into the dedup (measured 18.3 s → 11.4 s at sf0.1
@@ -178,10 +185,18 @@ object FuzzyJoin {
     // (≈ the true-pair count), q189 wall 76 s → 15 s with the
     // [[graft.plans.WithinEd1]] O(n) verify replacing the O(n·m)
     // `levenshtein` DP (that swap alone was 54 s → 24 s).
+    // MERGE hints (r14, found at the 20× scale probe on the ED ≤ 2
+    // sibling): Catalyst's static size estimate of the deletion-
+    // variant relation is the pre-explode scan, so past ~10× names it
+    // planned BroadcastHashJoin and built the O(n·L) variant relation
+    // as a broadcast table — a latent driver OOM that the ED ≤ 2
+    // kernel (O(n·L²)) actually hit. Both the variant self-join and
+    // the variant-vs-names join scale with the corpus on BOTH sides;
+    // pin sort-merge.
     val subs = dels.select(blk.map(col) :+ col("w").as("w_a") :+
-        col("g_pos") :+ col("g_var"): _*)
+        col("g_pos") :+ col("g_var"): _*).hint("shuffle_merge")
       .join(dels.select(blk.map(col) :+ col("w").as("w_b") :+
-        col("g_pos") :+ col("g_var"): _*),
+        col("g_pos") :+ col("g_var"): _*).hint("shuffle_merge"),
         blk ++ Seq("g_var", "g_pos"))
       .select((blk ++ Seq("w_a", "w_b")).map(col): _*)
     val shortSide = v.select(blk.map(b => col(b).as(s"g_b_$b")) :+
@@ -189,8 +204,8 @@ object FuzzyJoin {
     val insDelCond = blk.map(b => col(b) === col(s"g_b_$b"))
       .foldLeft(col("g_var") === col("g_short"))(_ && _)
     val insDel = dels.select(blk.map(col) :+ col("w").as("g_long") :+
-        col("g_var"): _*)
-      .join(shortSide, insDelCond)
+        col("g_var"): _*).hint("shuffle_merge")
+      .join(shortSide.hint("shuffle_merge"), insDelCond)
       .select(blk.map(col) :+
         least(col("g_long"), col("g_short")).as("w_a") :+
         greatest(col("g_long"), col("g_short")).as("w_b"): _*)

@@ -113,8 +113,14 @@ object IncrementalEr {
     * the strictly-unequal fuzzy kernel skips. */
   private[graft] def edgesTouching(arrivals: DataFrame,
                                    union: DataFrame): DataFrame = {
-    val dA = dels(arrivals)
-    val dU = dels(union)
+    // merge hints on every variant-carrying join side: the standing
+    // union's deletion-variant relation is O(|base|·L) rows but
+    // Catalyst's static estimate sees only the pre-explode scan, so
+    // past the broadcast threshold's blind spot it would build the
+    // whole thing as a broadcast table (the FuzzyJoin r14 lesson —
+    // measured OOM on the ED ≤ 2 kernel at 20× names)
+    val dA = dels(arrivals).hint("shuffle_merge")
+    val dU = dels(union).hint("shuffle_merge")
     // substitutions: same (block, variant, position), ≥1 arrival side
     val subs = dA.select(col("blk"), col("k").as("ka"), col("w").as("wa"),
         col("g_pos"), col("g_var"))
@@ -126,13 +132,13 @@ object IncrementalEr {
     val longSide = dA.select(col("blk"), col("k").as("ka"),
         col("w").as("wa"), col("g_var"))
       .join(union.select(col("blk").as("g_b"), col("k").as("kb"),
-        col("w").as("wb")),
+        col("w").as("wb")).hint("shuffle_merge"),
         col("blk") === col("g_b") && col("g_var") === col("wb"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
     val shortSide = dU.select(col("blk"), col("k").as("ka"),
         col("w").as("wa"), col("g_var"))
       .join(arrivals.select(col("blk").as("g_b"), col("k").as("kb"),
-        col("w").as("wb")),
+        col("w").as("wb")).hint("shuffle_merge"),
         col("blk") === col("g_b") && col("g_var") === col("wb"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
     // exact-name twins (lev = 0)
