@@ -70,6 +70,33 @@ object PlanAudit {
         s"broadcast(${h.child.nodeName.toLowerCase}[${h.child.output.map(_.name).mkString(",")}])"
     }
 
+  /** PLANNER-CHOSEN broadcasts over exploded corpus relations (r14 —
+    * the q238 OOM class): Catalyst's static size estimate of a
+    * Generate (posexplode) subtree is derived from the PRE-explode
+    * scan, so an O(n·L²) variant/shingle index can look broadcastable
+    * and the planner builds it as a broadcast table — an OOM that only
+    * fires past the scale where the estimate crosses the threshold,
+    * invisible to [[unboundedBroadcastHints]] (no hint) AND to the
+    * post-AQE walk at audit scale (where the relation genuinely fits).
+    * Detector: in the STATIC physical plan, a BroadcastExchange whose
+    * subtree contains a Generate fed by a file scan with no
+    * cardinality cap (limit/top-k) between them. Exempt: queries on
+    * [[broadcastAllowlist]] — their broadcasts are hinted and
+    * contract-bounded (e.g. the ANN per-query LUT explode). */
+  def explodeBlindBroadcasts(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        val sub = b.collect { case p => p }
+        val hasGenerate = sub.exists(_.isInstanceOf[GenerateExec])
+        val capped = sub.exists(p => p.isInstanceOf[GlobalLimitExec] ||
+          p.isInstanceOf[LocalLimitExec] ||
+          p.isInstanceOf[TakeOrderedAndProjectExec])
+        val corpusLeaf = sub.exists(_.isInstanceOf[FileSourceScanExec])
+        if (hasGenerate && !capped && corpusLeaf)
+          Some(s"broadcast(generate[${b.output.map(_.name).take(4).mkString(",")}])")
+        else None
+    }.flatten
+
   /** Queries ALLOWED to carry a structurally-unbounded broadcast hint,
     * each with the domain argument the classifier can't see. Anything
     * else with a ubh > 0 fails the audit. */
@@ -258,12 +285,16 @@ object PlanAudit {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sb = new StringBuilder
     val offenders = scala.collection.mutable.ListBuffer[(String, Seq[String])]()
+    val explodeOffenders = scala.collection.mutable.ListBuffer[(String, Seq[String])]()
     sb.append(f"${"query"}%-28s shuffles bhj smj nlj ubh wsc  scans (cols, pushed)\n")
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val ubh = unboundedBroadcastHints(df)
         if (ubh.nonEmpty && !broadcastAllowlist.contains(n)) offenders += n -> ubh
+        val xbh = explodeBlindBroadcasts(df)
+        if (xbh.nonEmpty && !broadcastAllowlist.contains(n))
+          explodeOffenders += n -> xbh
         // Audit the POST-AQE plan: finalPhysicalPlan materializes the
         // query stages, so the walk sees the exchanges, runtime join
         // demotions and per-stage codegen that actually ran (the AQE
@@ -292,6 +323,9 @@ object PlanAudit {
     offenders.foreach { case (n, hs) =>
       sb.append(s"UNBOUNDED BROADCAST HINT in $n: ${hs.mkString("; ")}\n")
     }
+    explodeOffenders.foreach { case (n, hs) =>
+      sb.append(s"EXPLODE-BLIND BROADCAST in $n: ${hs.mkString("; ")}\n")
+    }
     val (budgetSkip, budget) = benchBudgetRegressions()
     // fail-open must be VISIBLE: a skipped gate prints why, so "audit
     // green" can never be mistaken for "budget checked" when it wasn't
@@ -306,6 +340,13 @@ object PlanAudit {
       System.err.println(s"plan audit FAILED: ${offenders.size} quer" +
         s"${if (offenders.size == 1) "y carries" else "ies carry"} an unbounded " +
         "broadcast hint (broadcast of a corpus-scaling relation)")
+      sys.exit(1)
+    }
+    if (explodeOffenders.nonEmpty) {
+      System.err.println(s"plan audit FAILED: ${explodeOffenders.size} quer" +
+        s"${if (explodeOffenders.size == 1) "y broadcasts" else "ies broadcast"} an " +
+        "exploded corpus relation (static-estimate blind spot; pin a merge " +
+        "hint or allowlist with a boundedness argument)")
       sys.exit(1)
     }
     if (budget.nonEmpty) {
