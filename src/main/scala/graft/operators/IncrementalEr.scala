@@ -175,11 +175,19 @@ object IncrementalEr {
     val standingLabels = last.map(up => currentLabels(spark, dir, up))
     val union = standingBase.map(_.unionByName(arrivals)).getOrElse(arrivals)
     val newEdges = edgesTouching(arrivals, union)
-    // current labels: standing ∪ self-labeled arrivals
+    // current labels: standing ∪ self-labeled arrivals. GENUINELY-new
+    // arrivals only on the self-label side: a re-observed custkey (a
+    // record re-sent in a later batch) must keep its standing label,
+    // not gain a second conflicting self-row — the anti-join is
+    // O(batch) against the standing label read this fold already does
+    val selfLabels = standingLabels match {
+      case None => arrivals.select(col("k").as("v"), col("k").as("component"))
+      case Some(prev) => arrivals.select(col("k").as("v"))
+        .join(prev.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), col("v").as("component"))
+    }
     val labels0 = standingLabels
-      .map(_.unionByName(
-        arrivals.select(col("k").as("v"), col("k").as("component"))))
-      .getOrElse(arrivals.select(col("k").as("v"), col("k").as("component")))
+      .map(_.unionByName(selfLabels)).getOrElse(selfLabels)
     // contract new edges through the current labels; CC over the label
     // graph only (touched components), then compose
     val contracted = newEdges

@@ -217,6 +217,14 @@ class MiningSpec extends SparkSpec {
       .select("c_custkey", "canonical_id")
       .as[(Long, Long)].collect().toMap
     assert(got2 === got)
+    // RE-OBSERVATION in a new batch (custkey 31 re-sent): keeps its
+    // standing label — no conflicting self-row, one row per vertex
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((31L, "dog", 1L))), 2L)
+    val got3 = graft.operators.IncrementalEr.resolved(spark, dir)
+    assert(got3.count() === got3.select("c_custkey").distinct().count())
+    assert(got3.select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap === got)
   }
 
   // ---- KMV ----
