@@ -165,6 +165,34 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(1L, 2L, 4L, 5L))
   }
 
+  test("streaming entity resolution: arrivals fold through foreachBatch, serving equals one-shot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_er_stream_").toString + "/er"
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("c_custkey", "c_name", "c_nationkey").writeStream
+      .foreachBatch(graft.operators.IncrementalEr.maintainBatch(dir) _)
+      .start()
+    // trigger 1: seed records (cat/dog in nation 1)
+    ms.addData((10L, "cat", 1L), (30L, "dog", 1L))
+    q.processAllAvailable()
+    // trigger 2: bat links to standing cat; dog exact twin; unrelated
+    ms.addData((5L, "bat", 1L), (31L, "dog", 1L), (77L, "zebra", 2L))
+    q.processAllAvailable(); q.stop()
+    val got = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 5L, 5L -> 5L, 30L -> 30L, 31L -> 30L,
+      77L -> 77L))
+    // the stream committed one base partition + one label delta per
+    // trigger (append-only), and the delta of trigger 2 is its
+    // arrivals plus the one moved standing label (cat 10 -> 5)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(1L))
+    val d1 = spark.read.parquet(s"$dir/labels")
+      .filter($"_er_batch" === 1L).select("v").as[Long].collect().toSet
+    assert(d1 === Set(5L, 31L, 77L, 10L))
+  }
+
   test("K6: foreachBatch serving-state sink routes views vs cart, partition-local") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
