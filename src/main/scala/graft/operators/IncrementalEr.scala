@@ -87,14 +87,16 @@ object IncrementalEr {
   }
 
   /** Committed label assignments, one row per vertex: the latest delta
-    * row per v across committed partitions (merge-on-read). */
+    * row per v across committed partitions (merge-on-read). A latest
+    * row with NULL component is a [[forget]] tombstone — the vertex is
+    * no longer assigned and drops out here. */
   private def currentLabels(spark: SparkSession, dir: String,
                             upTo: Long): DataFrame = {
     val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
     spark.read.parquet(labelsDir(dir))
       .filter(col(BatchCol) <= upTo)
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") === 1 && col("component").isNotNull)
       .select(col("v"), col("component"))
   }
 
@@ -231,6 +233,112 @@ object IncrementalEr {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).parquet(labelsDir(dir))
     touchMarker(spark, dir, batchId)
+  }
+
+  /** Right-to-be-forgotten on the ER artifact (the [[graft.functions
+    * .TextIndex.forget]] / q164 compliance treatment for the
+    * record-linkage tier): every record in `ids` disappears from the
+    * base AND from the served assignment, and — the part plain
+    * deletion gets wrong — the forgotten records' CLUSTERS are
+    * recomputed over their remaining members, because removing a
+    * vertex can both move a cluster's canonical id (the min custkey
+    * may be the forgotten one) and SPLIT the cluster (the forgotten
+    * record may be the only ED ≤ 1 bridge between two name groups).
+    *
+    * Cost is bounded by the forgotten records' components, never the
+    * corpus: membership comes from one standing-label read, the
+    * re-match runs the FastSS kernel over member rows only, and the
+    * commits are the same append-only discipline as [[maintainBatch]]
+    * — one label-delta partition (new member assignments + NULL
+    * tombstones for the forgotten ids) plus a dynamic-partition
+    * rewrite of exactly the base partitions holding a forgotten row
+    * (a partition rewritten to empty is dropped). Both writes
+    * localCheckpoint first: they read the same files they replace,
+    * and cutting the lineage is what makes the self-overwrite safe.
+    *
+    * `batchId` continues the table's single monotone commit sequence
+    * (same replay guard as maintainBatch); with a live stream, route
+    * forgets through the stream or pause it — the usual serialize-
+    * arrivals-per-table contract. Idempotent under replay AND under
+    * crash-between-the-two-writes: the no-op test is membership in
+    * the standing LABELS (still present until the delta commits), so
+    * a retry after a completed base rewrite still commits the label
+    * delta. A forgotten id later RE-ARRIVING via maintainBatch is a
+    * genuinely new record (tombstones drop out of the standing read,
+    * so it self-labels and matches fresh). */
+  def forget(spark: SparkSession, dir: String, ids: DataFrame,
+             batchId: Long): Unit = {
+    val last = lastCommitted(spark, dir).getOrElse(return)
+    if (last >= batchId) return
+    val del = ids.select(col(ids.columns.head).cast("long").as("k")).distinct()
+    val labels = currentLabels(spark, dir, last)
+    val affectedIds = labels.join(del.select(col("k").as("v")), Seq("v"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (affectedIds.isEmpty) { affectedIds.unpersist(); return }
+    val base0 = spark.read.parquet(baseDir(dir)).filter(col(BatchCol) <= last)
+    // base partitions holding a forgotten row, rewritten without it
+    val touchedParts = base0.join(del, Seq("k"), "left_semi")
+      .select(col(BatchCol)).distinct()
+    val rewritten = base0.join(touchedParts, Seq(BatchCol), "left_semi")
+      .join(del, Seq("k"), "left_anti")
+      .select(col("blk"), col("k"), col("w"), col(BatchCol))
+      .localCheckpoint()
+    // clusters touching a forgotten id: relabel their REMAINING
+    // members from scratch — re-match (FastSS over members only) + CC
+    val affected = affectedIds.select(col("component")).distinct()
+    // remaining members and their re-match edges are consumed by the
+    // emptiness probes AND the CC/delta below — localCheckpoint so the
+    // FastSS chain runs once, not once per action (measured: the
+    // probes re-running the whole chain tripled the forget pass)
+    val remaining = labels.join(affected, Seq("component"), "left_semi")
+      .join(del.select(col("k").as("v")), Seq("v"), "left_anti")
+      .select(col("v"))
+      .localCheckpoint()
+    val memRel = base0.select(col("blk"), col("k"), col("w"))
+      .join(remaining.select(col("v").as("k")), Seq("k"), "left_semi")
+      .join(del, Seq("k"), "left_anti")
+    val edges = edgesTouching(memRel, memRel).localCheckpoint()
+    val newLabels =
+      if (remaining.isEmpty || edges.isEmpty)
+        remaining.select(col("v"), col("v").as("component"))
+      else Components.connectedComponents(edges, remaining)
+    val tombstones = affectedIds.select(col("v"),
+      lit(null).cast("long").as("component"))
+    val delta = newLabels.select(col("v"), col("component").cast("long"))
+      .unionByName(tombstones)
+      .withColumn(BatchCol, lit(batchId))
+      .localCheckpoint()
+    // a partition whose every row was forgotten is absent from the
+    // rewrite (dynamic overwrite can't emit an empty partition) and
+    // must be dropped; COLLECTED (≤ touched partitions — bounded by
+    // the forget set) BEFORE any file mutation, because touchedParts'
+    // lineage reads the pre-rewrite files
+    // (partition-column values read back as INT — cast for the collect)
+    val emptied = touchedParts
+      .join(rewritten.select(col(BatchCol)).distinct(), Seq(BatchCol), "left_anti")
+      .select(col(BatchCol).cast("long")).collect().map(_.getLong(0))
+    // both relations are materialized off the files; mutate base first
+    // (crash before the delta replays through the labels-presence test)
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(baseDir(dir))
+    val ctx = fc(spark, dir)
+    emptied.foreach { b =>
+      val p = new Path(baseDir(dir), s"$BatchCol=$b")
+      if (ctx.util.exists(p)) ctx.delete(p, true)
+    }
+    // the manual directory drop bypasses the writer's own cache
+    // refresh — invalidate the listing so later base scans re-list
+    spark.catalog.refreshByPath(baseDir(dir))
+    delta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(labelsDir(dir))
+    touchMarker(spark, dir, batchId)
+    Components.dropCheckpoint(rewritten)
+    Components.dropCheckpoint(delta)
+    Components.dropCheckpoint(remaining)
+    Components.dropCheckpoint(edges)
+    affectedIds.unpersist()
   }
 
   /** Current canonical assignment in q228's output shape:

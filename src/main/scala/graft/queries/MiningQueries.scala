@@ -1682,8 +1682,51 @@ object MiningQueries {
         count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
   }
 
+  /** q262 — right-to-be-forgotten on the MAINTAINED ER artifact
+    * ([[graft.operators.IncrementalEr.forget]]): fold the customers in
+    * 3 batches (the q239 path), then forget every custkey divisible by
+    * 50 as a 4th commit — tombstoned labels, rewritten base
+    * partitions, and the forgotten records' clusters RELABELED over
+    * their remaining members (canonical ids can move, clusters can
+    * split). The oracle is q228's exact algebra over `customer WHERE
+    * c_custkey % 50 <> 0` — i.e. the served post-forget assignment
+    * must equal a from-scratch resolution of the surviving records,
+    * the same build-then-maintain ≡ one-shot discipline as q239 with
+    * DELETION as the maintenance op. Split/canonical-move/emptied-
+    * partition edges are pinned in MiningSpec. */
+  val q262 = Q("q262_entity_resolution_forget",
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_name, c_nationkey FROM customer
+      |  WHERE c_custkey % 50 <> 0),
+      |e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM c
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_erforget_") + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.forget(s, dir,
+      c.filter(col("c_custkey") % 50 === 0).select("c_custkey"), 3L)
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235, q238, q239, q261)
+    q235, q238, q239, q261, q262)
 }

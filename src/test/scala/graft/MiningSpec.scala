@@ -227,6 +227,48 @@ class MiningSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap === got)
   }
 
+  test("ER forget: cluster split, canonical move, emptied partition, replay, re-arrival") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_erfspec_") + "/er"
+    def cust(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+    // batch 0: bridge chain aa(1)-ab(2)-bb(3) (aa/bb are ED 2 — linked
+    // ONLY through ab); exact twins cat(5)/cat(10); loner fox(8)
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((1L, "aa", 1L), (2L, "ab", 1L), (3L, "bb", 1L),
+        (5L, "cat", 1L), (10L, "cat", 1L), (8L, "fox", 1L))), 0L)
+    // batch 1: only the loner wolf(9) in nation 2 — forgetting it must
+    // empty and drop its whole base partition
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((9L, "wolf", 2L))), 1L)
+    // forget the bridge (2), the canonical twin (5), and the lone
+    // partition occupant (9); 999 is absent (no-op member)
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(2L, 5L, 9L, 999L).toDF("c_custkey"), 2L)
+    val got = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    // split: aa/bb no longer connected; move: cat's canon 5 -> 10
+    assert(got === Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 8L -> 8L))
+    // forgotten rows are gone from the base, and batch 1's partition
+    // directory (emptied wholesale) was dropped
+    val baseK = spark.read.parquet(s"$dir/base").select("k")
+      .as[Long].collect().toSet
+    assert(baseK === Set(1L, 3L, 10L, 8L))
+    assert(!new java.io.File(s"$dir/base/_er_batch=1").exists())
+    // replaying the forget is a no-op (same commit-sequence guard)
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(2L, 5L).toDF("c_custkey"), 2L)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(2L))
+    // a forgotten id re-arriving is a NEW record: self-labels, matches
+    // fresh (cat(5) rejoins the cat cluster and retakes the min id)
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((5L, "cat", 1L))), 3L)
+    val got2 = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 10L -> 5L, 8L -> 8L))
+  }
+
   // ---- KMV ----
 
   test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {
