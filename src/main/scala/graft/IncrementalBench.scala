@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * Families measured (the four the round-13 verdict names):
   *  - `er`    — [[graft.operators.IncrementalEr.maintainBatch]]
   *    (q239): arrival-probe FastSS matching + append-only partition
-  *    commits. Expected: commit bytes flat (the r14 delta commit);
-  *    wall grows sub-linearly with the map-only standing variant
-  *    re-expansion (the documented 100 TB refinement is a persisted
-  *    bucketed variant index).
+  *    commits. Expected: commit bytes flat (the r14 delta commit) AND
+  *    wall ≈ flat (r15: the standing variants are a persisted index
+  *    probed map-only under the broadcast cap — the residual is the
+  *    index/base scan, parquet I/O with no shuffle or re-expansion).
   *  - `text`  — [[graft.functions.TextIndex.addShard]] (q148):
   *    delete-then-insert upsert. Expected: compute is O(shard) but
   *    the commit REWRITES the postings table — bytes grow with
@@ -76,6 +76,11 @@ object IncrementalBench {
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // SPARK_GRAFT_INCBENCH_ONLY=er,text,…: measure a subset (local
+    // iteration on one artifact family — Bench's _ONLY discipline)
+    val only = sys.env.get("SPARK_GRAFT_INCBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(artifact: String): Boolean = only.forall(_.contains(artifact))
     val base = "/root/testdata/sf0.1"
     val scales = Seq(1 -> base, 5 -> "target/scale/sf0.5", 10 -> "target/scale/sf1.0")
     scales.filter(_._1 > 1).foreach { case (k, dir) =>
@@ -107,22 +112,31 @@ object IncrementalBench {
 
     for ((k, dir) <- scales) {
       // --- er ---
-      {
+      if (wanted("er")) {
         val erDir = graft.pipeline.TempDirs.scoped("graft_incbench_er_") + "/er"
         val standing = spark.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
         val n = standing.count()
         graft.operators.IncrementalEr.maintainBatch(erDir)(standing, 0L)
+        // unmeasured warmup fold (tiny disjoint batch): JIT/codegen for
+        // the probe path compiles outside the measured window, so the
+        // 1× point is not inflated by first-fold compilation
+        graft.operators.IncrementalEr.maintainBatch(erDir)(
+          fixedCust.limit(500).withColumn("c_custkey",
+            col("c_custkey") + lit(idOffset)), 1L)
         System.gc()
         val t0 = System.nanoTime()
-        graft.operators.IncrementalEr.maintainBatch(erDir)(fixedCust, 1L)
+        graft.operators.IncrementalEr.maintainBatch(erDir)(fixedCust, 2L)
         val wall = (System.nanoTime() - t0) / 1e9
-        val bytes = du(spark, s"$erDir/base/_er_batch=1") +
-          du(spark, s"$erDir/labels/_er_batch=1")
+        // commit bytes include the batch's persisted variant-index
+        // partition (r15) — still O(batch), independent of standing
+        val bytes = du(spark, s"$erDir/base/_er_batch=2") +
+          du(spark, s"$erDir/labels/_er_batch=2") +
+          du(spark, s"$erDir/variants/_er_batch=2")
         record("er", k, n, wall, bytes)
       }
       // --- text ---
-      {
+      if (wanted("text")) {
         val tDir = graft.pipeline.TempDirs.scoped("graft_incbench_text_")
         val standing = Tables.documents(spark, dir).select("doc_id", "text")
         val n = standing.count()
@@ -137,7 +151,7 @@ object IncrementalBench {
       // latest-batch-wins + periodic compactStream) — measured next
       // to addShard so the rewrite-vs-delta trade is quantified on
       // the same standing artifact ---
-      {
+      if (wanted("text_delta")) {
         val tDir = graft.pipeline.TempDirs.scoped("graft_incbench_textd_")
         val standing = Tables.documents(spark, dir).select("doc_id", "text")
         val n = standing.count()
@@ -150,7 +164,7 @@ object IncrementalBench {
         record("text_delta", k, n, wall, du(spark, s"$streamDir/_gate_batch=1"))
       }
       // --- stats ---
-      {
+      if (wanted("stats")) {
         val sDir = graft.pipeline.TempDirs.scoped("graft_incbench_stats_")
         val standing = graft.functions.StatsIndex.stackedOrders(
           Tables.orders(spark, dir))
@@ -165,7 +179,7 @@ object IncrementalBench {
         record("stats", k, n, wall, bytes)
       }
       // --- kmv ---
-      {
+      if (wanted("kmv")) {
         val kDir = graft.pipeline.TempDirs.scoped("graft_incbench_kmv_")
         val standing = Tables.events(spark, dir)
           .select(expr("ts div 86400000000000").as("day"), col("user_id"))
@@ -180,6 +194,38 @@ object IncrementalBench {
       }
       spark.catalog.clearCache()
       System.gc()
+    }
+    // --- er_compact: serving read-amplification before/after
+    // IncrementalEr.compact (r14 verdict item 2's measurement) — the
+    // sf0.1 customers fold in B delta batches, serving wall is
+    // measured against the full delta history, then against the
+    // compacted snapshot (partition pruning below the snapshot floor).
+    // One scale point: amplification grows with DELTA COUNT, not
+    // standing size.
+    if (wanted("er_compact")) {
+      val erDir = graft.pipeline.TempDirs.scoped("graft_incbench_erc_") + "/er"
+      val b = 24
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      (0 until b).foreach { i =>
+        graft.operators.IncrementalEr.maintainBatch(erDir)(
+          cust.filter(pmod(xxhash64(col("c_custkey")), lit(b)) === i), i.toLong)
+      }
+      def serveWall(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.operators.IncrementalEr.resolved(spark, erDir)
+          .agg(count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val before = (0 until 3).map(_ => serveWall()).min
+      record("er_serving_pre_compact", b, cust.count(), before,
+        du(spark, s"$erDir/labels"))
+      graft.operators.IncrementalEr.compact(spark, erDir, b.toLong)
+      graft.operators.IncrementalEr.vacuumLabels(spark, erDir)
+      val after = (0 until 3).map(_ => serveWall()).min
+      record("er_serving_post_compact", 1, cust.count(), after,
+        du(spark, s"$erDir/labels"))
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(

@@ -69,24 +69,49 @@ object StreamBench {
     }.toMap
     val clock = lit(java.sql.Date.valueOf("2026-08-15")).cast("timestamp")
     Events.InMemoryKV.clear()
+    // per-sink-family attribution (r13 advice item 8): the topology
+    // gate is total events/s; when it trips, these localize WHICH
+    // sink family regressed. Accumulated through a
+    // StreamingQueryListener DURING the run — `recentProgress` is a
+    // bounded ring buffer (numRecentProgressUpdates, default 100), so
+    // summing it after the fact silently undercounts any query with
+    // more than 100 triggers (r14 advice item 2). Busy time is the
+    // sum of triggerExecution durations across batches (concurrent
+    // queries overlap, so busy sums exceed wall — that's utilization,
+    // not double-counting), rolled up by the queryName prefix
+    // (bronze_/kv_/rerank_).
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val d = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        acc.merge(Option(p.name).getOrElse("unnamed"), (d, p.numInputRows),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val queries = Events.multiTopicFlow(sources, s"$root/out",
       Events.InMemoryKV, clock)
     queries.foreach(_.awaitTermination())
     val wall = (System.nanoTime() - t0) / 1e9
-    // per-sink-family attribution (r13 advice item 8): the topology
-    // gate is total events/s; when it trips, these localize WHICH
-    // sink family regressed. Per query, the busy time is the sum of
-    // its triggerExecution durations across batches (concurrent
-    // queries overlap, so busy sums exceed wall — that's utilization,
-    // not double-counting), rolled up by the queryName prefix
-    // (bronze_/kv_/rerank_).
+    // listener events post asynchronously — drain until the totals go
+    // quiet (bounded) before reading the accumulator
+    var drained = -1L
+    var spins = 0
+    while (spins < 50 && {
+      val now = acc.values().stream().mapToLong(_._2).sum()
+      val changed = now != drained; drained = now; changed
+    }) { Thread.sleep(100); spins += 1 }
+    spark.streams.removeListener(listener)
     val perQuery = queries.map { q =>
-      val prog = q.recentProgress
-      (Option(q.name).getOrElse("unnamed"),
-        prog.map(p => Option(p.durationMs.get("triggerExecution"))
-          .map(_.longValue).getOrElse(0L)).sum,
-        prog.map(_.numInputRows).sum)
+      val name = Option(q.name).getOrElse("unnamed")
+      val (busy, rows) = acc.getOrDefault(name, (0L, 0L))
+      (name, busy, rows)
     }
     val families = perQuery.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (fam, qs) =>

@@ -4,49 +4,70 @@ import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** INCREMENTAL entity resolution — q228's block → match → canonicalize
   * pipeline maintained under customer ARRIVALS without re-matching the
   * accumulated base against itself (the q180 contracted-label
-  * discipline applied to the record-linkage tier), and — since r14 —
-  * without REWRITING the accumulated state either:
+  * discipline applied to the record-linkage tier), without REWRITING
+  * the accumulated state (r14's append-only commits), and — since r15
+  * — without RECOMPUTING it either:
   *
-  *  - per batch, ED ≤ 1 match edges are generated only for pairs
-  *    TOUCHING an arrival: the arrivals' deletion variants probe the
-  *    union's variants through the same (block, variant, position)
-  *    FastSS equi-joins as [[graft.functions.FuzzyJoin]] — the probe
-  *    side is |batch|·L rows, never |base|·L (at 100 TB the standing
-  *    side would be a bucketed persisted index, the q148 treatment;
-  *    here it is recomputed map-only from the base scan);
-  *  - new edges contract through the STANDING labels (arrivals label
-  *    themselves), and a second CC runs over the contracted label
-  *    graph only — bounded by touched components, not customers;
-  *  - COMMITS ARE APPEND-ONLY (the lshDedupGateBatch dynamic-partition
-  *    discipline): the batch's arrivals land as their own
-  *    `_er_batch=<id>/` partition of the base table, and the labels
-  *    table receives only the batch's DELTA — assignments that are new
-  *    (the arrivals) or CHANGED (vertices of touched components whose
-  *    canonical id moved) — as its own `_er_batch=<id>/` partition.
-  *    Per-batch commit bytes are O(batch + touched), independent of
-  *    standing-base size; B batches cost O(N) total write I/O, not
-  *    O(B·N) as the pre-r14 full-rewrite commit did.
+  *  - the standing side's FastSS deletion variants are a PERSISTED
+  *    INDEX (`variants/`, one `_er_batch=<id>/` partition per commit,
+  *    rows `(blk, g_vh, g_pos, k, w)` — the q148 persisted-index
+  *    treatment the r14 docstring promised): per batch, the arrivals'
+  *    variants PROBE the index through the same (block, variant-hash,
+  *    position) equi-joins as [[graft.functions.FuzzyJoin]], so the
+  *    per-batch compute is O(|batch|·L) probe rows against a stored
+  *    table — the base's variants are expanded exactly once, when
+  *    their batch commits, never again;
+  *  - the probe joins BROADCAST the arrivals' side when the batch is
+  *    small (measured row count ≤ [[IncrementalEr.MaxBroadcastArrivals]],
+  *    the explicit runtime decision the r14 explode-blind-broadcast
+  *    lesson demands), so the standing index and base are scanned
+  *    MAP-ONLY — no O(standing) shuffle per batch. Oversized batches
+  *    fall back to shuffle_merge (correct, scan-proportional); at
+  *    100 TB the index would additionally be BUCKETED by
+  *    (blk, g_vh) via a catalog table so even that path shuffles only
+  *    the batch;
+  *  - standing LABELS are never read whole either: the three reads a
+  *    fold needs (re-observation guard, edge-endpoint labels, touched-
+  *    component membership) are key-restricted — a broadcast semi-join
+  *    prunes the scan map-side and the latest-per-vertex window runs
+  *    over the restricted rows only;
+  *  - new edges contract through the standing labels (arrivals label
+  *    themselves), and CC runs over the contracted label graph only —
+  *    bounded by touched components, not customers;
+  *  - COMMITS ARE APPEND-ONLY: the batch's arrivals land as their own
+  *    `_er_batch=<id>/` partition of the base AND variants tables, and
+  *    the labels table receives only the batch's DELTA — assignments
+  *    that are new (the arrivals) or CHANGED (vertices of touched
+  *    components whose canonical id moved). Per-batch commit bytes are
+  *    O(batch·L), independent of standing size.
   *
-  * Commit protocol: both partition writes are dynamic partition
-  * overwrites of the batch's OWN partition (idempotent under replay),
-  * and the commit point is an empty `_er_commit_<id>` marker created in
-  * the labels dir AFTER both writes land. Readers resolve the highest
-  * marker first and filter both tables to `_er_batch <=` that id, so a
-  * writer that dies mid-partition leaves files no reader ever serves;
-  * the replay overwrites them. Batch ids must be monotone (Structured
-  * Streaming's foreachBatch contract), so marker-max implies every
-  * partition at-or-below it is committed.
+  * Commit protocol: partition writes are dynamic partition overwrites
+  * of the batch's OWN partition (idempotent under replay), and the
+  * commit point is an empty `_er_commit_<id>` marker created in the
+  * labels dir AFTER all writes land (via the same FileContext /
+  * NIO-O_EXCL dispatch as [[graft.pipeline.AtomicTable]] — a marker
+  * written with driver-local NIO alone would silently land off-cluster
+  * on HDFS/S3A and never be seen by `lastCommitted`). Readers resolve
+  * the highest marker first and filter all tables to `_er_batch <=`
+  * that id, so a writer that dies mid-partition leaves files no reader
+  * ever serves; the replay overwrites them. Batch ids must be monotone
+  * (Structured Streaming's foreachBatch contract) and EVERY invoked id
+  * is durably consumed exactly once — no-op folds (all arrivals
+  * re-observed, forget of absent ids) still write their marker, so a
+  * later call can never commit real work under a previously-seen id.
   *
   * Serving folds the label deltas latest-per-vertex (one window over
-  * the labels table — O(assignments + deltas) read, the standard
-  * base ⟕ delta merge-on-read). Read amplification grows with the
-  * delta count until a compaction folds them — the same OPTIMIZE
-  * discipline as [[graft.pipeline.AtomicTable.compact]]; the COMMIT
-  * path never pays it.
+  * the labels partitions SINCE THE LAST SNAPSHOT — [[compact]] folds
+  * accumulated deltas into a snapshot partition flagged by an
+  * `_er_snapshot_<id>` marker, and every read prunes partitions below
+  * the snapshot floor, so read amplification is O(snapshot + deltas
+  * since), reset by each compaction; pre-snapshot partitions stay on
+  * disk for in-flight readers until [[vacuumLabels]]).
   *
   * Labels are min-custkey canonical ids, and min-of-mins is the global
   * min, so the cross-batch fold reproduces EXACTLY the one-shot q228
@@ -57,97 +78,206 @@ object IncrementalEr {
 
   private val BatchCol = "_er_batch"
   private val MarkerPrefix = "_er_commit_"
+  private val SnapshotPrefix = "_er_snapshot_"
+
+  /** Probe-side broadcast cap: a batch with at most this many distinct
+    * arrival records has its deletion variants (~L̄× rows) broadcast,
+    * keeping every standing-side scan map-only. Measured, not
+    * estimated — Catalyst's static size of an exploded relation is the
+    * pre-explode scan (the r14 OOM lesson), so the decision must not
+    * be left to the planner. */
+  private[graft] val MaxBroadcastArrivals = 100000L
 
   private def baseDir(dir: String) = s"$dir/base"
   private def labelsDir(dir: String) = s"$dir/labels"
+  private def variantsDir(dir: String) = s"$dir/variants"
 
   private def fc(spark: SparkSession, dir: String): FileContext =
     FileContext.getFileContext(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed batch id, if any batch has committed. */
-  def lastCommitted(spark: SparkSession, dir: String): Option[Long] = {
+  private def markerIds(spark: SparkSession, dir: String,
+                        prefix: String): Seq[Long] = {
     val ctx = fc(spark, dir)
     val p = new Path(labelsDir(dir))
-    if (!ctx.util.exists(p)) None
-    else {
-      val ids = ctx.util.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(MarkerPrefix))
-        .map(_.stripPrefix(MarkerPrefix).toLong)
-      if (ids.isEmpty) None else Some(ids.max)
-    }
+    if (!ctx.util.exists(p)) Seq.empty
+    else ctx.util.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
   }
 
-  private def touchMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val nio = java.nio.file.Paths.get(
-      new Path(labelsDir(dir), s"$MarkerPrefix$batchId").toUri.getPath)
-    java.nio.file.Files.createDirectories(nio.getParent)
-    try java.nio.file.Files.createFile(nio)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  /** Highest committed batch id, if any batch has committed. */
+  def lastCommitted(spark: SparkSession, dir: String): Option[Long] = {
+    val ids = markerIds(spark, dir, MarkerPrefix)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Highest committed snapshot id at or below `upTo` — the partition
+    * floor for every label read ([[compact]] writes them). */
+  private def snapshotFloor(spark: SparkSession, dir: String,
+                            upTo: Long): Option[Long] = {
+    val ids = markerIds(spark, dir, SnapshotPrefix).filter(_ <= upTo)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private def touchMarker(spark: SparkSession, dir: String, name: String): Unit =
+    graft.pipeline.AtomicTable.claimExclusive(
+      fc(spark, dir), new Path(labelsDir(dir), name))
+
+  /** Parquet read that treats a missing/marker-only directory as an
+    * empty relation of the given schema — a no-op commit (marker, no
+    * data) must not wedge later reads. */
+  private def readOrEmpty(spark: SparkSession, dir: String,
+                          schema: StructType): DataFrame = {
+    val hasData = try {
+      val ctx = fc(spark, dir)
+      val p = new Path(dir)
+      ctx.util.exists(p) && ctx.util.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory || n.endsWith(".parquet")
+      }
+    } catch { case _: Throwable => false }
+    if (hasData) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private val labelsSchema = StructType(Seq(
+    StructField("v", LongType), StructField("component", LongType),
+    StructField(BatchCol, LongType)))
+
+  private val baseSchema = StructType(Seq(
+    StructField("blk", LongType), StructField("k", LongType),
+    StructField("w", org.apache.spark.sql.types.StringType),
+    StructField(BatchCol, LongType)))
+
+  /** Committed label rows restricted to the snapshot window
+    * [floor, upTo] — partition filters, so pre-snapshot files are
+    * pruned at the scan. */
+  private def labelRows(spark: SparkSession, dir: String, upTo: Long): DataFrame = {
+    val rows = readOrEmpty(spark, labelsDir(dir), labelsSchema)
+      .filter(col(BatchCol) <= upTo)
+    snapshotFloor(spark, dir, upTo)
+      .map(f => rows.filter(col(BatchCol) >= f)).getOrElse(rows)
   }
 
   /** Committed label assignments, one row per vertex: the latest delta
-    * row per v across committed partitions (merge-on-read). A latest
+    * row per v across the snapshot window (merge-on-read). A latest
     * row with NULL component is a [[forget]] tombstone — the vertex is
     * no longer assigned and drops out here. */
   private def currentLabels(spark: SparkSession, dir: String,
                             upTo: Long): DataFrame = {
     val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
-    spark.read.parquet(labelsDir(dir))
-      .filter(col(BatchCol) <= upTo)
+    labelRows(spark, dir, upTo)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("component").isNotNull)
       .select(col("v"), col("component"))
   }
 
-  /** Deletion variants of `name` with position, custkey attached:
-    * (blk, k, w, g_pos, g_var). */
-  private def dels(df: DataFrame): DataFrame =
-    df.select(col("blk"), col("k"), col("w"), posexplode(
+  /** [[currentLabels]] restricted to `keys` (one column, vertex ids):
+    * the semi-join prunes the label scan map-side (broadcast the small
+    * key set), and the latest-per-vertex window runs over the
+    * restricted rows only — O(scan) I/O, O(|keys| · deltas-per-key)
+    * shuffle, never an O(standing) window. */
+  private def labelsLatestFor(spark: SparkSession, dir: String, upTo: Long,
+                              keys: DataFrame, bcast: Boolean): DataFrame = {
+    val ks = keys.toDF("v")
+    val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
+    labelRows(spark, dir, upTo)
+      .join(if (bcast) broadcast(ks) else ks, Seq("v"), "left_semi")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("component").isNotNull)
+      .select(col("v"), col("component"))
+  }
+
+  /** Current members of the given components: candidate vertices are
+    * any vertex that EVER carried one of the components (map-side
+    * broadcast semi-join), then the latest-per-vertex fold over the
+    * candidates keeps those whose CURRENT component is in the set. */
+  private def membersOf(spark: SparkSession, dir: String, upTo: Long,
+                        comps: DataFrame): DataFrame = {
+    val cs = comps.toDF("component")
+    val cand = labelRows(spark, dir, upTo)
+      .join(broadcast(cs), Seq("component"), "left_semi")
+      .select("v").distinct()
+    labelsLatestFor(spark, dir, upTo, cand, bcast = true)
+      .join(broadcast(cs), Seq("component"), "left_semi")
+  }
+
+  /** Deletion variants of `w` with position and the variant's 64-bit
+    * hash: (blk, k, w, g_pos, g_vh). Joining on the hash instead of
+    * the variant string cuts shuffle/broadcast row width ~3× (the
+    * [[graft.functions.FuzzyJoin.ed2PairsBlocked]] probe); collisions
+    * only add candidates the exact ED ≤ 1 verify removes. */
+  private def dels(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("blk", "k", "w") ++ extra
+    df.select(keep.map(col) :+ posexplode(
       transform(sequence(lit(1), length(col("w"))), i =>
         concat(col("w").substr(lit(1), i - 1),
-          col("w").substr(i + 1, length(col("w")) - i)))))
-      .toDF("blk", "k", "w", "g_pos", "g_var")
+          col("w").substr(i + 1, length(col("w")) - i)))): _*)
+      .toDF(keep ++ Seq("g_pos", "g_var"): _*)
+      .select(keep.map(col) ++ Seq(col("g_pos"),
+        xxhash64(col("g_var")).as("g_vh")): _*)
+  }
+
+  private val variantsSchema = StructType(Seq(
+    StructField("blk", LongType), StructField("k", LongType),
+    StructField("w", org.apache.spark.sql.types.StringType),
+    StructField("g_pos", org.apache.spark.sql.types.IntegerType),
+    StructField("g_vh", LongType), StructField(BatchCol, LongType)))
 
   /** ED ≤ 1 custkey match edges (ka < kb) with ≥ one side in
-    * `arrivals`; `union` must contain the arrivals. Includes lev = 0
-    * (exact-name) pairs — entity resolution links same-name records
-    * the strictly-unequal fuzzy kernel skips. */
-  private[graft] def edgesTouching(arrivals: DataFrame,
-                                   union: DataFrame): DataFrame = {
-    // merge hints on every variant-carrying join side: the standing
-    // union's deletion-variant relation is O(|base|·L) rows but
-    // Catalyst's static estimate sees only the pre-explode scan, so
-    // past the broadcast threshold's blind spot it would build the
-    // whole thing as a broadcast table (the FuzzyJoin r14 lesson —
-    // measured OOM on the ED ≤ 2 kernel at 20× names)
-    val dA = dels(arrivals).hint("shuffle_merge")
-    val dU = dels(union).hint("shuffle_merge")
-    // substitutions: same (block, variant, position), ≥1 arrival side
-    val subs = dA.select(col("blk"), col("k").as("ka"), col("w").as("wa"),
-        col("g_pos"), col("g_var"))
-      .join(dU.select(col("blk"), col("k").as("kb"), col("w").as("wb"),
-        col("g_pos"), col("g_var")), Seq("blk", "g_var", "g_pos"))
+    * `arrivals`, probed against the PERSISTED standing index: the
+    * arrivals' deletion variants (map-only, O(|batch|·L) rows) meet
+    * the stored variants of every committed batch plus the batch's own
+    * — the standing side is scanned, never re-expanded. Includes
+    * lev = 0 (exact-name) pairs — entity resolution links same-name
+    * records the strictly-unequal fuzzy kernel skips. `bcast` pins
+    * which side the planner materializes: the arrivals' exploded
+    * relations are broadcast only under the measured row cap (the r14
+    * explode-blind-broadcast lesson), otherwise both sides pin
+    * sort-merge. */
+  private[graft] def edgesIndexed(arrivals: DataFrame,
+                                  standingVariants: Option[DataFrame],
+                                  standingBase: Option[DataFrame],
+                                  bcast: Boolean): DataFrame = {
+    def hA(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_merge")
+    def hS(df: DataFrame): DataFrame =
+      if (bcast) df else df.hint("shuffle_merge")
+    val dA = dels(arrivals)
+    val unionVariants = standingVariants
+      .map(_.select(col("blk"), col("k"), col("w"), col("g_pos"), col("g_vh"))
+        .unionByName(dA)).getOrElse(dA)
+    val unionStrings = standingBase
+      .map(_.select(col("blk"), col("k"), col("w")).unionByName(
+        arrivals.select(col("blk"), col("k"), col("w"))))
+      .getOrElse(arrivals.select(col("blk"), col("k"), col("w")))
+    // substitutions: same (block, variant-hash, position), ≥1 arrival side
+    val subs = hA(dA.select(col("blk"), col("k").as("ka"), col("w").as("wa"),
+        col("g_pos"), col("g_vh")))
+      .join(hS(unionVariants.select(col("blk"), col("k").as("kb"),
+        col("w").as("wb"), col("g_pos"), col("g_vh"))),
+        Seq("blk", "g_vh", "g_pos"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
-    // insert/delete: arrival-longer (its deletion IS a union string)
-    // and arrival-shorter (a union deletion IS the arrival string)
-    val longSide = dA.select(col("blk"), col("k").as("ka"),
-        col("w").as("wa"), col("g_var"))
-      .join(union.select(col("blk").as("g_b"), col("k").as("kb"),
-        col("w").as("wb")).hint("shuffle_merge"),
-        col("blk") === col("g_b") && col("g_var") === col("wb"))
+    // insert/delete: arrival-longer (its deletion IS a standing string)
+    // and arrival-shorter (a standing deletion IS the arrival string)
+    val longSide = hA(dA.select(col("blk"), col("k").as("ka"),
+        col("w").as("wa"), col("g_vh")))
+      .join(hS(unionStrings.select(col("blk"), col("k").as("kb"),
+        col("w").as("wb"), xxhash64(col("w")).as("g_vh"))),
+        Seq("blk", "g_vh"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
-    val shortSide = dU.select(col("blk"), col("k").as("ka"),
-        col("w").as("wa"), col("g_var"))
-      .join(arrivals.select(col("blk").as("g_b"), col("k").as("kb"),
-        col("w").as("wb")).hint("shuffle_merge"),
-        col("blk") === col("g_b") && col("g_var") === col("wb"))
+    val shortSide = hS(unionVariants.select(col("blk"), col("k").as("ka"),
+        col("w").as("wa"), col("g_vh")))
+      .join(hA(arrivals.select(col("blk"), col("k").as("kb"),
+        col("w").as("wb"), xxhash64(col("w")).as("g_vh"))),
+        Seq("blk", "g_vh"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
     // exact-name twins (lev = 0)
-    val exact = arrivals.select(col("blk"), col("w"), col("k").as("ka"),
-        col("w").as("wa"))
-      .join(union.select(col("blk"), col("w"), col("k").as("kb"),
-        col("w").as("wb")), Seq("blk", "w"))
+    val exact = hA(arrivals.select(col("blk"), col("w"), col("k").as("ka"),
+        col("w").as("wa")))
+      .join(hS(unionStrings.select(col("blk"), col("w"), col("k").as("kb"),
+        col("w").as("wb"))), Seq("blk", "w"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
     subs.unionAll(longSide).unionAll(shortSide).unionAll(exact)
       .filter(col("ka") =!= col("kb") &&
@@ -157,82 +287,130 @@ object IncrementalEr {
       .distinct()
   }
 
+  /** Symmetric in-memory ED ≤ 1 edges over a small member relation —
+    * [[forget]]'s re-match runs over touched-component members only,
+    * where re-expanding both sides is cheaper than any index. */
+  private[graft] def edgesTouching(left: DataFrame,
+                                   right: DataFrame): DataFrame =
+    edgesIndexed(left,
+      standingVariants = if (left eq right) None else Some(dels(right)),
+      standingBase = if (left eq right) None else Some(right),
+      bcast = true)
+
   /** Fold one batch of NEW customers (c_custkey, c_name, c_nationkey)
-    * into the standing base + labels. Commit cost is O(batch + touched
-    * components) — the standing tables are read, never rewritten. */
+    * into the standing base + labels + variant index. Commit cost is
+    * O(batch·L + touched components) — the standing tables are
+    * scanned (map-only under the broadcast cap), never rewritten, and
+    * never re-expanded. Re-observed custkeys (a record re-sent in a
+    * later batch) are dropped — they keep their standing label, add no
+    * duplicate base/variant rows, and cannot move clusters; an UPDATE
+    * is [[forget]] + re-arrival. */
   def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val profile = sys.env.contains("SPARK_GRAFT_ER_PROFILE")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (profile) {
+      val now = System.nanoTime()
+      println(f"[er-profile] $phase%-12s ${(now - tLast) / 1e9}%.2fs")
+      tLast = now
+    }
     val last = lastCommitted(spark, dir)
     if (last.exists(_ >= batchId)) return
-    val arrivals = batch.select(col("c_custkey").cast("long").as("k"),
-      col("c_name").as("w"), col("c_nationkey").as("blk"))
-      .filter(col("w").isNotNull && col("blk").isNotNull).distinct()
-    // standing state restricted to COMMITTED partitions: a crashed
-    // prior attempt's partial partition (> last marker) is invisible
-    // here and overwritten below
+    val arrivals0 = batch.select(col("c_custkey").cast("long").as("k"),
+      col("c_name").as("w"), col("c_nationkey").cast("long").as("blk"))
+      .filter(col("w").isNotNull && col("blk").isNotNull)
+      .dropDuplicates("k")
+    // re-observation guard (key-restricted label read): genuinely-new
+    // arrivals only — a re-observed vertex must keep its standing
+    // label, not gain a conflicting self-row or duplicate index rows
+    val arrivals = (last match {
+      case None => arrivals0
+      case Some(up) => arrivals0.join(
+        labelsLatestFor(spark, dir, up, arrivals0.select("k"), bcast = true)
+          .select(col("v").as("k")), Seq("k"), "left_anti")
+    }).localCheckpoint()
+    mark("arrivals")
+    if (arrivals.isEmpty) {
+      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+    }
+    val nArr = arrivals.count()
+    val bcast = nArr <= MaxBroadcastArrivals
+    val standingVariants = last.map(up =>
+      readOrEmpty(spark, variantsDir(dir), variantsSchema)
+        .filter(col(BatchCol) <= up))
     val standingBase = last.map(up =>
-      spark.read.parquet(baseDir(dir))
+      readOrEmpty(spark, baseDir(dir), baseSchema)
         .filter(col(BatchCol) <= up).select(col("blk"), col("k"), col("w")))
-    val standingLabels = last.map(up => currentLabels(spark, dir, up))
-    val union = standingBase.map(_.unionByName(arrivals)).getOrElse(arrivals)
-    val newEdges = edgesTouching(arrivals, union)
-    // current labels: standing ∪ self-labeled arrivals. GENUINELY-new
-    // arrivals only on the self-label side: a re-observed custkey (a
-    // record re-sent in a later batch) must keep its standing label,
-    // not gain a second conflicting self-row — the anti-join is
-    // O(batch) against the standing label read this fold already does
-    val selfLabels = standingLabels match {
-      case None => arrivals.select(col("k").as("v"), col("k").as("component"))
-      case Some(prev) => arrivals.select(col("k").as("v"))
-        .join(prev.select(col("v")), Seq("v"), "left_anti")
-        .select(col("v"), col("v").as("component"))
-    }
-    val labels0 = standingLabels
-      .map(_.unionByName(selfLabels)).getOrElse(selfLabels)
-    // contract new edges through the current labels; CC over the label
-    // graph only (touched components), then compose
-    val contracted = newEdges
-      .join(labels0.select(col("v").as("ea"), col("component").as("la")), Seq("ea"))
-      .join(labels0.select(col("v").as("eb"), col("component").as("lb")), Seq("eb"))
-      .filter(col("la") =!= col("lb"))
-      .select(col("la").as("a"), col("lb").as("b")).distinct()
-    val touched = contracted.select(col("a").as("component"))
-      .unionAll(contracted.select(col("b").as("component"))).distinct()
-    // an edge-free batch (no arrival matches anything) merges nothing —
-    // and Components refuses empty relations (its convergence probe has
-    // no fixpoint to find), so short-circuit the contraction
-    val composed = if (contracted.isEmpty) labels0
+    val newEdges = edgesIndexed(arrivals, standingVariants, standingBase, bcast)
+      .localCheckpoint()
+    mark("edges")
+    // contract new edges through the endpoint labels (arrivals label
+    // themselves; standing endpoints from one key-restricted read),
+    // CC over the contracted label graph only, then the DELTA:
+    // arrivals plus touched-component members whose canonical moved
+    val delta =
+      if (newEdges.isEmpty) arrivals.select(col("k").as("v"), col("k").as("component"))
       else {
-        val merged = Components.connectedComponents(contracted, touched)
-        labels0
-          .join(merged.select(col("v").as("component"),
-            col("component").as("g_new")), Seq("component"), "left")
-          .select(col("v"),
-            coalesce(col("g_new"), col("component")).as("component"))
+        val endpoints = newEdges.select(col("ea").as("v"))
+          .unionAll(newEdges.select(col("eb").as("v"))).distinct()
+        val standingEnd = last.map(up =>
+          labelsLatestFor(spark, dir, up, endpoints, bcast = true))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(labelsSchema.fields.take(2))))
+        val endLabels = standingEnd
+          .unionByName(arrivals.select(col("k").as("v"), col("k").as("component")))
+        val contracted = newEdges
+          .join(endLabels.select(col("v").as("ea"), col("component").as("la")), Seq("ea"))
+          .join(endLabels.select(col("v").as("eb"), col("component").as("lb")), Seq("eb"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("la").as("a"), col("lb").as("b")).distinct()
+          .localCheckpoint()
+        if (contracted.isEmpty)
+          arrivals.select(col("k").as("v"), col("k").as("component"))
+        else {
+          val touched = contracted.select(col("a").as("component"))
+            .unionAll(contracted.select(col("b").as("component"))).distinct()
+          val merged = Components.connectedComponents(contracted, touched)
+            .select(col("v").as("component"), col("component").as("g_new"))
+            .localCheckpoint()
+          val arrivalRows = arrivals.select(col("k").as("v"), col("k").as("component"))
+            .join(broadcast(merged), Seq("component"), "left")
+            .select(col("v"), coalesce(col("g_new"), col("component")).as("component"))
+          val movedStanding = last.map { up =>
+            membersOf(spark, dir, up, touched)
+              .join(broadcast(merged), Seq("component"))
+              .filter(col("g_new") =!= col("component"))
+              .select(col("v"), col("g_new").as("component"))
+          }.getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(labelsSchema.fields.take(2))))
+          val d = arrivalRows.unionByName(movedStanding).localCheckpoint()
+          Components.dropCheckpoint(merged)
+          d
+        }
       }
-    // LABEL DELTA: assignments that are new (arrivals) or changed
-    // (touched-component members whose canonical id moved) — the only
-    // rows this batch commits
-    val delta = standingLabels match {
-      case None => composed
-      case Some(prev) => composed
-        .join(prev.select(col("v"), col("component").as("g_prev")),
-          Seq("v"), "left")
-        .filter(col("g_prev").isNull || col("g_prev") =!= col("component"))
-        .select(col("v"), col("component"))
-    }
+    mark("delta")
     // append-only commits: each batch overwrites exactly its own
     // partition (replay-idempotent), marker creation is the commit point
     arrivals.withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).parquet(baseDir(dir))
-    delta.withColumn(BatchCol, lit(batchId))
+    dels(arrivals).withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(variantsDir(dir))
+    delta.select(col("v"), col("component").cast("long"))
+      .withColumn(BatchCol, lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).parquet(labelsDir(dir))
-    touchMarker(spark, dir, batchId)
+    touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    mark("commit")
+    Components.dropCheckpoint(arrivals)
+    Components.dropCheckpoint(newEdges)
   }
 
   /** Right-to-be-forgotten on the ER artifact (the [[graft.functions
@@ -246,36 +424,46 @@ object IncrementalEr {
     * record may be the only ED ≤ 1 bridge between two name groups).
     *
     * Cost is bounded by the forgotten records' components, never the
-    * corpus: membership comes from one standing-label read, the
-    * re-match runs the FastSS kernel over member rows only, and the
-    * commits are the same append-only discipline as [[maintainBatch]]
-    * — one label-delta partition (new member assignments + NULL
-    * tombstones for the forgotten ids) plus a dynamic-partition
-    * rewrite of exactly the base partitions holding a forgotten row
-    * (a partition rewritten to empty is dropped). Both writes
-    * localCheckpoint first: they read the same files they replace,
-    * and cutting the lineage is what makes the self-overwrite safe.
+    * corpus: membership comes from the component-restricted label
+    * read, the re-match runs the FastSS kernel over member rows only,
+    * and the commits are the same append-only discipline as
+    * [[maintainBatch]] — one label-delta partition (new member
+    * assignments + NULL tombstones for the forgotten ids) plus a
+    * dynamic-partition rewrite of exactly the base AND variant
+    * partitions holding a forgotten row (a partition rewritten to
+    * empty is dropped). Writes localCheckpoint first: they read the
+    * same files they replace, and cutting the lineage is what makes
+    * the self-overwrite safe.
     *
     * `batchId` continues the table's single monotone commit sequence
-    * (same replay guard as maintainBatch); with a live stream, route
-    * forgets through the stream or pause it — the usual serialize-
-    * arrivals-per-table contract. Idempotent under replay AND under
-    * crash-between-the-two-writes: the no-op test is membership in
-    * the standing LABELS (still present until the delta commits), so
-    * a retry after a completed base rewrite still commits the label
-    * delta. A forgotten id later RE-ARRIVING via maintainBatch is a
-    * genuinely new record (tombstones drop out of the standing read,
-    * so it self-labels and matches fresh). */
+    * (same replay guard as maintainBatch) and is durably consumed even
+    * when the forget is a no-op (ids matching nothing still commit an
+    * empty marker); with a live stream, route forgets through the
+    * stream or pause it — the usual serialize-arrivals-per-table
+    * contract. Idempotent under replay AND under crash-between-writes:
+    * the no-op test is membership in the standing LABELS (still
+    * present until the delta commits), so a retry after a completed
+    * base rewrite still commits the label delta. A forgotten id later
+    * RE-ARRIVING via maintainBatch is a genuinely new record
+    * (tombstones drop out of the standing read, so it self-labels and
+    * matches fresh; its stale variant rows can only produce edges to
+    * unlabeled vertices, which the contraction drops). */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
              batchId: Long): Unit = {
-    val last = lastCommitted(spark, dir).getOrElse(return)
+    val last = lastCommitted(spark, dir).getOrElse {
+      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+    }
     if (last >= batchId) return
     val del = ids.select(col(ids.columns.head).cast("long").as("k")).distinct()
-    val labels = currentLabels(spark, dir, last)
-    val affectedIds = labels.join(del.select(col("k").as("v")), Seq("v"), "left_semi")
+    val affectedIds = labelsLatestFor(spark, dir, last,
+        del.select(col("k").as("v")), bcast = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (affectedIds.isEmpty) { affectedIds.unpersist(); return }
-    val base0 = spark.read.parquet(baseDir(dir)).filter(col(BatchCol) <= last)
+    if (affectedIds.isEmpty) {
+      affectedIds.unpersist()
+      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+    }
+    val base0 = readOrEmpty(spark, baseDir(dir), baseSchema)
+      .filter(col(BatchCol) <= last)
     // base partitions holding a forgotten row, rewritten without it
     val touchedParts = base0.join(del, Seq("k"), "left_semi")
       .select(col(BatchCol)).distinct()
@@ -290,12 +478,12 @@ object IncrementalEr {
     // emptiness probes AND the CC/delta below — localCheckpoint so the
     // FastSS chain runs once, not once per action (measured: the
     // probes re-running the whole chain tripled the forget pass)
-    val remaining = labels.join(affected, Seq("component"), "left_semi")
+    val remaining = membersOf(spark, dir, last, affected)
       .join(del.select(col("k").as("v")), Seq("v"), "left_anti")
       .select(col("v"))
       .localCheckpoint()
     val memRel = base0.select(col("blk"), col("k"), col("w"))
-      .join(remaining.select(col("v").as("k")), Seq("k"), "left_semi")
+      .join(broadcast(remaining.select(col("v").as("k"))), Seq("k"), "left_semi")
       .join(del, Seq("k"), "left_anti")
     val edges = edgesTouching(memRel, memRel).localCheckpoint()
     val newLabels =
@@ -317,33 +505,97 @@ object IncrementalEr {
     val emptied = touchedParts
       .join(rewritten.select(col(BatchCol)).distinct(), Seq(BatchCol), "left_anti")
       .select(col(BatchCol).cast("long")).collect().map(_.getLong(0))
-    // both relations are materialized off the files; mutate base first
+    // the variant partitions of the touched base partitions, re-derived
+    // from the REWRITTEN rows (map-only, bounded by the touched
+    // partitions) so the index never serves a forgotten record's rows
+    val varRewrite = dels(rewritten, Seq(BatchCol)).localCheckpoint()
+    // relations are materialized off the files; mutate base first
     // (crash before the delta replays through the labels-presence test)
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).parquet(baseDir(dir))
+    varRewrite.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(variantsDir(dir))
     val ctx = fc(spark, dir)
     emptied.foreach { b =>
-      val p = new Path(baseDir(dir), s"$BatchCol=$b")
-      if (ctx.util.exists(p)) ctx.delete(p, true)
+      Seq(baseDir(dir), variantsDir(dir)).foreach { t =>
+        val p = new Path(t, s"$BatchCol=$b")
+        if (ctx.util.exists(p)) ctx.delete(p, true)
+      }
     }
     // the manual directory drop bypasses the writer's own cache
-    // refresh — invalidate the listing so later base scans re-list
+    // refresh — invalidate the listing so later scans re-list
     spark.catalog.refreshByPath(baseDir(dir))
+    spark.catalog.refreshByPath(variantsDir(dir))
     delta.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).parquet(labelsDir(dir))
-    touchMarker(spark, dir, batchId)
+    touchMarker(spark, dir, s"$MarkerPrefix$batchId")
     Components.dropCheckpoint(rewritten)
+    Components.dropCheckpoint(varRewrite)
     Components.dropCheckpoint(delta)
     Components.dropCheckpoint(remaining)
     Components.dropCheckpoint(edges)
     affectedIds.unpersist()
   }
 
+  /** Fold the committed label deltas into ONE snapshot partition (the
+    * OPTIMIZE / rewrite discipline of [[graft.pipeline.AtomicTable
+    * .compact]] applied to the merge-on-read labels): the current
+    * assignment (latest non-tombstoned row per vertex) is written as
+    * the partition `_er_batch=<batchId>` and flagged by an
+    * `_er_snapshot_<batchId>` marker; every subsequent read prunes
+    * label partitions below the snapshot floor, so serving reads
+    * O(assignments + deltas-since-compaction) instead of the full
+    * delta history. `batchId` consumes the next id in the table's
+    * monotone commit sequence, like any other commit.
+    *
+    * Safe under concurrent readers: a reader that resolved an OLDER
+    * commit marker keeps reading the pre-snapshot partitions (still on
+    * disk); a reader resolving this marker starts at the snapshot.
+    * Pre-snapshot partitions are inert from the new floor onward —
+    * [[vacuumLabels]] reclaims them once in-flight readers drain.
+    * `resolved()` is bit-equal before/after (ErCompactSpec pins it):
+    * the snapshot rows carry the highest batch id, so the
+    * latest-per-vertex fold picks exactly them, and tombstoned
+    * vertices are simply absent. */
+  def compact(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val last = lastCommitted(spark, dir).getOrElse(return)
+    if (last >= batchId) return
+    val snapshot = currentLabels(spark, dir, last).localCheckpoint()
+    snapshot.withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).parquet(labelsDir(dir))
+    touchMarker(spark, dir, s"$SnapshotPrefix$batchId")
+    touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    Components.dropCheckpoint(snapshot)
+  }
+
+  /** Drop label partitions BELOW the current snapshot floor — the
+    * [[graft.pipeline.AtomicTable.vacuum]] janitor for the ER
+    * artifact. Superseded partitions are only read by readers holding
+    * a pre-compaction marker; like AtomicTable's vacuum, the caller
+    * serializes this against such in-flight readers. */
+  def vacuumLabels(spark: SparkSession, dir: String): Unit = {
+    val last = lastCommitted(spark, dir).getOrElse(return)
+    val floor = snapshotFloor(spark, dir, last).getOrElse(return)
+    val ctx = fc(spark, dir)
+    val p = new Path(labelsDir(dir))
+    ctx.util.listStatus(p).toSeq.map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.startsWith(s"$BatchCol=") &&
+          n.stripPrefix(s"$BatchCol=").toLong < floor
+      }
+      .foreach(q => ctx.delete(q, true))
+    spark.catalog.refreshByPath(labelsDir(dir))
+  }
+
   /** Current canonical assignment in q228's output shape:
     * (c_custkey, canonical_id, cluster_size) — served base ⟕ delta
-    * (latest committed delta row per vertex). */
+    * (latest committed delta row per vertex since the snapshot floor). */
   def resolved(spark: SparkSession, dir: String): DataFrame = {
     val up = lastCommitted(spark, dir).getOrElse(
       throw new IllegalStateException(s"IncrementalEr at $dir has no committed batch"))

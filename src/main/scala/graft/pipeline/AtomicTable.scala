@@ -119,7 +119,7 @@ object AtomicTable {
     * is atomic server-side; the local Hadoop shim (RawLocalFileSystem)
     * is check-then-act — a TOCTOU race — so `file:` paths route through
     * NIO's O_EXCL create, which is atomic at the POSIX layer. */
-  private def claimExclusive(ctx: FileContext, p: Path): Boolean = {
+  private[graft] def claimExclusive(ctx: FileContext, p: Path): Boolean = {
     val scheme = Option(p.toUri.getScheme)
       .getOrElse(ctx.getDefaultFileSystem.getUri.getScheme)
     if (scheme == "file" || scheme == null) {

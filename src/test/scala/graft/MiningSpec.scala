@@ -269,6 +269,98 @@ class MiningSpec extends SparkSpec {
     assert(got2 === Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 10L -> 5L, 8L -> 8L))
   }
 
+  test("ER compact: resolved() bit-equal before/after, vacuum prunes, folds continue on the snapshot") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_ercspec_") + "/er"
+    def cust(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((10L, "cat", 1L), (30L, "dog", 1L), (40L, "aaa", 1L))), 0L)
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((5L, "bat", 1L), (31L, "dog", 1L))), 1L)
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(40L).toDF("c_custkey"), 2L)
+    def served() = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val before = served()
+    // snapshot generation: serving unchanged, tombstoned 40 stays absent
+    graft.operators.IncrementalEr.compact(spark, dir, 3L)
+    assert(served() === before)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(3L))
+    // pre-snapshot label partitions prune away; serving still unchanged
+    graft.operators.IncrementalEr.vacuumLabels(spark, dir)
+    assert(served() === before)
+    assert(!new java.io.File(s"$dir/labels/_er_batch=0").exists())
+    assert(new java.io.File(s"$dir/labels/_er_batch=3").exists())
+    // replaying the compact id is a no-op
+    graft.operators.IncrementalEr.compact(spark, dir, 3L)
+    assert(served() === before)
+    // later folds read THROUGH the snapshot: rat links to standing bat/cat
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((3L, "rat", 1L))), 4L)
+    assert(served().map(t => t._1 -> t._2).toMap ===
+      Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 30L -> 30L, 31L -> 30L))
+    // and forgets do too (bat forgotten; rat-cat remain directly linked
+    // — one substitution — so the cluster survives with canon 3)
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(5L).toDF("c_custkey"), 5L)
+    assert(served().map(t => t._1 -> t._2).toMap ===
+      Map(3L -> 3L, 10L -> 3L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("ER no-op commits consume their batch id durably") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_ernoop_") + "/er"
+    def cust(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+    // forget against a never-committed table: id 0 is consumed, and the
+    // marker-only dir must not wedge later folds
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(7L).toDF("c_custkey"), 0L)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(0L))
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((10L, "cat", 1L))), 1L)
+    // forget of ids matching nothing: id 2 consumed, serving unchanged
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(999L).toDF("c_custkey"), 2L)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(2L))
+    // all-re-observed fold: id 3 consumed, no new base partition
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((10L, "cat", 1L))), 3L)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(3L))
+    assert(!new java.io.File(s"$dir/base/_er_batch=3").exists())
+    // a replayed maintain under a consumed no-op id cannot commit work
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((50L, "dog", 1L))), 2L)
+    assert(graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey").as[Long].collect().toSet === Set(10L))
+  }
+
+  test("ER variant index: persisted per-batch partitions, forget rewrites them") {
+    val dir = graft.pipeline.TempDirs.scoped("graft_ervspec_") + "/er"
+    def cust(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey")
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((10L, "cat", 1L), (30L, "dog", 1L))), 0L)
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      cust(Seq((5L, "bat", 1L))), 1L)
+    // one variants partition per batch, L rows per name
+    val v0 = spark.read.parquet(s"$dir/variants")
+    assert(v0.filter($"_er_batch" === 0L).count() === 6) // cat+dog, 3 each
+    assert(v0.filter($"_er_batch" === 1L).count() === 3)
+    // forgetting cat rewrites batch 0's variant partition without it
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(10L).toDF("c_custkey"), 2L)
+    val v1 = spark.read.parquet(s"$dir/variants")
+    assert(v1.filter($"_er_batch" === 0L).select("k")
+      .as[Long].collect().toSet === Set(30L))
+    // forgetting the whole of batch 1 drops its variant partition dir
+    graft.operators.IncrementalEr.forget(spark, dir,
+      Seq(5L).toDF("c_custkey"), 3L)
+    assert(!new java.io.File(s"$dir/variants/_er_batch=1").exists())
+    assert(graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey").as[Long].collect().toSet === Set(30L))
+  }
+
   // ---- KMV ----
 
   test("kmv: unsaturated sketch is the exact set; estimator returns exact count") {
