@@ -1653,14 +1653,19 @@ object MiningQueries {
         col("c_name"), col("c_nationkey")))
   }
 
+  /** q261's canonical name key — NFC, casefold, trim, token sort —
+    * factored so the one-shot (q261), incremental (q272), and
+    * forget (q273) forms normalize IDENTICALLY. */
+  private[graft] def normName(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", sort_array(split(
+      lower(trim(graft.plans.NativeExpressions.nfc(c))), " ")))
+
   /** q261's engine body over any (c_custkey, c_name, c_nationkey)
     * relation — factored so the spec can drive crafted variants. */
   private[graft] def resolveNormalized(
       cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = cust.select(col("c_custkey"),
-      concat_ws(" ", sort_array(split(
-        lower(trim(graft.plans.NativeExpressions.nfc(col("c_name")))), " ")))
-        .as("c_name"),
+      normName(col("c_name")).as("c_name"),
       col("c_nationkey"))
     val byName = (side: String) => c.select(col("c_name").as(s"w_$side"),
       col("c_nationkey").as("blk"), col("c_custkey").as(s"g_k$side"))
@@ -1725,8 +1730,99 @@ object MiningQueries {
     graft.operators.IncrementalEr.resolved(s, dir)
   }
 
+  /** q272 — INCREMENTAL NORMALIZED entity resolution: q261's canonical
+    * key (NFC/casefold/token-sort) applied AT INGEST — each arrival
+    * batch normalizes map-only, then folds through the same
+    * [[graft.operators.IncrementalEr.maintainBatch]] as q239 — so the
+    * maintained artifact resolves over canonical names from the first
+    * record, the way a production record-linkage pipeline composes
+    * (r14 verdict item 3: q261 normalized one-shot, q239/q262
+    * maintained over RAW names; this closes the seam). Gated against
+    * q261's one-shot oracle VERBATIM: the 3-batch normalized fold must
+    * reproduce the normalized fixpoint exactly. */
+  val q272 = Q("q272_incremental_er_normalized", q261.oracle.get) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_incern_") + "/er"
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      normName(col("c_name")).as("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
+  /** q273 — right-to-be-forgotten on the NORMALIZED maintained
+    * artifact: the q272 fold (canonical key at ingest) plus q262's
+    * forget commit (every custkey divisible by 50), served assignment
+    * gated against a from-scratch NORMALIZED resolution of the
+    * surviving records — the full composition of the ER tiers
+    * (normalize → maintain → forget) under one hash gate. */
+  val q273 = Q("q273_er_normalized_forget",
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         array_to_string(list_sort(string_split(
+      |           lower(trim(nfc_normalize(c_name))), ' ')), ' ') AS w
+      |  FROM customer WHERE c_custkey % 50 <> 0),
+      |e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.w, b.w) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM c
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_ernf_") + "/er"
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      normName(col("c_name")).as("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.forget(s, dir,
+      c.filter(col("c_custkey") % 50 === 0).select("c_custkey"), 3L)
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
+  /** q274 — q262's right-to-be-forgotten with the forget set arriving
+    * through a REAL Structured Streaming micro-batch (file source →
+    * foreachBatch → [[graft.operators.IncrementalEr.forget]], with
+    * checkpoint + AvailableNow — the [[graft.streaming.Events
+    * .erOpsGateBatch]] serving path): the maintained artifact is built
+    * exactly as q262, the tombstones stream in, and the served
+    * assignment is gated against the same from-scratch oracle — the
+    * replay-guard contract (monotone ids continue the table's commit
+    * sequence) proven on the wire, not just in a spec. */
+  val q274 = Q("q274_er_forget_streamed", q262.oracle.get) { (s, d) =>
+    val root = graft.pipeline.TempDirs.scoped("graft_erfs_")
+    val dir = root + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    c.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").cast("long").as("c_custkey"))
+      .write.parquet(s"$root/forgets")
+    def gate(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.operators.IncrementalEr.forget(s, dir, df, 3L + id)
+    val q = s.readStream.schema("c_custkey LONG").parquet(s"$root/forgets")
+      .writeStream.foreachBatch(gate _)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235, q238, q239, q261, q262)
+    q235, q238, q239, q261, q262, q272, q273, q274)
 }

@@ -517,6 +517,33 @@ object Events {
     banded.unpersist()
   }
 
+  /** Streaming ENTITY-RESOLUTION ops gate — one foreachBatch sink for a
+    * MIXED stream of record upserts and right-to-be-forgotten requests
+    * against a maintained [[graft.operators.IncrementalEr]] artifact.
+    * Rows carry `op` ('upsert' | 'forget') plus the customer columns;
+    * per micro-batch the arrivals fold first, then the tombstones, in
+    * that order (a forget in the same trigger as its own arrival wins
+    * — the compliance-safe order).
+    *
+    * The artifact's single monotone commit sequence is preserved by
+    * mapping stream batch b to artifact ids (2b, 2b+1) — maintain on
+    * the even id, forget on the odd — so BOTH ops replay-guard
+    * independently: a crash between the two commits replays the
+    * trigger, the even id no-ops through its marker, and the odd id
+    * completes. StreamingSpec pins crash-replay idempotence; q274
+    * gates the streamed forget against q262's from-scratch oracle. */
+  def erOpsGateBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      batch.filter(col("op") === "upsert")
+        .select("c_custkey", "c_name", "c_nationkey"),
+      2L * batchId)
+    val forgets = batch.filter(col("op") === "forget").select("c_custkey")
+    if (!forgets.isEmpty)
+      graft.operators.IncrementalEr.forget(spark, dir, forgets, 2L * batchId + 1L)
+  }
+
   /** Streaming EMBEDDING near-dup gate — [[lshDedupGateBatch]]'s vector
     * twin, closing the loop between the persisted IVF index
     * ([[graft.functions.VectorIndex]], q136) and the streaming arrival

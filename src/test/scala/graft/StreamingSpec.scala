@@ -193,6 +193,38 @@ class StreamingSpec extends SparkSpec {
     assert(d1 === Set(5L, 31L, 77L, 10L))
   }
 
+  test("streaming ER ops gate: mixed upsert/forget triggers, crash-replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_eropst_").toString + "/er"
+    def ops(rows: Seq[(String, Long, String, Long)]) =
+      rows.toDF("op", "c_custkey", "c_name", "c_nationkey")
+    val gate = graft.streaming.Events.erOpsGateBatch(dir) _
+    // trigger 0: three upserts — cat/bat link, dog alone
+    gate(ops(Seq(("upsert", 10L, "cat", 1L), ("upsert", 5L, "bat", 1L),
+      ("upsert", 30L, "dog", 1L))), 0L)
+    // trigger 1: one upsert + forget of the cluster's canonical (5):
+    // upsert folds first (rat joins cat/bat via cat), then the forget
+    // splits nothing but moves the canonical to the min survivor
+    gate(ops(Seq(("upsert", 3L, "rat", 1L), ("forget", 5L, null, 0L))), 1L)
+    def served() = graft.operators.IncrementalEr.resolved(spark, dir)
+      .select("c_custkey", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    val got = served()
+    assert(got === Map(3L -> 3L, 10L -> 3L, 30L -> 30L))
+    // ids 2b/2b+1: trigger 1 committed artifact ids 2 (maintain) and 3
+    // (forget)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(3L))
+    // crash-replay: the whole trigger re-runs — both halves no-op
+    // through their markers, serving unchanged
+    gate(ops(Seq(("upsert", 3L, "rat", 1L), ("forget", 5L, null, 0L))), 1L)
+    assert(served() === got)
+    assert(graft.operators.IncrementalEr.lastCommitted(spark, dir) === Some(3L))
+    // and the gate keeps working after the replay
+    gate(ops(Seq(("forget", 30L, null, 0L))), 2L)
+    assert(served() === Map(3L -> 3L, 10L -> 3L))
+  }
+
   test("K6: foreachBatch serving-state sink routes views vs cart, partition-local") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
