@@ -130,9 +130,12 @@ object SqlQueries {
   // cents×disc% = 1e-4 $ units, ×(100+tax%) = 1e-6 $ units; decimal
   // casts before compares; CAST(SUM AS BIGINT) against the HUGEINT
   // seam; floats only as ONE final IEEE division). Queries needing
-  // columns the synthetic schema omits (partsupp, commit/receipt dates,
-  // shipmode) are out of scope — the six below cover the aggregate,
-  // join-depth, and top-k shapes of the suite.
+  // columns the synthetic schema omits (partsupp, commit/receipt
+  // dates, shipmode, mfgr/container/comment) get them from the
+  // DERIVED-SCHEMA EXTENSION below (q263-q271, r15): deterministic
+  // arithmetic over the existing keys, spelled portably and computed
+  // INSIDE the verbatim text, so both engines derive bit-identical
+  // extension columns and the hash gate covers the derivation too.
 
   /** q229 — TPC-H Q1, the pricing summary report: the canonical
     * wide-aggregate scan (8 aggregates, 2 group keys, one pass).
@@ -422,7 +425,279 @@ object SqlQueries {
       |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
       |GROUP BY 1""".stripMargin)
 
+  // ——— q263–q271: the nine TPC-H queries blocked until r15 on columns
+  // the synthetic schema omits, unlocked by the derived-schema
+  // extension. Each extension column is a deterministic pure function
+  // of existing keys (verbatim-portable arithmetic: BIGINT %, DATE +
+  // INT, || concat — all probed identical on both engines), declared
+  // as WITH-clause snippets and composed into each statement, so the
+  // statement stays ONE self-contained verbatim text. FIXTURES.md §C
+  // records the extension's value model.
+
+  /** 4-row sequence (cross-joined with part → 4 partsupp rows per
+    * part, the TPC-H multiplicity). */
+  private val Seq4 =
+    "seq4 AS (SELECT 1 AS i UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4)"
+
+  /** Derived partsupp: suppkey spread over the (0-based, contiguous)
+    * supplier key space — scale-factor-safe via the COUNT(*) scalar —
+    * with availqty and supplycost (integer cents from the start, the
+    * exact-money discipline) as key arithmetic. */
+  private val Partsupp =
+    """partsupp AS (
+SELECT p_partkey AS ps_partkey,
+       CAST((p_partkey * 419 + i * 97) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+       CAST(1 + (p_partkey * 13 + i * 7) % 9999 AS BIGINT) AS ps_availqty,
+       CAST(100 + (p_partkey * 31 + i * 293) % 99900 AS BIGINT) AS ps_supplycost_c
+FROM part, seq4)"""
+
+  /** Derived lineitem commit/receipt dates (DATE arithmetic off the
+    * ship date: commit ∈ ship ± 30 d, receipt ∈ ship + 1..30 d, so the
+    * late-delivery predicates partition non-trivially), ship mode and
+    * ship instruction (key-hash pick from the TPC-H domains). */
+  private val LineitemX =
+    """lineitem_x AS (
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_returnflag, l_linestatus, l_shipdate,
+       CAST(l_shipdate AS DATE) + CAST((l_orderkey * 31 + l_linenumber * 17) % 61 - 30 AS INT) AS l_commitdate,
+       CAST(l_shipdate AS DATE) + CAST(1 + (l_orderkey * 23 + l_linenumber * 7) % 30 AS INT) AS l_receiptdate,
+       CASE CAST((l_orderkey * 7 + l_linenumber) % 7 AS INT)
+         WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+         WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+         ELSE 'FOB' END AS l_shipmode,
+       CASE CAST((l_orderkey * 11 + l_linenumber) % 4 AS INT)
+         WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
+         WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
+FROM lineitem)"""
+
+  /** Derived supplier address/phone/comment; one supplier in ten gets
+    * the Q16 complaints marker. */
+  private val SupplierX =
+    """supplier_x AS (
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+       'ADDR#' || CAST(s_suppkey AS STRING) AS s_address,
+       'PHONE#' || CAST(s_suppkey AS STRING) AS s_phone,
+       CASE WHEN s_suppkey % 10 = 7 THEN 'slow Customer deposits Complaints kind'
+            ELSE 'quick deposits kind' END AS s_comment
+FROM supplier)"""
+
+  /** Derived part manufacturer (5 values, brand-style) and container
+    * (8 values from the TPC-H domain). */
+  private val PartX =
+    """part_x AS (
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+       'Manufacturer#' || CAST(1 + p_partkey % 5 AS STRING) AS p_mfgr,
+       CASE CAST(p_partkey % 8 AS INT)
+         WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'SM BOX' WHEN 2 THEN 'MED BAG'
+         WHEN 3 THEN 'MED BOX' WHEN 4 THEN 'LG CASE' WHEN 5 THEN 'LG BOX'
+         WHEN 6 THEN 'JUMBO PACK' ELSE 'WRAP JAR' END AS p_container
+FROM part)"""
+
+  /** q263 — TPC-H Q2, minimum-cost supplier: for every qualifying part
+    * (one size, one type), the EUROPE supplier(s) at the region-wide
+    * minimum supply cost, with the supplier's contact block. The
+    * correlated MIN subquery is written decorrelated (per-part
+    * aggregate CTE + equi-join — the q236 discipline; Catalyst's
+    * DecorrelateInnerQuery produces the same plan from the correlated
+    * spelling). Money exact in cents; ties all returned. */
+  val q263 = sqlQ("q263_sql_min_cost_supplier",
+    s"""WITH $Seq4,
+$Partsupp,
+$SupplierX,
+$PartX,
+cost AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_c
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+mins AS (SELECT ps_partkey, MIN(ps_supplycost_c) AS min_cost_c FROM cost GROUP BY 1)
+SELECT CAST(CAST(sx.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_acctbal_c,
+       sx.s_name, n.n_name, px.p_partkey, px.p_mfgr,
+       sx.s_address, sx.s_phone, sx.s_comment
+FROM part_x px
+JOIN cost c ON c.ps_partkey = px.p_partkey
+JOIN mins m ON m.ps_partkey = px.p_partkey AND c.ps_supplycost_c = m.min_cost_c
+JOIN supplier_x sx ON sx.s_suppkey = c.ps_suppkey
+JOIN nation n ON n.n_nationkey = sx.s_nationkey
+WHERE px.p_size IN (15, 25, 33, 42) AND px.p_type = 'STANDARD'""")
+
+  /** q264 — TPC-H Q4, order-priority checking: orders of one quarter
+    * with at least one late line (commit date before receipt date),
+    * counted per priority — the EXISTS-semi-join shape over the
+    * derived dates. */
+  val q264 = sqlQ("q264_sql_order_priority",
+    s"""WITH $LineitemX
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1997-07-01' AND o.o_orderdate < DATE '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem_x l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_commitdate < l.l_receiptdate)
+GROUP BY 1""")
+
+  /** q265 — TPC-H Q9, product-type profit: per (nation, year) profit
+    * on one part family — revenue minus supply cost, both exact in
+    * 1e-4 dollar units (cents × percent and cents × qty-cents share
+    * the unit, so the subtraction stays integer). The partsupp join
+    * keys on BOTH (partkey, suppkey) — the classic 6-relation chain. */
+  val q265 = sqlQ("q265_sql_product_profit",
+    s"""WITH $Seq4,
+$Partsupp,
+profit AS (
+  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+           - ps.ps_supplycost_c * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_u4
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%')
+SELECT nation, o_year, CAST(SUM(amount_u4) AS BIGINT) AS sum_profit_u4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM profit GROUP BY 1, 2""")
+
+  /** q266 — TPC-H Q11, important stock: parts whose one-nation stock
+    * value clears a fraction of that nation's total — the
+    * HAVING-vs-global-aggregate shape, as an exact integer
+    * cross-multiply (value·1000 > total), no float threshold. */
+  val q266 = sqlQ("q266_sql_important_stock",
+    s"""WITH $Seq4,
+$Partsupp,
+pv AS (
+  SELECT ps.ps_partkey,
+         CAST(SUM(ps.ps_supplycost_c * ps.ps_availqty) AS BIGINT) AS value_c
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS t FROM pv)
+SELECT p.ps_partkey, p.value_c
+FROM pv p, tot
+WHERE p.value_c * 1000 > tot.t""")
+
+  /** q267 — TPC-H Q12, shipping modes and order priority: late lines
+    * of two ship modes received in one year, split by order priority —
+    * the canonical conditional two-counter aggregate over the derived
+    * date/mode columns. */
+  val q267 = sqlQ("q267_sql_shipmode_priority",
+    s"""WITH $LineitemX
+SELECT l.l_shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                       OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                      AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem_x l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+  AND l.l_commitdate < l.l_receiptdate
+  AND CAST(l.l_shipdate AS DATE) < l.l_commitdate
+  AND l.l_receiptdate >= DATE '1997-01-01' AND l.l_receiptdate < DATE '1998-01-01'
+GROUP BY 1""")
+
+  /** q268 — TPC-H Q16, parts/supplier relationship: distinct supplier
+    * count per (brand, type, size) bucket, excluding one brand, one
+    * type, and complaint-flagged suppliers (NOT IN over the derived
+    * comment — null-free by construction, so the NOT IN is safe). */
+  val q268 = sqlQ("q268_sql_parts_supplier_relationship",
+    s"""WITH $Seq4,
+$Partsupp,
+$SupplierX
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 25, 32)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_x
+                            WHERE s_comment LIKE '%Customer%Complaints%')
+GROUP BY 1, 2, 3""")
+
+  /** q269 — TPC-H Q19, discounted revenue: the three OR'd
+    * (brand, container, quantity-band, size-band) predicates over two
+    * air ship modes and in-person delivery — the disjunctive
+    * multi-attribute pushdown shape; revenue exact in 1e-4 units,
+    * line count alongside so the gate pins the match set. */
+  val q269 = sqlQ("q269_sql_discounted_revenue",
+    s"""WITH $LineitemX,
+$PartX
+SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_u4,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem_x l JOIN part_x p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipinstruct = 'DELIVER IN PERSON'
+  AND l.l_shipmode IN ('AIR', 'REG AIR')
+  AND ((p.p_brand = 'Brand#1' AND p.p_container IN ('SM CASE', 'SM BOX')
+        AND l.l_quantity >= 1 AND l.l_quantity <= 30 AND p.p_size BETWEEN 1 AND 25)
+    OR (p.p_brand = 'Brand#2' AND p.p_container IN ('MED BAG', 'MED BOX')
+        AND l.l_quantity >= 10 AND l.l_quantity <= 40 AND p.p_size BETWEEN 1 AND 25)
+    OR (p.p_brand = 'Brand#3' AND p.p_container IN ('LG CASE', 'LG BOX')
+        AND l.l_quantity >= 20 AND l.l_quantity <= 50 AND p.p_size BETWEEN 1 AND 25))""")
+
+  /** q270 — TPC-H Q20, potential part promotion: suppliers of one part
+    * family in one nation whose stock exceeds half of what they
+    * actually shipped in a year. The correlated half-sum is
+    * decorrelated through a per-(part, supplier) aggregate CTE, and
+    * the 0.5 factor is the exact integer cross-multiply
+    * availqty·200 > Σqty_c. */
+  val q270 = sqlQ("q270_sql_part_promotion",
+    s"""WITH $Seq4,
+$Partsupp,
+$SupplierX,
+qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sqty_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+  JOIN qty q ON q.l_partkey = ps.ps_partkey AND q.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty * 200 > q.sqty_c)
+SELECT sx.s_name, sx.s_address
+FROM supplier_x sx
+JOIN cand c ON c.ps_suppkey = sx.s_suppkey
+JOIN nation n ON n.n_nationkey = sx.s_nationkey
+WHERE n.n_name = 'NATION_3'""")
+
+  /** q271 — TPC-H Q21, suppliers who kept orders waiting: late lines
+    * of finalized multi-supplier orders where the line's supplier was
+    * the ONLY late one, counted per supplier of one nation. The two
+    * correlated (NOT) EXISTS are decorrelated into one per-order
+    * aggregate — n_supp ≥ 2 ⟺ "another supplier exists", and (given
+    * the line itself is late) n_late = 1 ⟺ "no OTHER supplier was
+    * late" — the exact set-algebra rewrite, not an approximation. */
+  val q271 = sqlQ("q271_sql_suppliers_kept_waiting",
+    s"""WITH $LineitemX,
+lx AS (SELECT l_orderkey, l_suppkey, l_commitdate, l_receiptdate FROM lineitem_x),
+ord AS (
+  SELECT l_orderkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(COUNT(DISTINCT CASE WHEN l_receiptdate > l_commitdate
+                                  THEN l_suppkey END) AS BIGINT) AS n_late
+  FROM lx GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lx l1
+JOIN ord ON ord.l_orderkey = l1.l_orderkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND ord.n_supp >= 2 AND ord.n_late = 1
+  AND n.n_name = 'NATION_5'
+GROUP BY 1""")
+
   val all: Seq[Q] = Seq(q221, q222, q223, q226,
     q229, q230, q231, q232, q233, q234, q236, q237,
-    q240, q241, q242, q243, q244)
+    q240, q241, q242, q243, q244,
+    q263, q264, q265, q266, q267, q268, q269, q270, q271)
 }
