@@ -287,15 +287,18 @@ object IncrementalEr {
       .distinct()
   }
 
-  /** Symmetric in-memory ED ≤ 1 edges over a small member relation —
-    * [[forget]]'s re-match runs over touched-component members only,
-    * where re-expanding both sides is cheaper than any index. */
-  private[graft] def edgesTouching(left: DataFrame,
-                                   right: DataFrame): DataFrame =
+  /** Symmetric ED ≤ 1 edges over a member relation — [[forget]]'s
+    * re-match runs over touched-component members only, where
+    * re-expanding both sides is cheaper than any index. `bcast`
+    * follows the same measured cap as the maintain probe: a forget
+    * touching a mega-cluster must not broadcast its exploded
+    * variants. */
+  private[graft] def edgesTouching(left: DataFrame, right: DataFrame,
+                                   bcast: Boolean = true): DataFrame =
     edgesIndexed(left,
       standingVariants = if (left eq right) None else Some(dels(right)),
       standingBase = if (left eq right) None else Some(right),
-      bcast = true)
+      bcast = bcast)
 
   /** Fold one batch of NEW customers (c_custkey, c_name, c_nationkey)
     * into the standing base + labels + variant index. Commit cost is
@@ -482,10 +485,12 @@ object IncrementalEr {
       .join(del.select(col("k").as("v")), Seq("v"), "left_anti")
       .select(col("v"))
       .localCheckpoint()
+    val nRemaining = remaining.count()
     val memRel = base0.select(col("blk"), col("k"), col("w"))
       .join(broadcast(remaining.select(col("v").as("k"))), Seq("k"), "left_semi")
       .join(del, Seq("k"), "left_anti")
-    val edges = edgesTouching(memRel, memRel).localCheckpoint()
+    val edges = edgesTouching(memRel, memRel,
+      bcast = nRemaining <= MaxBroadcastArrivals).localCheckpoint()
     val newLabels =
       if (remaining.isEmpty || edges.isEmpty)
         remaining.select(col("v"), col("v").as("component"))

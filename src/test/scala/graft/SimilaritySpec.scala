@@ -175,6 +175,44 @@ class SimilaritySpec extends SparkSpec {
         s"neighbor $nid of query $qid sits in unprobed cell ${cellOf(nid)}")
   }
 
+  test("persisted IVF-PQ serving: refined recall climbs with nprobe, floor holds (the AnnRecall knob)") {
+    import graft.functions.VectorIndex
+    // the q161 serving tier (ADC shortlist + exact re-rank — the
+    // production shape) on the deterministic spec corpus: frozen
+    // artifacts built once, probed at the two ends of the AnnRecall
+    // nprobe grid. Pins (SCALING.md §ann-recall's spec hook): REFINED
+    // recall at full probe dominates single-probe — exact re-rank
+    // kills the ADC impostors that make the UNREFINED curve
+    // non-monotone at coarse m (measured: m=4 unrefined recall can
+    // DROP as nprobe grows, because every extra cell adds
+    // approximately-scored candidates that displace true neighbors;
+    // the refined path only ever gains from wider cell coverage, up
+    // to the rerank-pool bound).
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = graft.pipeline.TempDirs.scoped("graft_annrecall_spec_")
+    VectorIndex.build(vecs, dir, trained = true)
+    VectorIndex.buildPq(spark, dir, m = 4, c = 64, dim = 64,
+      trained = true, iters = 2)
+    def recallAt(nprobe: Int): Double = {
+      val approx = VectorIndex.pqTopKRefined(spark, dir, queries, vecs,
+        k = 10, rerank = 30, nprobe = nprobe, m = 4, dim = 64)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val cells = Similarity.codebookSize(vecs.count())
+    val r1 = recallAt(1)
+    val rAll = recallAt(cells)
+    info(f"refined serving recall@10: nprobe=1 -> $r1%.2f, nprobe=$cells -> $rAll%.2f")
+    assert(rAll >= r1, s"full-probe refined recall $rAll below single-probe $r1")
+    assert(r1 >= 0.05, s"single-probe refined recall $r1 (floor 0.05)")
+    assert(rAll >= 0.4, s"full-probe refined recall $rAll (floor 0.4)")
+  }
+
   test("trained PQ codebooks: L2 Lloyd never increases quantization error; recall holds") {
     import graft.operators.Relational
     val vecs = Tables.embeddings(spark, sf)
