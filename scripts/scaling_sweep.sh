@@ -15,7 +15,12 @@ cd "$(dirname "$0")/.."
 # the sweep in round 12 when ScaleUp.scaleEvents started replicating
 # the events table (it copied verbatim before, which would have
 # "scaled" the funnel over constant input).
-REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q150_|q151_|q152_|q153_|q154_|q155_|q156_|q157_|q158_|q159_|q160_|q161_|q162_|q163_|q164_|q167_|q168_|q169_|q170_|q171_|q172_|q173_|q175_|q176_|q177_|q178_|q179_|q180_|q181_|q182_|q183_|q184_|q185_|q186_|q188_|q189_|q190_|q191_|q193_|q194_|q198_|q199_|q201_|q203_|q206_|q208_|q209_|q213_|q214_|q215_|q216_|q217_|q218_|q219_|q220_|q221_|q223_|q224_|q225_|q226_|q227_|q228_|q229_|q230_|q231_|q232_|q233_|q234_|q235_|q236_|q237_|q238_|q239_|q240_|q241_|q242_|q243_|q244_|q245_|q246_|q247_|q248_|q250_|q251_|q252_|q253_|q254_|q255_|q256_|q259_|q260_)'
+REGEX='^(q15_|q20_|q22_|q51_|q68_|q83_|q94_|q103_|q104_|q108_|q110_|q113_|q114_|q116_|q117_|q122_pca_cov|q124_video_neardup_prod|q125_|q127_|q129_|q136_|q137_|q138_|q139_|q140_|q146_|q147_|q148_|q149_|q150_|q151_|q152_|q153_|q154_|q155_|q156_|q157_|q158_|q159_|q160_|q161_|q162_|q163_|q164_|q167_|q168_|q169_|q170_|q171_|q172_|q173_|q175_|q176_|q177_|q178_|q179_|q180_|q181_|q182_|q183_|q184_|q185_|q186_|q188_|q189_|q190_|q191_|q193_|q194_|q198_|q199_|q201_|q203_|q206_|q208_|q209_|q213_|q214_|q215_|q216_|q217_|q218_|q219_|q220_|q221_|q223_|q224_|q225_|q226_|q227_|q228_|q229_|q230_|q231_|q232_|q233_|q234_|q235_|q236_|q237_|q238_|q239_|q240_|q241_|q242_|q243_|q244_|q245_|q246_|q247_|q248_|q250_|q251_|q252_|q253_|q254_|q255_|q256_|q259_|q260_|q262_|q263_|q264_|q265_|q266_|q267_|q268_|q269_|q270_|q271_|q272_|q273_|q274_)'
+# Round-15 additions: q263-q271 (the TPC-H queries unlocked by the
+# derived-schema extension — all over the replicated relational
+# universe), q262/q272-q274 (the maintained-ER tier: build + forget,
+# normalized, streamed forget — customer names replicate with
+# radius-disjoint suffixes so the match work recurs once per replica).
 # Round-12 additions: q191/q194/q199/q201/q203 (events-based — ScaleUp
 # replicates events) and q193/q198 (documents-based); q208/q213
 # (events), q214 (documents).
