@@ -370,9 +370,10 @@ object IncrementalEr {
           .filter(col("la") =!= col("lb"))
           .select(col("la").as("a"), col("lb").as("b")).distinct()
           .localCheckpoint()
-        if (contracted.isEmpty)
+        if (contracted.isEmpty) {
+          Components.dropCheckpoint(contracted)
           arrivals.select(col("k").as("v"), col("k").as("component"))
-        else {
+        } else {
           val touched = contracted.select(col("a").as("component"))
             .unionAll(contracted.select(col("b").as("component"))).distinct()
           val merged = Components.connectedComponents(contracted, touched)
@@ -391,6 +392,7 @@ object IncrementalEr {
             StructType(labelsSchema.fields.take(2))))
           val d = arrivalRows.unionByName(movedStanding).localCheckpoint()
           Components.dropCheckpoint(merged)
+          Components.dropCheckpoint(contracted)
           d
         }
       }
@@ -414,6 +416,7 @@ object IncrementalEr {
     mark("commit")
     Components.dropCheckpoint(arrivals)
     Components.dropCheckpoint(newEdges)
+    Components.dropCheckpoint(delta)
   }
 
   /** Right-to-be-forgotten on the ER artifact (the [[graft.functions
