@@ -81,6 +81,11 @@ object StreamBench {
     // not double-counting), rolled up by the queryName prefix
     // (bronze_/kv_/rerank_).
     val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    // monotone event counter for the drain probe below: a queued
+    // progress event with ZERO input rows but nonzero triggerExecution
+    // would not move the row total, so draining on rows alone could
+    // stop while busy-time events are still in flight (r15 advice)
+    val nEvents = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -91,6 +96,7 @@ object StreamBench {
           .map(_.longValue).getOrElse(0L)
         acc.merge(Option(p.name).getOrElse("unnamed"), (d, p.numInputRows),
           (a, b) => (a._1 + b._1, a._2 + b._2))
+        nEvents.incrementAndGet()
       }
     }
     spark.streams.addListener(listener)
@@ -99,12 +105,12 @@ object StreamBench {
       Events.InMemoryKV, clock)
     queries.foreach(_.awaitTermination())
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener events post asynchronously — drain until the totals go
-    // quiet (bounded) before reading the accumulator
+    // listener events post asynchronously — drain until the MONOTONE
+    // event count goes quiet (bounded) before reading the accumulator
     var drained = -1L
     var spins = 0
     while (spins < 50 && {
-      val now = acc.values().stream().mapToLong(_._2).sum()
+      val now = nEvents.get()
       val changed = now != drained; drained = now; changed
     }) { Thread.sleep(100); spins += 1 }
     spark.streams.removeListener(listener)

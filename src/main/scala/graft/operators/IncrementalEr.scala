@@ -1,73 +1,100 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileContext, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** INCREMENTAL entity resolution — q228's block → match → canonicalize
   * pipeline maintained under customer ARRIVALS without re-matching the
   * accumulated base against itself (the q180 contracted-label
   * discipline applied to the record-linkage tier), without REWRITING
-  * the accumulated state (r14's append-only commits), and — since r15
-  * — without RECOMPUTING it either:
+  * the accumulated state (r14's append-only commits), without
+  * RECOMPUTING it (r15's persisted variant index), and — since r16 —
+  * without SCANNING all of it per batch either:
   *
+  *  - every table of the artifact carries a HASH-BUCKET partition
+  *    column (`base/` by `wb = pmod(xxhash64(w), B)`, `variants/` by
+  *    `vb = pmod(g_vh, B)`, `labels/` by `kb = pmod(xxhash64(v), B)`,
+  *    and the inverted `members/` copy by
+  *    `cb = pmod(xxhash64(component), B)`), laid out as a second-level
+  *    partition directory under each commit's `_er_batch=<id>/`. Per
+  *    fold, the batch's TOUCHED buckets are derived map-side (a
+  *    distinct over the arrivals' variant/string hashes) and pushed as
+  *    a partition predicate, so the probe PRUNES the standing scan to
+  *    the touched buckets instead of reading the whole index;
+  *  - bucket counts are TWO-TIER. Delta commits use a small CONSTANT
+  *    count (the `_er_layout_v2_…` marker, default 16 — bounding
+  *    per-commit files and dynamic-overwrite renames at streaming
+  *    cadence), while each snapshot generation carries its OWN count
+  *    embedded in its snapshot marker (`_er_basesnap_<id>_<bB>_<bV>`,
+  *    `_er_snapshot_<id>_<bL>_<bM>`): [[compactBase]] / [[compact]]
+  *    re-bucket as they fold, sizing `B' ≈ live rows /
+  *    targetRowsPerBucket` so per-bucket BYTES stay ~constant as the
+  *    corpus grows. That growth law is the term that makes a fixed
+  *    trigger's probe I/O flat at 100 TB: touched buckets ≤ |batch|·L̄
+  *    whatever the standing size, so bytes/fold → touched ×
+  *    bucket-bytes, independent of the corpus (measured in
+  *    IncrementalBench's `er_probe` sweep across a 10× standing
+  *    decade). A read window [snapshot, upTo] prunes with a
+  *    DISJUNCTIVE partition predicate — snapshot partition under the
+  *    snapshot's modulus, delta partitions under the layout's — so the
+  *    two tiers never mix moduli;
   *  - the standing side's FastSS deletion variants are a PERSISTED
-  *    INDEX (`variants/`, one `_er_batch=<id>/` partition per commit,
-  *    rows `(blk, g_vh, g_pos, k, w)` — the q148 persisted-index
-  *    treatment the r14 docstring promised): per batch, the arrivals'
-  *    variants PROBE the index through the same (block, variant-hash,
-  *    position) equi-joins as [[graft.functions.FuzzyJoin]], so the
-  *    per-batch compute is O(|batch|·L) probe rows against a stored
-  *    table — the base's variants are expanded exactly once, when
-  *    their batch commits, never again;
-  *  - the probe joins BROADCAST the arrivals' side when the batch is
-  *    small (measured row count ≤ [[IncrementalEr.MaxBroadcastArrivals]],
-  *    the explicit runtime decision the r14 explode-blind-broadcast
-  *    lesson demands), so the standing index and base are scanned
-  *    MAP-ONLY — no O(standing) shuffle per batch. Oversized batches
-  *    fall back to shuffle_merge (correct, scan-proportional); at
-  *    100 TB the index would additionally be BUCKETED by
-  *    (blk, g_vh) via a catalog table so even that path shuffles only
-  *    the batch;
-  *  - standing LABELS are never read whole either: the three reads a
-  *    fold needs (re-observation guard, edge-endpoint labels, touched-
-  *    component membership) are key-restricted — a broadcast semi-join
-  *    prunes the scan map-side and the latest-per-vertex window runs
-  *    over the restricted rows only;
-  *  - new edges contract through the standing labels (arrivals label
-  *    themselves), and CC runs over the contracted label graph only —
-  *    bounded by touched components, not customers;
+  *    INDEX (`variants/`, rows `(blk, g_vh, g_pos, k, w)`): per batch,
+  *    the arrivals' variants PROBE the index through (block,
+  *    variant-hash, position) equi-joins, so per-batch compute is
+  *    O(|batch|·L) probe rows — the base's variants are expanded
+  *    exactly once, when their batch commits;
+  *  - the probe joins BROADCAST the arrivals' side only when the
+  *    MEASURED batch row count is ≤ [[IncrementalEr.MaxBroadcastArrivals]]
+  *    (the r14 explode-blind-broadcast lesson); since r16 the same
+  *    measured cap gates EVERY explicit broadcast on the fold and
+  *    forget paths (key-set semi-joins, merged-component maps), so an
+  *    oversized batch or mega-component forget cannot OOM the driver
+  *    through a side door the cap was built to close;
+  *  - standing LABELS are never read whole: the by-vertex reads prune
+  *    to the keys' kb buckets plus a semi-join, and the by-component
+  *    membership read goes through the inverted `members/` copy pruned
+  *    to the touched components' cb buckets — label deltas are written
+  *    to both copies (O(batch) bytes), which is what buys partition
+  *    pruning on BOTH access paths;
+  *  - new edges contract through the standing labels, and CC runs over
+  *    the contracted label graph only — bounded by touched components;
   *  - COMMITS ARE APPEND-ONLY: the batch's arrivals land as their own
-  *    `_er_batch=<id>/` partition of the base AND variants tables, and
-  *    the labels table receives only the batch's DELTA — assignments
-  *    that are new (the arrivals) or CHANGED (vertices of touched
-  *    components whose canonical id moved). Per-batch commit bytes are
-  *    O(batch·L), independent of standing size.
+  *    `_er_batch=<id>/<bucket>=…/` partitions and the labels/members
+  *    tables receive only the batch's DELTA. Per-batch commit bytes
+  *    are O(batch·L), independent of standing size.
   *
   * Commit protocol: partition writes are dynamic partition overwrites
-  * of the batch's OWN partition (idempotent under replay), and the
+  * of the batch's OWN partitions (idempotent under replay), and the
   * commit point is an empty `_er_commit_<id>` marker created in the
   * labels dir AFTER all writes land (via the same FileContext /
-  * NIO-O_EXCL dispatch as [[graft.pipeline.AtomicTable]] — a marker
-  * written with driver-local NIO alone would silently land off-cluster
-  * on HDFS/S3A and never be seen by `lastCommitted`). Readers resolve
-  * the highest marker first and filter all tables to `_er_batch <=`
-  * that id, so a writer that dies mid-partition leaves files no reader
-  * ever serves; the replay overwrites them. Batch ids must be monotone
-  * (Structured Streaming's foreachBatch contract) and EVERY invoked id
-  * is durably consumed exactly once — no-op folds (all arrivals
-  * re-observed, forget of absent ids) still write their marker, so a
-  * later call can never commit real work under a previously-seen id.
+  * NIO-O_EXCL dispatch as [[graft.pipeline.AtomicTable]]). Readers
+  * resolve the highest marker first and filter all tables to
+  * `_er_batch <=` that id. Batch ids must be monotone (Structured
+  * Streaming's foreachBatch contract) and EVERY invoked id is durably
+  * consumed exactly once — no-op folds (EMPTY batches included, the
+  * r15 hole) still write their marker, so a later call can never
+  * commit real work under a previously-seen id.
   *
-  * Serving folds the label deltas latest-per-vertex (one window over
-  * the labels partitions SINCE THE LAST SNAPSHOT — [[compact]] folds
-  * accumulated deltas into a snapshot partition flagged by an
-  * `_er_snapshot_<id>` marker, and every read prunes partitions below
-  * the snapshot floor, so read amplification is O(snapshot + deltas
-  * since), reset by each compaction; pre-snapshot partitions stay on
-  * disk for in-flight readers until [[vacuumLabels]]).
+  * Serving folds the label deltas latest-per-vertex over the snapshot
+  * window ([[compact]] folds accumulated label deltas into a snapshot
+  * generation; [[compactBase]] is the same OPTIMIZE for the base +
+  * variant partitions — without it, streaming cadence accretes one
+  * directory per commit forever, the small-file problem
+  * AtomicTable.compact solves for tables). Pre-snapshot partitions
+  * stay on disk for in-flight readers until [[vacuumLabels]] /
+  * [[vacuumBase]]; they also serve [[resolvedAsOf]] time travel and
+  * [[labelDiff]] audits, both partition filters over the same commit
+  * sequence.
+  *
+  * A pre-r16 artifact (committed batches but no `_er_layout_` marker —
+  * including the pre-r15 shape with no `variants/` at all) FAILS
+  * LOUDLY on first standing read instead of silently resolving against
+  * a partial index: rebuild the artifact, or replay its source batches
+  * through this code.
   *
   * Labels are min-custkey canonical ids, and min-of-mins is the global
   * min, so the cross-batch fold reproduces EXACTLY the one-shot q228
@@ -79,53 +106,101 @@ object IncrementalEr {
   private val BatchCol = "_er_batch"
   private val MarkerPrefix = "_er_commit_"
   private val SnapshotPrefix = "_er_snapshot_"
+  private val BaseSnapPrefix = "_er_basesnap_"
+  private val LayoutPrefix = "_er_layout_v2_"
 
-  /** Probe-side broadcast cap: a batch with at most this many distinct
-    * arrival records has its deletion variants (~L̄× rows) broadcast,
-    * keeping every standing-side scan map-only. Measured, not
-    * estimated — Catalyst's static size of an exploded relation is the
-    * pre-explode scan (the r14 OOM lesson), so the decision must not
-    * be left to the planner. */
+  /** Probe-side broadcast cap: a relation with at most this many
+    * MEASURED rows may be broadcast (arrival variants, key sets,
+    * merged-component maps), keeping the standing-side scans map-only.
+    * Measured, not estimated — Catalyst's static size of an exploded
+    * relation is the pre-explode scan (the r14 OOM lesson), so the
+    * decision must not be left to the planner. */
   private[graft] val MaxBroadcastArrivals = 100000L
+
+  /** Per-table DELTA bucket counts (base, variants, labels, members) —
+    * deliberately small and CONSTANT for the artifact's lifetime: a
+    * delta commit writes ≤ B leaf dirs per table, so streaming-cadence
+    * commit cost stays flat. Snapshot generations re-bucket to their
+    * own (grown) counts at compaction time. */
+  private[graft] val DeltaBuckets = Layout(16, 16, 16, 16)
+
+  private[graft] case class Layout(base: Int, variants: Int,
+                                   labels: Int, members: Int)
 
   private def baseDir(dir: String) = s"$dir/base"
   private def labelsDir(dir: String) = s"$dir/labels"
   private def variantsDir(dir: String) = s"$dir/variants"
+  private def membersDir(dir: String) = s"$dir/members"
 
   private def fc(spark: SparkSession, dir: String): FileContext =
     FileContext.getFileContext(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  private def markerIds(spark: SparkSession, dir: String,
-                        prefix: String): Seq[Long] = {
+  private def markerNames(spark: SparkSession, dir: String,
+                          prefix: String): Seq[String] = {
     val ctx = fc(spark, dir)
     val p = new Path(labelsDir(dir))
     if (!ctx.util.exists(p)) Seq.empty
     else ctx.util.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
   }
 
   /** Highest committed batch id, if any batch has committed. */
   def lastCommitted(spark: SparkSession, dir: String): Option[Long] = {
-    val ids = markerIds(spark, dir, MarkerPrefix)
+    val ids = markerNames(spark, dir, MarkerPrefix).map(_.toLong)
     if (ids.isEmpty) None else Some(ids.max)
   }
 
-  /** Highest committed snapshot id at or below `upTo` — the partition
-    * floor for every label read ([[compact]] writes them). */
-  private def snapshotFloor(spark: SparkSession, dir: String,
-                            upTo: Long): Option[Long] = {
-    val ids = markerIds(spark, dir, SnapshotPrefix).filter(_ <= upTo)
-    if (ids.isEmpty) None else Some(ids.max)
+  /** Snapshot generation at or below `upTo` for the given marker
+    * family: (snapshot batch id, its two bucket counts). */
+  private def snapInfo(spark: SparkSession, dir: String, prefix: String,
+                       upTo: Long): Option[(Long, Int, Int)] = {
+    val entries = markerNames(spark, dir, prefix).map { n =>
+      val p = n.split('_')
+      (p(0).toLong, p(1).toInt, p(2).toInt)
+    }.filter(_._1 <= upTo)
+    if (entries.isEmpty) None else Some(entries.maxBy(_._1))
   }
 
   private def touchMarker(spark: SparkSession, dir: String, name: String): Unit =
     graft.pipeline.AtomicTable.claimExclusive(
       fc(spark, dir), new Path(labelsDir(dir), name))
 
-  /** Parquet read that treats a missing/marker-only directory as an
-    * empty relation of the given schema — a no-op commit (marker, no
-    * data) must not wedge later reads. */
+  /** Delta-tier bucket counts. A committed artifact with no layout
+    * marker is pre-r16 (possibly pre-r15, with no variant index at
+    * all) — resolving against it would silently miss standing matches,
+    * so FAIL LOUDLY instead. */
+  private def layoutOf(spark: SparkSession, dir: String): Layout = {
+    val entries = markerNames(spark, dir, LayoutPrefix)
+    if (entries.isEmpty) throw new IllegalStateException(
+      s"IncrementalEr artifact at $dir has committed batches but no " +
+        s"$LayoutPrefix marker: pre-r16 (or pre-r15) layout. " +
+        "Rebuild the artifact or replay its source batches.")
+    val p = entries.head.split('_')
+    Layout(p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt)
+  }
+
+  /** Layout for WRITES, creating the marker for a BRAND-NEW artifact
+    * only — an existing commit history without a layout marker is a
+    * pre-r16 artifact and must fail loudly ([[layoutOf]]), never be
+    * silently "upgraded" over a partial index. */
+  private def ensureLayout(spark: SparkSession, dir: String,
+                           hasCommits: Boolean): Layout = {
+    if (!hasCommits && markerNames(spark, dir, LayoutPrefix).isEmpty) {
+      val b = DeltaBuckets
+      touchMarker(spark, dir,
+        s"$LayoutPrefix${b.base}_${b.variants}_${b.labels}_${b.members}")
+    }
+    layoutOf(spark, dir)
+  }
+
+  /** Parquet read that treats a MISSING directory as an empty relation
+    * of the given schema — a no-op commit (marker, no data) must not
+    * wedge later reads. Only FileNotFound maps to empty: any other
+    * listing/IO failure propagates, because treating a transient error
+    * as an empty table silently corrupts the resolution (duplicates
+    * past the re-observation guard, probes missing all standing
+    * matches). */
   private def readOrEmpty(spark: SparkSession, dir: String,
                           schema: StructType): DataFrame = {
     val hasData = try {
@@ -135,7 +210,7 @@ object IncrementalEr {
         val n = st.getPath.getName
         st.isDirectory || n.endsWith(".parquet")
       }
-    } catch { case _: Throwable => false }
+    } catch { case _: java.io.FileNotFoundException => false }
     if (hasData) spark.read.parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -143,27 +218,92 @@ object IncrementalEr {
 
   private val labelsSchema = StructType(Seq(
     StructField("v", LongType), StructField("component", LongType),
-    StructField(BatchCol, LongType)))
+    StructField(BatchCol, LongType), StructField("kb", IntegerType)))
+
+  private val membersSchema = StructType(Seq(
+    StructField("component", LongType), StructField("v", LongType),
+    StructField(BatchCol, LongType), StructField("cb", IntegerType)))
 
   private val baseSchema = StructType(Seq(
     StructField("blk", LongType), StructField("k", LongType),
-    StructField("w", org.apache.spark.sql.types.StringType),
-    StructField(BatchCol, LongType)))
+    StructField("w", StringType),
+    StructField(BatchCol, LongType), StructField("wb", IntegerType)))
 
-  /** Committed label rows restricted to the snapshot window
-    * [floor, upTo] — partition filters, so pre-snapshot files are
-    * pruned at the scan. */
-  private def labelRows(spark: SparkSession, dir: String, upTo: Long): DataFrame = {
-    val rows = readOrEmpty(spark, labelsDir(dir), labelsSchema)
-      .filter(col(BatchCol) <= upTo)
-    snapshotFloor(spark, dir, upTo)
-      .map(f => rows.filter(col(BatchCol) >= f)).getOrElse(rows)
+  private val variantsSchema = StructType(Seq(
+    StructField("blk", LongType), StructField("k", LongType),
+    StructField("w", StringType),
+    StructField("g_pos", IntegerType), StructField("g_vh", LongType),
+    StructField(BatchCol, LongType), StructField("vb", IntegerType)))
+
+  /** Touched-bucket sets of `hashes` (one LONG column) under the delta
+    * and snapshot moduli — ONE distinct+collect yields both partition
+    * predicates. Bounded by bDelta × bSnap pairs. */
+  private def touchedSets(hashes: DataFrame, bDelta: Int,
+                          bSnap: Option[Int]): (Seq[Int], Seq[Int]) = {
+    val h = col(hashes.columns.head)
+    val pairs = hashes.select(
+        pmod(h, lit(bDelta)).cast("int").as("d"),
+        pmod(h, lit(bSnap.getOrElse(bDelta))).cast("int").as("s"))
+      .distinct().collect()
+    (pairs.map(_.getInt(0)).distinct.toSeq,
+      pairs.map(_.getInt(1)).distinct.toSeq)
   }
+
+  /** Window + bucket-pruned read over a two-tier table: the snapshot
+    * partition filters under the snapshot's modulus, delta partitions
+    * under the layout's — a disjunction of partition-column
+    * conjunctions, all pruned at the scan's directory listing.
+    * `hashes` = None reads the window unpruned. */
+  private def pruned(df: DataFrame, bucketCol: String, upTo: Long,
+                     snap: Option[(Long, Int)], bDelta: Int,
+                     hashes: Option[DataFrame]): DataFrame = {
+    val inWindow: Column = snap match {
+      case Some((f, _)) => col(BatchCol) >= f && col(BatchCol) <= upTo
+      case None => col(BatchCol) <= upTo
+    }
+    hashes match {
+      case None => df.filter(inWindow)
+      case Some(h) =>
+        val (dSet, sSet) = touchedSets(h, bDelta, snap.map(_._2))
+        df.filter(snap match {
+          case Some((f, _)) =>
+            (col(BatchCol) === f && col(bucketCol).isin(sSet: _*)) ||
+              (col(BatchCol) > f && col(BatchCol) <= upTo &&
+                col(bucketCol).isin(dSet: _*))
+          case None => inWindow && col(bucketCol).isin(dSet: _*)
+        })
+    }
+  }
+
+  private def baseRows(spark: SparkSession, dir: String, upTo: Long,
+                       hashes: Option[DataFrame]): DataFrame =
+    pruned(readOrEmpty(spark, baseDir(dir), baseSchema), "wb", upTo,
+      snapInfo(spark, dir, BaseSnapPrefix, upTo).map(t => (t._1, t._2)),
+      layoutOf(spark, dir).base, hashes)
+
+  private def variantRows(spark: SparkSession, dir: String, upTo: Long,
+                          hashes: Option[DataFrame]): DataFrame =
+    pruned(readOrEmpty(spark, variantsDir(dir), variantsSchema), "vb", upTo,
+      snapInfo(spark, dir, BaseSnapPrefix, upTo).map(t => (t._1, t._3)),
+      layoutOf(spark, dir).variants, hashes)
+
+  private def labelRows(spark: SparkSession, dir: String, upTo: Long,
+                        hashes: Option[DataFrame] = None): DataFrame =
+    pruned(readOrEmpty(spark, labelsDir(dir), labelsSchema), "kb", upTo,
+      snapInfo(spark, dir, SnapshotPrefix, upTo).map(t => (t._1, t._2)),
+      layoutOf(spark, dir).labels, hashes)
+
+  private def memberRows(spark: SparkSession, dir: String, upTo: Long,
+                         hashes: Option[DataFrame]): DataFrame =
+    pruned(readOrEmpty(spark, membersDir(dir), membersSchema), "cb", upTo,
+      snapInfo(spark, dir, SnapshotPrefix, upTo).map(t => (t._1, t._3)),
+      layoutOf(spark, dir).members, hashes)
 
   /** Committed label assignments, one row per vertex: the latest delta
     * row per v across the snapshot window (merge-on-read). A latest
     * row with NULL component is a [[forget]] tombstone — the vertex is
-    * no longer assigned and drops out here. */
+    * no longer assigned and drops out here. Unpruned by design: the
+    * full assignment IS the answer (serving / compaction). */
   private def currentLabels(spark: SparkSession, dir: String,
                             upTo: Long): DataFrame = {
     val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
@@ -174,15 +314,17 @@ object IncrementalEr {
   }
 
   /** [[currentLabels]] restricted to `keys` (one column, vertex ids):
-    * the semi-join prunes the label scan map-side (broadcast the small
-    * key set), and the latest-per-vertex window runs over the
-    * restricted rows only — O(scan) I/O, O(|keys| · deltas-per-key)
-    * shuffle, never an O(standing) window. */
+    * the scan prunes to the keys' kb buckets (a vertex's delta rows
+    * all share its bucket, so the latest-per-vertex fold is complete
+    * within the pruned scan), the semi-join drops non-key rows, and
+    * the window runs over the restricted rows only. `bcast` must come
+    * from a MEASURED count of `keys`. */
   private def labelsLatestFor(spark: SparkSession, dir: String, upTo: Long,
                               keys: DataFrame, bcast: Boolean): DataFrame = {
     val ks = keys.toDF("v")
     val w = Window.partitionBy("v").orderBy(col(BatchCol).desc)
-    labelRows(spark, dir, upTo)
+    labelRows(spark, dir, upTo,
+        Some(ks.select(xxhash64(col("v")).as("h"))))
       .join(if (bcast) broadcast(ks) else ks, Seq("v"), "left_semi")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("component").isNotNull)
@@ -190,17 +332,21 @@ object IncrementalEr {
   }
 
   /** Current members of the given components: candidate vertices are
-    * any vertex that EVER carried one of the components (map-side
-    * broadcast semi-join), then the latest-per-vertex fold over the
-    * candidates keeps those whose CURRENT component is in the set. */
+    * any vertex that EVER carried one of the components within the
+    * snapshot window — read from the inverted `members/` copy pruned
+    * to the components' cb buckets — then the latest-per-vertex fold
+    * over the candidates keeps those whose CURRENT component is in the
+    * set. `bcast` must come from a MEASURED count of `comps`. */
   private def membersOf(spark: SparkSession, dir: String, upTo: Long,
-                        comps: DataFrame): DataFrame = {
+                        comps: DataFrame, bcast: Boolean): DataFrame = {
     val cs = comps.toDF("component")
-    val cand = labelRows(spark, dir, upTo)
-      .join(broadcast(cs), Seq("component"), "left_semi")
+    def h(df: DataFrame) = if (bcast) broadcast(df) else df
+    val cand = memberRows(spark, dir, upTo,
+        Some(cs.select(xxhash64(col("component")).as("h"))))
+      .join(h(cs), Seq("component"), "left_semi")
       .select("v").distinct()
-    labelsLatestFor(spark, dir, upTo, cand, bcast = true)
-      .join(broadcast(cs), Seq("component"), "left_semi")
+    labelsLatestFor(spark, dir, upTo, cand, bcast)
+      .join(h(cs), Seq("component"), "left_semi")
   }
 
   /** Deletion variants of `w` with position and the variant's 64-bit
@@ -219,23 +365,17 @@ object IncrementalEr {
         xxhash64(col("g_var")).as("g_vh")): _*)
   }
 
-  private val variantsSchema = StructType(Seq(
-    StructField("blk", LongType), StructField("k", LongType),
-    StructField("w", org.apache.spark.sql.types.StringType),
-    StructField("g_pos", org.apache.spark.sql.types.IntegerType),
-    StructField("g_vh", LongType), StructField(BatchCol, LongType)))
-
   /** ED ≤ 1 custkey match edges (ka < kb) with ≥ one side in
     * `arrivals`, probed against the PERSISTED standing index: the
     * arrivals' deletion variants (map-only, O(|batch|·L) rows) meet
     * the stored variants of every committed batch plus the batch's own
-    * — the standing side is scanned, never re-expanded. Includes
-    * lev = 0 (exact-name) pairs — entity resolution links same-name
-    * records the strictly-unequal fuzzy kernel skips. `bcast` pins
-    * which side the planner materializes: the arrivals' exploded
-    * relations are broadcast only under the measured row cap (the r14
-    * explode-blind-broadcast lesson), otherwise both sides pin
-    * sort-merge. */
+    * — the standing side is scanned (bucket-pruned by the caller),
+    * never re-expanded. Includes lev = 0 (exact-name) pairs — entity
+    * resolution links same-name records the strictly-unequal fuzzy
+    * kernel skips. `bcast` pins which side the planner materializes:
+    * the arrivals' exploded relations are broadcast only under the
+    * measured row cap (the r14 explode-blind-broadcast lesson),
+    * otherwise both sides pin sort-merge. */
   private[graft] def edgesIndexed(arrivals: DataFrame,
                                   standingVariants: Option[DataFrame],
                                   standingBase: Option[DataFrame],
@@ -300,16 +440,53 @@ object IncrementalEr {
       standingBase = if (left eq right) None else Some(right),
       bcast = bcast)
 
+  /** Bucket-column write: one shuffle keyed on the bucket column so
+    * each leaf directory is written by exactly one task (≤ B files per
+    * table per commit, not B × tasks), then a dynamic partition
+    * overwrite of exactly the partitions present (replay-idempotent). */
+  private def writeBucketed(df: DataFrame, dir: String, batchId: Long,
+                            bucketCol: String): Unit =
+    df.withColumn(BatchCol, lit(batchId))
+      .repartition(col(bucketCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol, bucketCol).parquet(dir)
+
+  /** Write a label DELTA (or snapshot) to both label copies: the
+    * authoritative by-vertex `labels/` (kb-bucketed, tombstones
+    * included) and the inverted by-component `members/` (cb-bucketed,
+    * assignments only — a tombstone never makes a vertex a membership
+    * CANDIDATE, and the authoritative latest-per-vertex fold already
+    * rejects stale candidates). */
+  private def writeLabelDelta(delta: DataFrame, dir: String, batchId: Long,
+                              bLab: Int, bMem: Int): Unit = {
+    writeBucketed(delta.select(col("v"), col("component").cast("long"))
+        .withColumn("kb", pmod(xxhash64(col("v")), lit(bLab)).cast("int")),
+      labelsDir(dir), batchId, "kb")
+    writeBucketed(delta.filter(col("component").isNotNull)
+        .select(col("component").cast("long"), col("v"))
+        .withColumn("cb",
+          pmod(xxhash64(col("component")), lit(bMem)).cast("int")),
+      membersDir(dir), batchId, "cb")
+  }
+
+  /** Consume `batchId` with no state change: layout marker (for a
+    * brand-new artifact) + commit marker — every invoked id is durably
+    * consumed exactly once, no-ops and EMPTY batches included. */
+  private def commitNoOp(spark: SparkSession, dir: String, batchId: Long,
+                         hasCommits: Boolean): Unit = {
+    ensureLayout(spark, dir, hasCommits)
+    touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+  }
+
   /** Fold one batch of NEW customers (c_custkey, c_name, c_nationkey)
     * into the standing base + labels + variant index. Commit cost is
-    * O(batch·L + touched components) — the standing tables are
-    * scanned (map-only under the broadcast cap), never rewritten, and
-    * never re-expanded. Re-observed custkeys (a record re-sent in a
-    * later batch) are dropped — they keep their standing label, add no
-    * duplicate base/variant rows, and cannot move clusters; an UPDATE
-    * is [[forget]] + re-arrival. */
+    * O(batch·L + touched components); standing reads prune to the
+    * batch's touched buckets. Re-observed custkeys (a record re-sent
+    * in a later batch) are dropped — they keep their standing label,
+    * add no duplicate base/variant rows, and cannot move clusters; an
+    * UPDATE is [[forget]] + re-arrival. */
   def maintainBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val profile = sys.env.contains("SPARK_GRAFT_ER_PROFILE")
     var tLast = System.nanoTime()
@@ -320,45 +497,65 @@ object IncrementalEr {
     }
     val last = lastCommitted(spark, dir)
     if (last.exists(_ >= batchId)) return
+    if (batch.isEmpty) { commitNoOp(spark, dir, batchId, last.isDefined); return }
+    val lay = ensureLayout(spark, dir, last.isDefined)
     val arrivals0 = batch.select(col("c_custkey").cast("long").as("k"),
       col("c_name").as("w"), col("c_nationkey").cast("long").as("blk"))
       .filter(col("w").isNotNull && col("blk").isNotNull)
-      .dropDuplicates("k")
-    // re-observation guard (key-restricted label read): genuinely-new
-    // arrivals only — a re-observed vertex must keep its standing
-    // label, not gain a conflicting self-row or duplicate index rows
-    val arrivals = (last match {
+      .dropDuplicates("k").localCheckpoint()
+    val nObs = arrivals0.count()
+    // re-observation guard (kb-pruned, key-restricted label read):
+    // genuinely-new arrivals only — a re-observed vertex must keep its
+    // standing label, not gain a conflicting self-row or duplicate
+    // index rows
+    val arrivals = last match {
       case None => arrivals0
-      case Some(up) => arrivals0.join(
-        labelsLatestFor(spark, dir, up, arrivals0.select("k"), bcast = true)
-          .select(col("v").as("k")), Seq("k"), "left_anti")
-    }).localCheckpoint()
+      case Some(up) =>
+        val a = arrivals0.join(
+          labelsLatestFor(spark, dir, up, arrivals0.select("k"),
+            bcast = nObs <= MaxBroadcastArrivals)
+            .select(col("v").as("k")), Seq("k"), "left_anti")
+          .localCheckpoint()
+        Components.dropCheckpoint(arrivals0)
+        a
+    }
     mark("arrivals")
     if (arrivals.isEmpty) {
-      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+      Components.dropCheckpoint(arrivals)
+      commitNoOp(spark, dir, batchId, hasCommits = true); return
     }
     val nArr = arrivals.count()
     val bcast = nArr <= MaxBroadcastArrivals
-    val standingVariants = last.map(up =>
-      readOrEmpty(spark, variantsDir(dir), variantsSchema)
-        .filter(col(BatchCol) <= up))
-    val standingBase = last.map(up =>
-      readOrEmpty(spark, baseDir(dir), baseSchema)
-        .filter(col(BatchCol) <= up).select(col("blk"), col("k"), col("w")))
-    val newEdges = edgesIndexed(arrivals, standingVariants, standingBase, bcast)
-      .localCheckpoint()
+    // probe hash families: the arrivals' variant hashes meet the
+    // variant index (substitutions, arrival-shorter) and the base's
+    // string hashes (arrival-longer); the arrivals' own string hashes
+    // meet the variant index (arrival-shorter) and the base (exact
+    // twins). One union drives both tables' touched-bucket predicates.
+    val standing = last.map { up =>
+      val probeHashes = dels(arrivals).select(col("g_vh").as("h"))
+        .union(arrivals.select(xxhash64(col("w")).as("h")))
+      (variantRows(spark, dir, up, Some(probeHashes)),
+        baseRows(spark, dir, up, Some(probeHashes))
+          .select(col("blk"), col("k"), col("w")))
+    }
+    mark("buckets")
+    val newEdges = edgesIndexed(arrivals, standing.map(_._1),
+      standing.map(_._2), bcast).localCheckpoint()
     mark("edges")
     // contract new edges through the endpoint labels (arrivals label
-    // themselves; standing endpoints from one key-restricted read),
-    // CC over the contracted label graph only, then the DELTA:
+    // themselves; standing endpoints from one pruned key-restricted
+    // read), CC over the contracted label graph only, then the DELTA:
     // arrivals plus touched-component members whose canonical moved
     val delta =
       if (newEdges.isEmpty) arrivals.select(col("k").as("v"), col("k").as("component"))
       else {
         val endpoints = newEdges.select(col("ea").as("v"))
           .unionAll(newEdges.select(col("eb").as("v"))).distinct()
+          .localCheckpoint()
+        val nEnd = endpoints.count()
         val standingEnd = last.map(up =>
-          labelsLatestFor(spark, dir, up, endpoints, bcast = true))
+          labelsLatestFor(spark, dir, up, endpoints,
+            bcast = nEnd <= MaxBroadcastArrivals))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(labelsSchema.fields.take(2))))
@@ -370,21 +567,28 @@ object IncrementalEr {
           .filter(col("la") =!= col("lb"))
           .select(col("la").as("a"), col("lb").as("b")).distinct()
           .localCheckpoint()
+        Components.dropCheckpoint(endpoints)
         if (contracted.isEmpty) {
           Components.dropCheckpoint(contracted)
           arrivals.select(col("k").as("v"), col("k").as("component"))
         } else {
           val touched = contracted.select(col("a").as("component"))
             .unionAll(contracted.select(col("b").as("component"))).distinct()
+            .localCheckpoint()
+          val nTouched = touched.count()
           val merged = Components.connectedComponents(contracted, touched)
             .select(col("v").as("component"), col("component").as("g_new"))
             .localCheckpoint()
+          val nMerged = merged.count()
+          def hM(df: DataFrame) =
+            if (nMerged <= MaxBroadcastArrivals) broadcast(df) else df
           val arrivalRows = arrivals.select(col("k").as("v"), col("k").as("component"))
-            .join(broadcast(merged), Seq("component"), "left")
+            .join(hM(merged), Seq("component"), "left")
             .select(col("v"), coalesce(col("g_new"), col("component")).as("component"))
           val movedStanding = last.map { up =>
-            membersOf(spark, dir, up, touched)
-              .join(broadcast(merged), Seq("component"))
+            membersOf(spark, dir, up, touched,
+                bcast = nTouched <= MaxBroadcastArrivals)
+              .join(hM(merged), Seq("component"))
               .filter(col("g_new") =!= col("component"))
               .select(col("v"), col("g_new").as("component"))
           }.getOrElse(spark.createDataFrame(
@@ -392,26 +596,21 @@ object IncrementalEr {
             StructType(labelsSchema.fields.take(2))))
           val d = arrivalRows.unionByName(movedStanding).localCheckpoint()
           Components.dropCheckpoint(merged)
+          Components.dropCheckpoint(touched)
           Components.dropCheckpoint(contracted)
           d
         }
       }
     mark("delta")
     // append-only commits: each batch overwrites exactly its own
-    // partition (replay-idempotent), marker creation is the commit point
-    arrivals.withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(baseDir(dir))
-    dels(arrivals).withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(variantsDir(dir))
-    delta.select(col("v"), col("component").cast("long"))
-      .withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(labelsDir(dir))
+    // partitions (replay-idempotent), marker creation is the commit point
+    writeBucketed(arrivals.withColumn("wb",
+        pmod(xxhash64(col("w")), lit(lay.base)).cast("int")),
+      baseDir(dir), batchId, "wb")
+    writeBucketed(dels(arrivals).withColumn("vb",
+        pmod(col("g_vh"), lit(lay.variants)).cast("int")),
+      variantsDir(dir), batchId, "vb")
+    writeLabelDelta(delta, dir, batchId, lay.labels, lay.members)
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
     mark("commit")
     Components.dropCheckpoint(arrivals)
@@ -429,69 +628,89 @@ object IncrementalEr {
     * may be the forgotten one) and SPLIT the cluster (the forgotten
     * record may be the only ED ≤ 1 bridge between two name groups).
     *
-    * Cost is bounded by the forgotten records' components, never the
-    * corpus: membership comes from the component-restricted label
-    * read, the re-match runs the FastSS kernel over member rows only,
-    * and the commits are the same append-only discipline as
-    * [[maintainBatch]] — one label-delta partition (new member
-    * assignments + NULL tombstones for the forgotten ids) plus a
-    * dynamic-partition rewrite of exactly the base AND variant
-    * partitions holding a forgotten row (a partition rewritten to
-    * empty is dropped). Writes localCheckpoint first: they read the
-    * same files they replace, and cutting the lineage is what makes
-    * the self-overwrite safe.
+    * Compute is bounded by the forgotten records' components, never
+    * the corpus: membership comes from the cb-pruned members read, the
+    * re-match runs the FastSS kernel over member rows only, and the
+    * commits are the same append-only discipline as [[maintainBatch]]
+    * — one label-delta partition (new member assignments + NULL
+    * tombstones) plus a dynamic-partition rewrite of exactly the
+    * (batch, bucket) base leafs holding a forgotten row and the
+    * touched batches' variant partitions (a leaf rewritten to empty is
+    * dropped). The one O(standing) term left on this path is the base
+    * SCAN locating the forgotten rows — the base is bucketed by name
+    * hash, and a forget arrives keyed by custkey; compliance deletes
+    * are orders rarer than arrivals, and a custkey-keyed secondary
+    * index would buy that scan back if they weren't. Writes
+    * localCheckpoint first: they read the same files they replace, and
+    * cutting the lineage is what makes the self-overwrite safe.
     *
     * `batchId` continues the table's single monotone commit sequence
     * (same replay guard as maintainBatch) and is durably consumed even
-    * when the forget is a no-op (ids matching nothing still commit an
-    * empty marker); with a live stream, route forgets through the
-    * stream or pause it — the usual serialize-arrivals-per-table
-    * contract. Idempotent under replay AND under crash-between-writes:
-    * the no-op test is membership in the standing LABELS (still
-    * present until the delta commits), so a retry after a completed
-    * base rewrite still commits the label delta. A forgotten id later
-    * RE-ARRIVING via maintainBatch is a genuinely new record
-    * (tombstones drop out of the standing read, so it self-labels and
-    * matches fresh; its stale variant rows can only produce edges to
-    * unlabeled vertices, which the contraction drops). */
+    * when the forget is a no-op (empty or absent ids still commit a
+    * marker); with a live stream, route forgets through the stream or
+    * pause it — the usual serialize-arrivals-per-table contract.
+    * Idempotent under replay AND under crash-between-writes: the no-op
+    * test is membership in the standing LABELS (still present until
+    * the delta commits), so a retry after a completed base rewrite
+    * still commits the label delta. A forgotten id later RE-ARRIVING
+    * via maintainBatch is a genuinely new record (tombstones drop out
+    * of the standing read, so it self-labels and matches fresh; its
+    * stale variant rows can only produce edges to unlabeled vertices,
+    * which the contraction drops). */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
              batchId: Long): Unit = {
     val last = lastCommitted(spark, dir).getOrElse {
-      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+      commitNoOp(spark, dir, batchId, hasCommits = false); return
     }
     if (last >= batchId) return
+    if (ids.isEmpty) { commitNoOp(spark, dir, batchId, hasCommits = true); return }
+    val lay = layoutOf(spark, dir)
     val del = ids.select(col(ids.columns.head).cast("long").as("k")).distinct()
+    val nDel = del.count()
     val affectedIds = labelsLatestFor(spark, dir, last,
-        del.select(col("k").as("v")), bcast = true)
+        del.select(col("k").as("v")), bcast = nDel <= MaxBroadcastArrivals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (affectedIds.isEmpty) {
       affectedIds.unpersist()
-      touchMarker(spark, dir, s"$MarkerPrefix$batchId"); return
+      commitNoOp(spark, dir, batchId, hasCommits = true); return
     }
-    val base0 = readOrEmpty(spark, baseDir(dir), baseSchema)
-      .filter(col(BatchCol) <= last)
-    // base partitions holding a forgotten row, rewritten without it
-    val touchedParts = base0.join(del, Seq("k"), "left_semi")
-      .select(col(BatchCol)).distinct()
-    val rewritten = base0.join(touchedParts, Seq(BatchCol), "left_semi")
-      .join(del, Seq("k"), "left_anti")
-      .select(col("blk"), col("k"), col("w"), col(BatchCol))
+    def hDel(df: DataFrame) =
+      if (nDel <= MaxBroadcastArrivals) broadcast(df) else df
+    val base0 = baseRows(spark, dir, last, None)
+    // (batch, name-bucket) leafs holding a forgotten row, and the full
+    // surviving rows of the touched BATCHES (variant partitions are
+    // re-derived per batch: variant buckets have no alignment with the
+    // forgotten rows' name buckets, so the batch is the consistent
+    // rewrite unit for the index)
+    val touchedLeafs = base0.join(hDel(del), Seq("k"), "left_semi")
+      .select(col(BatchCol), col("wb")).distinct().localCheckpoint()
+    val touchedBatches = touchedLeafs.select(col(BatchCol)).distinct()
+    val survivors = base0.join(broadcast(touchedBatches), Seq(BatchCol), "left_semi")
+      .join(hDel(del), Seq("k"), "left_anti")
+      .localCheckpoint()
+    val rewritten = survivors
+      .join(broadcast(touchedLeafs), Seq(BatchCol, "wb"), "left_semi")
       .localCheckpoint()
     // clusters touching a forgotten id: relabel their REMAINING
     // members from scratch — re-match (FastSS over members only) + CC
     val affected = affectedIds.select(col("component")).distinct()
+      .localCheckpoint()
+    val nAffected = affected.count()
     // remaining members and their re-match edges are consumed by the
     // emptiness probes AND the CC/delta below — localCheckpoint so the
     // FastSS chain runs once, not once per action (measured: the
     // probes re-running the whole chain tripled the forget pass)
-    val remaining = membersOf(spark, dir, last, affected)
-      .join(del.select(col("k").as("v")), Seq("v"), "left_anti")
+    val remaining = membersOf(spark, dir, last, affected,
+        bcast = nAffected <= MaxBroadcastArrivals)
+      .join(hDel(del.select(col("k").as("v"))), Seq("v"), "left_anti")
       .select(col("v"))
       .localCheckpoint()
     val nRemaining = remaining.count()
     val memRel = base0.select(col("blk"), col("k"), col("w"))
-      .join(broadcast(remaining.select(col("v").as("k"))), Seq("k"), "left_semi")
-      .join(del, Seq("k"), "left_anti")
+      .join(if (nRemaining <= MaxBroadcastArrivals)
+          broadcast(remaining.select(col("v").as("k")))
+        else remaining.select(col("v").as("k")), Seq("k"), "left_semi")
+      .join(hDel(del), Seq("k"), "left_anti")
     val edges = edgesTouching(memRel, memRel,
       bcast = nRemaining <= MaxBroadcastArrivals).localCheckpoint()
     val newLabels =
@@ -502,62 +721,93 @@ object IncrementalEr {
       lit(null).cast("long").as("component"))
     val delta = newLabels.select(col("v"), col("component").cast("long"))
       .unionByName(tombstones)
-      .withColumn(BatchCol, lit(batchId))
       .localCheckpoint()
-    // a partition whose every row was forgotten is absent from the
-    // rewrite (dynamic overwrite can't emit an empty partition) and
-    // must be dropped; COLLECTED (≤ touched partitions — bounded by
-    // the forget set) BEFORE any file mutation, because touchedParts'
-    // lineage reads the pre-rewrite files
-    // (partition-column values read back as INT — cast for the collect)
-    val emptied = touchedParts
-      .join(rewritten.select(col(BatchCol)).distinct(), Seq(BatchCol), "left_anti")
-      .select(col(BatchCol).cast("long")).collect().map(_.getLong(0))
-    // the variant partitions of the touched base partitions, re-derived
-    // from the REWRITTEN rows (map-only, bounded by the touched
-    // partitions) so the index never serves a forgotten record's rows
-    val varRewrite = dels(rewritten, Seq(BatchCol)).localCheckpoint()
+    // leafs whose every row was forgotten are absent from the rewrite
+    // (dynamic overwrite can't emit an empty partition) and must be
+    // dropped; COLLECTED (≤ touched leafs — bounded by the forget set
+    // × B) BEFORE any file mutation, because the relations' lineage
+    // reads the pre-rewrite files. Variant partitions: the re-derived
+    // index of the touched batches may vacate buckets the forgotten
+    // rows occupied — stale = existing leafs − rewritten leafs.
+    def leafSet(df: DataFrame, bCol: String): Set[(Long, Int)] =
+      df.select(col(BatchCol).cast("long"), col(bCol).cast("int"))
+        .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val emptiedBase = leafSet(touchedLeafs, "wb") -- leafSet(rewritten, "wb")
+    // a touched batch that IS the base snapshot keeps the snapshot's
+    // own variant modulus; every delta batch re-buckets under the
+    // layout's
+    val snapV = snapInfo(spark, dir, BaseSnapPrefix, last)
+    val varRewrite = dels(survivors.select("blk", "k", "w", BatchCol),
+        Seq(BatchCol))
+      .withColumn("vb", pmod(col("g_vh"),
+        when(col(BatchCol) === lit(snapV.map(_._1).getOrElse(Long.MinValue)),
+          lit(snapV.map(_._3).getOrElse(lay.variants)))
+          .otherwise(lit(lay.variants))).cast("int"))
+      .localCheckpoint()
+    val staleVar = leafSet(
+      variantRows(spark, dir, last, None)
+        .join(broadcast(touchedBatches), Seq(BatchCol), "left_semi"), "vb") --
+      leafSet(varRewrite, "vb")
     // relations are materialized off the files; mutate base first
     // (crash before the delta replays through the labels-presence test)
-    rewritten.write.mode("overwrite")
+    rewritten.repartition(col("wb"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(baseDir(dir))
-    varRewrite.write.mode("overwrite")
+      .partitionBy(BatchCol, "wb").parquet(baseDir(dir))
+    varRewrite.repartition(col("vb"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(variantsDir(dir))
+      .partitionBy(BatchCol, "vb").parquet(variantsDir(dir))
     val ctx = fc(spark, dir)
-    emptied.foreach { b =>
-      Seq(baseDir(dir), variantsDir(dir)).foreach { t =>
-        val p = new Path(t, s"$BatchCol=$b")
-        if (ctx.util.exists(p)) ctx.delete(p, true)
-      }
+    emptiedBase.foreach { case (b, w) =>
+      val p = new Path(baseDir(dir), s"$BatchCol=$b/wb=$w")
+      if (ctx.util.exists(p)) ctx.delete(p, true)
     }
-    // the manual directory drop bypasses the writer's own cache
+    staleVar.foreach { case (b, v) =>
+      val p = new Path(variantsDir(dir), s"$BatchCol=$b/vb=$v")
+      if (ctx.util.exists(p)) ctx.delete(p, true)
+    }
+    // a batch partition whose every bucket leaf was dropped is gone
+    // wholesale (no empty `_er_batch=` husk dirs — partition discovery
+    // and the append-only audit trail both key on the dirs that exist)
+    (emptiedBase.map(t => (baseDir(dir), t._1)) ++
+        staleVar.map(t => (variantsDir(dir), t._1))).foreach { case (t, b) =>
+      val p = new Path(t, s"$BatchCol=$b")
+      if (ctx.util.exists(p) &&
+          !ctx.util.listStatus(p).exists(_.isDirectory))
+        ctx.delete(p, true)
+    }
+    // the manual directory drops bypass the writer's own cache
     // refresh — invalidate the listing so later scans re-list
     spark.catalog.refreshByPath(baseDir(dir))
     spark.catalog.refreshByPath(variantsDir(dir))
-    delta.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(labelsDir(dir))
+    writeLabelDelta(delta, dir, batchId, lay.labels, lay.members)
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    Components.dropCheckpoint(touchedLeafs)
+    Components.dropCheckpoint(survivors)
     Components.dropCheckpoint(rewritten)
     Components.dropCheckpoint(varRewrite)
     Components.dropCheckpoint(delta)
+    Components.dropCheckpoint(affected)
     Components.dropCheckpoint(remaining)
     Components.dropCheckpoint(edges)
     affectedIds.unpersist()
   }
 
-  /** Fold the committed label deltas into ONE snapshot partition (the
+  /** Fold the committed label deltas into ONE snapshot generation (the
     * OPTIMIZE / rewrite discipline of [[graft.pipeline.AtomicTable
     * .compact]] applied to the merge-on-read labels): the current
     * assignment (latest non-tombstoned row per vertex) is written as
-    * the partition `_er_batch=<batchId>` and flagged by an
-    * `_er_snapshot_<batchId>` marker; every subsequent read prunes
-    * label partitions below the snapshot floor, so serving reads
-    * O(assignments + deltas-since-compaction) instead of the full
-    * delta history. `batchId` consumes the next id in the table's
-    * monotone commit sequence, like any other commit.
+    * the partition `_er_batch=<batchId>` of BOTH label copies and
+    * flagged by an `_er_snapshot_<batchId>_<bL>_<bM>` marker; every
+    * subsequent read prunes label partitions below the snapshot floor,
+    * so serving reads O(assignments + deltas-since-compaction) instead
+    * of the full delta history. `batchId` consumes the next id in the
+    * table's monotone commit sequence, like any other commit.
+    * `newLabelBuckets` re-buckets the snapshot generation (grow B with
+    * standing size — bucket SIZE, not bucket count, is the stable
+    * layout constant); delta commits keep the layout's small constant
+    * counts, and reads prune each tier under its own modulus.
     *
     * Safe under concurrent readers: a reader that resolved an OLDER
     * commit marker keeps reading the pre-snapshot partitions (still on
@@ -568,38 +818,102 @@ object IncrementalEr {
     * the snapshot rows carry the highest batch id, so the
     * latest-per-vertex fold picks exactly them, and tombstoned
     * vertices are simply absent. */
-  def compact(spark: SparkSession, dir: String, batchId: Long): Unit = {
+  def compact(spark: SparkSession, dir: String, batchId: Long,
+              newLabelBuckets: Option[Int] = None): Unit = {
     val last = lastCommitted(spark, dir).getOrElse(return)
     if (last >= batchId) return
+    val lay = layoutOf(spark, dir)
+    val (bL, bM) = newLabelBuckets.map(b => (b, b))
+      .getOrElse((lay.labels, lay.members))
     val snapshot = currentLabels(spark, dir, last).localCheckpoint()
-    snapshot.withColumn(BatchCol, lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).parquet(labelsDir(dir))
-    touchMarker(spark, dir, s"$SnapshotPrefix$batchId")
+    writeLabelDelta(snapshot, dir, batchId, bL, bM)
+    touchMarker(spark, dir, s"$SnapshotPrefix${batchId}_${bL}_$bM")
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
     Components.dropCheckpoint(snapshot)
   }
 
-  /** Drop label partitions BELOW the current snapshot floor — the
-    * [[graft.pipeline.AtomicTable.vacuum]] janitor for the ER
-    * artifact. Superseded partitions are only read by readers holding
-    * a pre-compaction marker; like AtomicTable's vacuum, the caller
-    * serializes this against such in-flight readers. */
+  /** Fold the accumulated base + variant delta partitions into ONE
+    * snapshot generation — [[compact]]'s treatment for the record
+    * store and its index, closing the streaming small-file accretion
+    * (one directory per commit forever). The live base rows are
+    * rewritten as `_er_batch=<batchId>` and the variant index is
+    * RE-DERIVED from them (equal by construction to the accumulated
+    * per-batch expansions minus forgets), flagged by
+    * `_er_basesnap_<batchId>_<bB>_<bV>`; base/variant reads floor
+    * there.
+    *
+    * Re-bucketing: pass `newBuckets` (base, variants) explicitly, or
+    * `targetRowsPerBucket` to size `B' = live rows / target` — the
+    * bucket-size-constant growth law that keeps a fixed trigger's
+    * probe I/O flat as standing grows. Delta commits keep the layout's
+    * small constant counts; reads prune each tier under its own
+    * modulus. Pre-snapshot partitions serve in-flight and as-of
+    * readers until [[vacuumBase]]. */
+  def compactBase(spark: SparkSession, dir: String, batchId: Long,
+                  newBuckets: Option[(Int, Int)] = None,
+                  targetRowsPerBucket: Option[Long] = None): Unit = {
+    val last = lastCommitted(spark, dir).getOrElse(return)
+    if (last >= batchId) return
+    val lay = layoutOf(spark, dir)
+    val live = baseRows(spark, dir, last, None)
+      .select(col("blk"), col("k"), col("w")).localCheckpoint()
+    val (bB, bV) = newBuckets.orElse(targetRowsPerBucket.map { t =>
+      val nBase = live.count()
+      val nVar = variantRows(spark, dir, last, None).count()
+      def size(n: Long) =
+        math.min(65536L, math.max(16L, (n + t - 1) / t)).toInt
+      (size(nBase), size(nVar))
+    }).getOrElse((lay.base, lay.variants))
+    writeBucketed(live.withColumn("wb",
+        pmod(xxhash64(col("w")), lit(bB)).cast("int")),
+      baseDir(dir), batchId, "wb")
+    writeBucketed(dels(live).withColumn("vb",
+        pmod(col("g_vh"), lit(bV)).cast("int")),
+      variantsDir(dir), batchId, "vb")
+    touchMarker(spark, dir, s"$BaseSnapPrefix${batchId}_${bB}_$bV")
+    touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    Components.dropCheckpoint(live)
+  }
+
+  /** Drop label/member partitions BELOW the current label snapshot
+    * floor — the [[graft.pipeline.AtomicTable.vacuum]] janitor for the
+    * ER artifact. Superseded partitions are only read by readers
+    * holding a pre-compaction marker (including [[resolvedAsOf]] /
+    * [[labelDiff]] below the floor); like AtomicTable's vacuum, the
+    * caller serializes this against such in-flight readers. */
   def vacuumLabels(spark: SparkSession, dir: String): Unit = {
     val last = lastCommitted(spark, dir).getOrElse(return)
-    val floor = snapshotFloor(spark, dir, last).getOrElse(return)
-    val ctx = fc(spark, dir)
-    val p = new Path(labelsDir(dir))
-    ctx.util.listStatus(p).toSeq.map(_.getPath)
-      .filter { q =>
-        val n = q.getName
-        n.startsWith(s"$BatchCol=") &&
-          n.stripPrefix(s"$BatchCol=").toLong < floor
-      }
-      .foreach(q => ctx.delete(q, true))
-    spark.catalog.refreshByPath(labelsDir(dir))
+    val floor = snapInfo(spark, dir, SnapshotPrefix, last).map(_._1)
+      .getOrElse(return)
+    dropBelow(spark, Seq(labelsDir(dir), membersDir(dir)), floor)
   }
+
+  /** Drop base/variant partitions below the current base snapshot
+    * floor ([[compactBase]]'s janitor; same in-flight-reader contract
+    * as [[vacuumLabels]]). */
+  def vacuumBase(spark: SparkSession, dir: String): Unit = {
+    val last = lastCommitted(spark, dir).getOrElse(return)
+    val floor = snapInfo(spark, dir, BaseSnapPrefix, last).map(_._1)
+      .getOrElse(return)
+    dropBelow(spark, Seq(baseDir(dir), variantsDir(dir)), floor)
+  }
+
+  private def dropBelow(spark: SparkSession, dirs: Seq[String],
+                        floor: Long): Unit =
+    dirs.foreach { d =>
+      val ctx = fc(spark, d)
+      val p = new Path(d)
+      if (ctx.util.exists(p)) {
+        ctx.util.listStatus(p).toSeq.map(_.getPath)
+          .filter { q =>
+            val n = q.getName
+            n.startsWith(s"$BatchCol=") &&
+              n.stripPrefix(s"$BatchCol=").toLong < floor
+          }
+          .foreach(q => ctx.delete(q, true))
+        spark.catalog.refreshByPath(d)
+      }
+    }
 
   /** Current canonical assignment in q228's output shape:
     * (c_custkey, canonical_id, cluster_size) — served base ⟕ delta
@@ -607,9 +921,60 @@ object IncrementalEr {
   def resolved(spark: SparkSession, dir: String): DataFrame = {
     val up = lastCommitted(spark, dir).getOrElse(
       throw new IllegalStateException(s"IncrementalEr at $dir has no committed batch"))
-    currentLabels(spark, dir, up)
+    resolvedAsOf(spark, dir, up)
+  }
+
+  /** TIME TRAVEL: the served assignment AS OF commit `asOf` — the
+    * state any reader that resolved marker `asOf` saw. A partition
+    * filter over the same commit sequence (label partitions ≤ asOf,
+    * floored at the latest snapshot ≤ asOf), so reading an old version
+    * costs what serving cost AT that version. Available back to the
+    * [[vacuumLabels]] horizon — vacuum reclaims superseded partitions
+    * and with them the versions they served (the AtomicTable
+    * readVersion/vacuum contract, q88). */
+  def resolvedAsOf(spark: SparkSession, dir: String, asOf: Long): DataFrame = {
+    require(markerNames(spark, dir, MarkerPrefix).map(_.toLong).exists(_ <= asOf),
+      s"IncrementalEr at $dir has no commit at or below $asOf")
+    currentLabels(spark, dir, asOf)
       .select(col("v").as("c_custkey"), col("component").as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("canonical_id")).cast("long"))
+  }
+
+  /** AUDIT DIFF: per-vertex assignment changes between commits `from`
+    * (exclusive) and `to` (inclusive) — (c_custkey, old_canonical,
+    * new_canonical), where a NULL old is a new arrival and a NULL new
+    * is a forgotten record. Touched vertices come from the delta
+    * partitions in (from, to] (snapshot partitions excluded — a
+    * compaction rewrites every assignment without changing any), then
+    * one pruned key-restricted fold at each end; cost is O(deltas in
+    * the window + touched keys), never a full-history diff. */
+  def labelDiff(spark: SparkSession, dir: String, from: Long,
+                to: Long): DataFrame = {
+    require(from <= to, s"labelDiff: from $from > to $to")
+    val snapIds = markerNames(spark, dir, SnapshotPrefix)
+      .map(_.split('_').head.toLong).toSet
+    val deltaParts = readOrEmpty(spark, labelsDir(dir), labelsSchema)
+      .filter(col(BatchCol) > from && col(BatchCol) <= to &&
+        !col(BatchCol).isin(snapIds.toSeq: _*))
+    // not checkpointed: the returned frame is lazy and must stay
+    // evaluable after this call returns; the touched set is a
+    // partition-filtered distinct, cheap to re-derive per action
+    val touched = deltaParts.select("v").distinct()
+    val nTouched = touched.count()
+    val bcast = nTouched <= MaxBroadcastArrivals
+    def at(upTo: Long, outCol: String): DataFrame =
+      if (!markerNames(spark, dir, MarkerPrefix).map(_.toLong).exists(_ <= upTo))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("v", LongType),
+            StructField(outCol, LongType))))
+      else labelsLatestFor(spark, dir, upTo, touched, bcast)
+        .select(col("v"), col("component").as(outCol))
+    at(from, "old_canonical")
+      .join(at(to, "new_canonical"), Seq("v"), "full_outer")
+      .filter(!(col("old_canonical") <=> col("new_canonical")))
+      .select(col("v").as("c_custkey"), col("old_canonical"),
+        col("new_canonical"))
   }
 }

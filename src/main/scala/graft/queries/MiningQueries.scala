@@ -1821,8 +1821,137 @@ object MiningQueries {
     graft.operators.IncrementalEr.resolved(s, dir)
   }
 
+  /** q275 — MIXED upsert/forget STREAM on the maintained ER artifact
+    * ([[graft.streaming.Events.erOpsGateBatch]] driven by a real
+    * Structured Streaming file source, `maxFilesPerTrigger = 1` +
+    * AvailableNow, so multiple genuine micro-batches fire): each
+    * trigger carries one custkey-slice of arrivals PLUS forgets of
+    * records in that same slice — the forget-of-a-same-trigger-arrival
+    * compliance-order case the gate's docstring claims, proven on the
+    * wire. The gate maps stream batch b to artifact ids (2b, 2b+1)
+    * (arrivals fold first, then tombstones), so both ops replay-guard
+    * independently. Slices are custkey-disjoint, so the final fixpoint
+    * is trigger-order-independent, and the oracle is q228's exact
+    * algebra over the NET SURVIVORS (`c_custkey % 40 <> 0`) — the
+    * streamed interleaving must land exactly on the from-scratch
+    * resolution of what remains. */
+  val q275 = Q("q275_er_ops_streamed",
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_name, c_nationkey FROM customer
+      |  WHERE c_custkey % 40 <> 0),
+      |e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM c
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    val root = graft.pipeline.TempDirs.scoped("graft_erops_")
+    val dir = root + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    // one file per custkey slice: upserts of the slice + forgets of
+    // the slice's % 40 records — every forget targets a SAME-trigger
+    // arrival, and slice disjointness makes any file order converge
+    (0 until 3).foreach { i =>
+      val slice = c.filter(col("c_custkey") % 3 === i)
+      slice.select(lit("upsert").as("op"), col("c_custkey"), col("c_name"),
+          col("c_nationkey"))
+        .unionByName(slice.filter(col("c_custkey") % 40 === 0)
+          .select(lit("forget").as("op"), col("c_custkey"),
+            lit(null).cast("string").as("c_name"),
+            lit(null).cast("long").as("c_nationkey")))
+        .repartition(1).write.mode("append").parquet(s"$root/ops")
+    }
+    val q = s.readStream
+      .schema("op STRING, c_custkey LONG, c_name STRING, c_nationkey LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/ops")
+      .writeStream.foreachBatch(graft.streaming.Events.erOpsGateBatch(dir) _)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
+  /** q276 — ER TIME TRAVEL under the hash gate: customers fold in 3
+    * custkey-modulo batches, the label history is then COMPACTED
+    * (snapshot at id 3), and the query serves the assignment AS OF
+    * commit 1 through [[graft.operators.IncrementalEr.resolvedAsOf]]
+    * — a partition filter over the commit sequence, reading BELOW the
+    * later snapshot floor. The oracle resolves `c_custkey % 3 <= 1`
+    * from scratch (exactly the records committed by batches 0-1), so
+    * the hash gate proves as-of-fold ≡ prefix-fold: time travel
+    * reconstructs the old version bit-for-bit, not approximately. */
+  val q276 = Q("q276_er_time_travel",
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey, c_name, c_nationkey FROM customer
+      |  WHERE c_custkey % 3 <= 1),
+      |e0 AS (
+      |  SELECT a.c_custkey AS ea, b.c_custkey AS eb
+      |  FROM c a JOIN c b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ea, eb FROM e0 UNION SELECT eb, ea FROM e0),
+      |reach(v, u) AS (
+      |  SELECT c_custkey, c_custkey FROM c
+      |  UNION
+      |  SELECT r.v, e.eb FROM reach r JOIN edges e ON r.u = e.ea),
+      |lab AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY 1)
+      |SELECT CAST(v AS BIGINT) AS c_custkey,
+      |       CAST(canon AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size
+      |FROM lab""".stripMargin) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_erasofq_") + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    (0 until 3).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(col("c_custkey") % 3 === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.compact(s, dir, 3L)
+    graft.operators.IncrementalEr.resolvedAsOf(s, dir, 1L)
+  }
+
+  /** q277 — the COMPACTED index under the full maintain + forget gate:
+    * two arrival batches, then [[graft.operators.IncrementalEr
+    * .compactBase]] folds base + variants into a RE-BUCKETED snapshot
+    * generation (`targetRowsPerBucket` sizes B' to the live rows — the
+    * bucket-size-constant growth law), then a THIRD batch probes
+    * through the mixed snapshot/delta tiers (disjunctive-modulus
+    * pruning) and a forget rewrites partitions across BOTH tiers. The
+    * oracle is q262's from-scratch resolution of the survivors
+    * verbatim — compaction and re-bucketing must be invisible to every
+    * subsequent maintenance op, under the hash, not just in a spec. */
+  val q277 = Q("q277_er_compacted_forget", q262.oracle.get) { (s, d) =>
+    val dir = graft.pipeline.TempDirs.scoped("graft_ercbq_") + "/er"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    (0 until 2).foreach { b =>
+      graft.operators.IncrementalEr.maintainBatch(dir)(
+        c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === b), b.toLong)
+    }
+    graft.operators.IncrementalEr.compactBase(s, dir, 2L,
+      targetRowsPerBucket = Some(2048L))
+    graft.operators.IncrementalEr.vacuumBase(s, dir)
+    graft.operators.IncrementalEr.maintainBatch(dir)(
+      c.filter(pmod(xxhash64(col("c_custkey")), lit(3)) === 2), 3L)
+    graft.operators.IncrementalEr.forget(s, dir,
+      c.filter(col("c_custkey") % 50 === 0).select("c_custkey"), 4L)
+    graft.operators.IncrementalEr.resolved(s, dir)
+  }
+
   val all: Seq[Q] = Seq(q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q224, q228,
-    q235, q238, q239, q261, q262, q272, q273, q274)
+    q235, q238, q239, q261, q262, q272, q273, q274, q275, q276, q277)
 }

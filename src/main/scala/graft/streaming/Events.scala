@@ -533,15 +533,19 @@ object Events {
     * completes. StreamingSpec pins crash-replay idempotence; q274
     * gates the streamed forget against q262's from-scratch oracle. */
   def erOpsGateBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // BOTH artifact ids are consumed unconditionally — an empty or
+    // one-sided trigger still commits no-op markers for (2b, 2b+1), so
+    // the table's monotone sequence has no reusable holes (the r15
+    // empty-batch gap: a skipped even id could later commit real work
+    // under an id the stream had already passed)
     graft.operators.IncrementalEr.maintainBatch(dir)(
       batch.filter(col("op") === "upsert")
         .select("c_custkey", "c_name", "c_nationkey"),
       2L * batchId)
-    val forgets = batch.filter(col("op") === "forget").select("c_custkey")
-    if (!forgets.isEmpty)
-      graft.operators.IncrementalEr.forget(spark, dir, forgets, 2L * batchId + 1L)
+    graft.operators.IncrementalEr.forget(spark, dir,
+      batch.filter(col("op") === "forget").select("c_custkey"),
+      2L * batchId + 1L)
   }
 
   /** Streaming EMBEDDING near-dup gate — [[lshDedupGateBatch]]'s vector
