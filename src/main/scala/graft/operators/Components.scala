@@ -53,10 +53,92 @@ object Components {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Row cap for the DRIVER union-find fast path: a graph whose
+    * MEASURED |V| + |E| is at or below this solves locally in one
+    * collect instead of diameter-many distributed rounds (each round
+    * is a join + aggregate + checkpoint job — several hundred ms of
+    * fixed cost even on a contracted graph of a few thousand rows).
+    * Same measured-not-estimated discipline as the broadcast caps:
+    * 2 M rows × 16 B ≈ 32 MB collected, bounded driver memory, and
+    * anything larger takes the unchanged distributed path. Env
+    * override `SPARK_GRAFT_CC_LOCAL_MAX` (0 disables) so cluster
+    * deployments can retune without a code change. */
+  private[graft] val LocalCcMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(1000000L)
+
+  /** Driver union-find over COLLECTED (bounded, measured) edges —
+    * min-reachable-id labels, bit-identical to the propagation
+    * fixpoint: union-find tracks connectivity, then each root's label
+    * is the min member id, which is exactly the label min-propagation
+    * converges to. Edges with an endpoint outside `vs` are ignored —
+    * the distributed loop only ever propagates labels of seeded
+    * vertices, so a path through a non-vertex does not connect (the
+    * local path must not either). */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+                             vs: Array[Long],
+                             es: Array[(Long, Long)]): DataFrame = {
+    val parent = new scala.collection.mutable.LongMap[Long](vs.length * 2)
+    vs.foreach(v => parent.getOrElseUpdate(v, v))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+    }
+    // root -> min member id (roots are already component minima here:
+    // every union attaches the larger root under the smaller, so the
+    // final root of each tree is the minimum vertex id ever unioned
+    // into it; seeds start as their own root)
+    val rows = vs.map { v =>
+      org.apache.spark.sql.Row(v, find(v))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-                          maxIters: Int = 100): DataFrame = {
+                          maxIters: Int = 100,
+                          localMaxRows: Long = LocalCcMaxRows): DataFrame = {
     val Seq(ea, eb) = edges.columns.toSeq.map(col)
     val v = col(vertices.columns.head)
+    // SMALL-GRAPH FAST PATH (measured, capped): the distributed loop
+    // pays one join + one aggregate + one checkpoint JOB per diameter
+    // hop — for the contracted / per-batch graphs incremental
+    // maintenance emits (thousands of rows, chain-shaped label
+    // spaces) that is seconds of driver-side job scheduling to move
+    // kilobytes. Under the cap, collect and union-find on the driver:
+    // same labels (min reachable id), one job each side + one spill.
+    // The gate is a bounded take(cap + 1), NOT count-then-collect: one
+    // incremental pass decides AND fetches (a count would execute an
+    // expensive edge-generation plan once for the gate and again for
+    // the collect). An over-cap graph pays one discarded partial scan
+    // and falls through to the unchanged distributed loop.
+    if (localMaxRows > 0 && localMaxRows <= Int.MaxValue) {
+      val cap = localMaxRows.toInt
+      val vRows = vertices.select(v.cast("long")).take(cap + 1)
+      val eCap = cap - vRows.length
+      if (vRows.length <= cap && eCap >= 0) {
+        val eRows = edges.select(ea.cast("long"), eb.cast("long")).take(eCap + 1)
+        if (eRows.length <= eCap) {
+          val vs = vRows.map(_.getLong(0))
+          val es = eRows.map(r => (r.getLong(0), r.getLong(1)))
+          return graft.pipeline.TempDirs.spillParquet(
+            unionFindLocal(edges.sparkSession, vs, es), "graft_components_")
+        }
+      }
+    }
     // hash-partition the static edge list by the probe key ONCE before
     // caching (the PageRank treatment): every round joins labels on s,
     // and a cache that already carries HashPartitioning(s) feeds every

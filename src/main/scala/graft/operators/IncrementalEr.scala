@@ -240,13 +240,25 @@ object IncrementalEr {
     * predicates. Bounded by bDelta × bSnap pairs. */
   private def touchedSets(hashes: DataFrame, bDelta: Int,
                           bSnap: Option[Int]): (Seq[Int], Seq[Int]) = {
+    val m = touchedSetsMulti(hashes, Seq(bDelta, bSnap.getOrElse(bDelta)))
+    (m(bDelta), m(bSnap.getOrElse(bDelta)))
+  }
+
+  /** [[touchedSets]] under SEVERAL moduli at once: one distinct+collect
+    * job serves every (delta, snapshot) modulus of reads that share a
+    * probe hash family — maintainBatch's base and variant reads probe
+    * with the same hashes, so deriving all four bucket sets in one job
+    * halves the gate's fixed job cost. Row bound: the distinct is over
+    * tuples of residues, ≤ ∏ moduli rows. */
+  private def touchedSetsMulti(hashes: DataFrame,
+                               mods: Seq[Int]): Map[Int, Seq[Int]] = {
+    val uniq = mods.distinct
     val h = col(hashes.columns.head)
-    val pairs = hashes.select(
-        pmod(h, lit(bDelta)).cast("int").as("d"),
-        pmod(h, lit(bSnap.getOrElse(bDelta))).cast("int").as("s"))
+    val rows = hashes.select(uniq.map(m =>
+        pmod(h, lit(m)).cast("int").as(s"_m$m")): _*)
       .distinct().collect()
-    (pairs.map(_.getInt(0)).distinct.toSeq,
-      pairs.map(_.getInt(1)).distinct.toSeq)
+    uniq.zipWithIndex.map { case (m, i) =>
+      m -> rows.map(_.getInt(i)).distinct.toSeq }.toMap
   }
 
   /** Window + bucket-pruned read over a two-tier table: the snapshot
@@ -256,15 +268,15 @@ object IncrementalEr {
     * `hashes` = None reads the window unpruned. */
   private def pruned(df: DataFrame, bucketCol: String, upTo: Long,
                      snap: Option[(Long, Int)], bDelta: Int,
-                     hashes: Option[DataFrame]): DataFrame = {
+                     hashes: Option[DataFrame],
+                     sets: Option[(Seq[Int], Seq[Int])] = None): DataFrame = {
     val inWindow: Column = snap match {
       case Some((f, _)) => col(BatchCol) >= f && col(BatchCol) <= upTo
       case None => col(BatchCol) <= upTo
     }
-    hashes match {
+    sets.orElse(hashes.map(h => touchedSets(h, bDelta, snap.map(_._2)))) match {
       case None => df.filter(inWindow)
-      case Some(h) =>
-        val (dSet, sSet) = touchedSets(h, bDelta, snap.map(_._2))
+      case Some((dSet, sSet)) =>
         df.filter(snap match {
           case Some((f, _)) =>
             (col(BatchCol) === f && col(bucketCol).isin(sSet: _*)) ||
@@ -276,16 +288,18 @@ object IncrementalEr {
   }
 
   private def baseRows(spark: SparkSession, dir: String, upTo: Long,
-                       hashes: Option[DataFrame]): DataFrame =
+                       hashes: Option[DataFrame],
+                       sets: Option[(Seq[Int], Seq[Int])] = None): DataFrame =
     pruned(readOrEmpty(spark, baseDir(dir), baseSchema), "wb", upTo,
       snapInfo(spark, dir, BaseSnapPrefix, upTo).map(t => (t._1, t._2)),
-      layoutOf(spark, dir).base, hashes)
+      layoutOf(spark, dir).base, hashes, sets)
 
   private def variantRows(spark: SparkSession, dir: String, upTo: Long,
-                          hashes: Option[DataFrame]): DataFrame =
+                          hashes: Option[DataFrame],
+                          sets: Option[(Seq[Int], Seq[Int])] = None): DataFrame =
     pruned(readOrEmpty(spark, variantsDir(dir), variantsSchema), "vb", upTo,
       snapInfo(spark, dir, BaseSnapPrefix, upTo).map(t => (t._1, t._3)),
-      layoutOf(spark, dir).variants, hashes)
+      layoutOf(spark, dir).variants, hashes, sets)
 
   private def labelRows(spark: SparkSession, dir: String, upTo: Long,
                         hashes: Option[DataFrame] = None): DataFrame =
@@ -331,23 +345,13 @@ object IncrementalEr {
       .select(col("v"), col("component"))
   }
 
-  /** Current members of the given components: candidate vertices are
-    * any vertex that EVER carried one of the components within the
-    * snapshot window — read from the inverted `members/` copy pruned
-    * to the components' cb buckets — then the latest-per-vertex fold
-    * over the candidates keeps those whose CURRENT component is in the
-    * set. `bcast` must come from a MEASURED count of `comps`. */
-  private def membersOf(spark: SparkSession, dir: String, upTo: Long,
-                        comps: DataFrame, bcast: Boolean): DataFrame = {
-    val cs = comps.toDF("component")
-    def h(df: DataFrame) = if (bcast) broadcast(df) else df
-    val cand = memberRows(spark, dir, upTo,
-        Some(cs.select(xxhash64(col("component")).as("h"))))
-      .join(h(cs), Seq("component"), "left_semi")
-      .select("v").distinct()
-    labelsLatestFor(spark, dir, upTo, cand, bcast)
-      .join(h(cs), Seq("component"), "left_semi")
-  }
+  // Current-members-of-components reads (the inverted `members/` copy
+  // pruned to the components' cb buckets, then the latest-per-vertex
+  // fold over the candidates) are INLINED at their two call sites
+  // (maintain fold, forget) since r16: both checkpoint the candidate
+  // set so labelsLatestFor's double execution of its keys relation
+  // (residue collect + fold join) reads blocks instead of re-running
+  // the candidate plan.
 
   /** Deletion variants of `w` with position and the variant's 64-bit
     * hash: (blk, k, w, g_pos, g_vh). Joining on the hash instead of
@@ -379,12 +383,18 @@ object IncrementalEr {
   private[graft] def edgesIndexed(arrivals: DataFrame,
                                   standingVariants: Option[DataFrame],
                                   standingBase: Option[DataFrame],
-                                  bcast: Boolean): DataFrame = {
+                                  bcast: Boolean,
+                                  delsA: Option[DataFrame] = None): DataFrame = {
     def hA(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_merge")
     def hS(df: DataFrame): DataFrame =
       if (bcast) df else df.hint("shuffle_merge")
-    val dA = dels(arrivals)
+    // the arrivals' deletion variants: reuse the caller's checkpointed
+    // expansion when provided — maintainBatch consumes the SAME
+    // relation three times (probe-hash derivation, this probe, the
+    // variant-index commit), and re-exploding it inside each job is
+    // pure repeated work
+    val dA = delsA.getOrElse(dels(arrivals))
     val unionVariants = standingVariants
       .map(_.select(col("blk"), col("k"), col("w"), col("g_pos"), col("g_vh"))
         .unionByName(dA)).getOrElse(dA)
@@ -399,27 +409,30 @@ object IncrementalEr {
         col("w").as("wb"), col("g_pos"), col("g_vh"))),
         Seq("blk", "g_vh", "g_pos"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
-    // insert/delete: arrival-longer (its deletion IS a standing string)
-    // and arrival-shorter (a standing deletion IS the arrival string)
-    val longSide = hA(dA.select(col("blk"), col("k").as("ka"),
-        col("w").as("wa"), col("g_vh")))
+    // insert/delete arrival-longer (a deletion of the arrival IS a
+    // standing string) and exact-name twins (lev = 0) share the
+    // standing-strings-hashed build side — ONE union probe (arrival
+    // variant hashes ∪ arrival string hashes) against one scan of the
+    // strings relation instead of two joins/scans. Joining the exact
+    // case on the 64-bit string hash instead of the string itself is
+    // the ed2PairsBlocked discipline: a collision only adds a
+    // candidate the exact ED ≤ 1 verify below removes.
+    val longAndExact = hA(dA.select(col("blk"), col("k").as("ka"),
+        col("w").as("wa"), col("g_vh"))
+        .unionByName(arrivals.select(col("blk"), col("k").as("ka"),
+          col("w").as("wa"), xxhash64(col("w")).as("g_vh"))))
       .join(hS(unionStrings.select(col("blk"), col("k").as("kb"),
         col("w").as("wb"), xxhash64(col("w")).as("g_vh"))),
         Seq("blk", "g_vh"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
+    // arrival-shorter: a standing deletion IS the arrival string
     val shortSide = hS(unionVariants.select(col("blk"), col("k").as("ka"),
         col("w").as("wa"), col("g_vh")))
       .join(hA(arrivals.select(col("blk"), col("k").as("kb"),
         col("w").as("wb"), xxhash64(col("w")).as("g_vh"))),
         Seq("blk", "g_vh"))
       .select(col("ka"), col("wa"), col("kb"), col("wb"))
-    // exact-name twins (lev = 0)
-    val exact = hA(arrivals.select(col("blk"), col("w"), col("k").as("ka"),
-        col("w").as("wa")))
-      .join(hS(unionStrings.select(col("blk"), col("w"), col("k").as("kb"),
-        col("w").as("wb"))), Seq("blk", "w"))
-      .select(col("ka"), col("wa"), col("kb"), col("wb"))
-    subs.unionAll(longSide).unionAll(shortSide).unionAll(exact)
+    subs.unionAll(longAndExact).unionAll(shortSide)
       .filter(col("ka") =!= col("kb") &&
         graft.plans.NativeExpressions.withinEd1(col("wa"), col("wb")))
       .select(least(col("ka"), col("kb")).as("ea"),
@@ -440,6 +453,28 @@ object IncrementalEr {
       standingBase = if (left eq right) None else Some(right),
       bcast = bcast)
 
+  /** Overlap INDEPENDENT commit writes (guide §2.6: actions are only
+    * sequential because the driver calls them sequentially): each
+    * write is a small job over an already-checkpointed relation into
+    * its OWN directory, so submitting them from a thread pool lets
+    * their task tails back-fill each other instead of serializing 2-4
+    * jobs of mostly fixed scheduling cost. A failure in any write
+    * propagates (Await rethrows) and the commit marker — written by
+    * the caller AFTER this returns — never lands, so the replay
+    * contract is unchanged. Cached daemon pool: callers may nest
+    * logically (maintainBatch folds the label-delta writes into its
+    * own batch), and write threads block on the driver, not CPU. */
+  private lazy val writePool = scala.concurrent.ExecutionContext
+    .fromExecutorService(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "er-commit-writer")
+        t.setDaemon(true); t }))
+
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    val fs = tasks.map(t => scala.concurrent.Future(t())(writePool))
+    fs.foreach(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
+  }
+
   /** Bucket-column write: one shuffle keyed on the bucket column so
     * each leaf directory is written by exactly one task (≤ B files per
     * table per commit, not B × tasks), then a dynamic partition
@@ -458,17 +493,20 @@ object IncrementalEr {
     * assignments only — a tombstone never makes a vertex a membership
     * CANDIDATE, and the authoritative latest-per-vertex fold already
     * rejects stale candidates). */
-  private def writeLabelDelta(delta: DataFrame, dir: String, batchId: Long,
-                              bLab: Int, bMem: Int): Unit = {
-    writeBucketed(delta.select(col("v"), col("component").cast("long"))
+  private def labelDeltaWrites(delta: DataFrame, dir: String, batchId: Long,
+                               bLab: Int, bMem: Int): Seq[() => Unit] = Seq(
+    () => writeBucketed(delta.select(col("v"), col("component").cast("long"))
         .withColumn("kb", pmod(xxhash64(col("v")), lit(bLab)).cast("int")),
-      labelsDir(dir), batchId, "kb")
-    writeBucketed(delta.filter(col("component").isNotNull)
+      labelsDir(dir), batchId, "kb"),
+    () => writeBucketed(delta.filter(col("component").isNotNull)
         .select(col("component").cast("long"), col("v"))
         .withColumn("cb",
           pmod(xxhash64(col("component")), lit(bMem)).cast("int")),
-      membersDir(dir), batchId, "cb")
-  }
+      membersDir(dir), batchId, "cb"))
+
+  private def writeLabelDelta(delta: DataFrame, dir: String, batchId: Long,
+                              bLab: Int, bMem: Int): Unit =
+    inParallel(labelDeltaWrites(delta, dir, batchId, bLab, bMem))
 
   /** Consume `batchId` with no state change: layout marker (for a
     * brand-new artifact) + commit marker — every invoked id is durably
@@ -520,27 +558,44 @@ object IncrementalEr {
         a
     }
     mark("arrivals")
-    if (arrivals.isEmpty) {
+    // one count serves both the emptiness gate and the broadcast cap
+    // (an extra isEmpty action is a whole job on its own)
+    val nArr = arrivals.count()
+    if (nArr == 0) {
       Components.dropCheckpoint(arrivals)
       commitNoOp(spark, dir, batchId, hasCommits = true); return
     }
-    val nArr = arrivals.count()
     val bcast = nArr <= MaxBroadcastArrivals
+    // one checkpointed expansion of the arrivals' deletion variants —
+    // consumed by the probe-hash derivation, the index probe, and the
+    // variant-index commit below
+    val dA = dels(arrivals).localCheckpoint()
     // probe hash families: the arrivals' variant hashes meet the
     // variant index (substitutions, arrival-shorter) and the base's
     // string hashes (arrival-longer); the arrivals' own string hashes
     // meet the variant index (arrival-shorter) and the base (exact
     // twins). One union drives both tables' touched-bucket predicates.
     val standing = last.map { up =>
-      val probeHashes = dels(arrivals).select(col("g_vh").as("h"))
+      val probeHashes = dA.select(col("g_vh").as("h"))
         .union(arrivals.select(xxhash64(col("w")).as("h")))
-      (variantRows(spark, dir, up, Some(probeHashes)),
-        baseRows(spark, dir, up, Some(probeHashes))
+      // ONE distinct+collect derives the touched-bucket sets for every
+      // modulus of the base AND variant reads (they share this probe
+      // hash family) — two jobs folded into one
+      val snapB = snapInfo(spark, dir, BaseSnapPrefix, up)
+      val m = touchedSetsMulti(probeHashes,
+        Seq(lay.variants, lay.base) ++
+          snapB.toSeq.flatMap(t => Seq(t._2, t._3)))
+      val vSets = (m(lay.variants),
+        snapB.map(t => m(t._3)).getOrElse(m(lay.variants)))
+      val bSets = (m(lay.base),
+        snapB.map(t => m(t._2)).getOrElse(m(lay.base)))
+      (variantRows(spark, dir, up, None, Some(vSets)),
+        baseRows(spark, dir, up, None, Some(bSets))
           .select(col("blk"), col("k"), col("w")))
     }
     mark("buckets")
     val newEdges = edgesIndexed(arrivals, standing.map(_._1),
-      standing.map(_._2), bcast).localCheckpoint()
+      standing.map(_._2), bcast, delsA = Some(dA)).localCheckpoint()
     mark("edges")
     // contract new edges through the endpoint labels (arrivals label
     // themselves; standing endpoints from one pruned key-restricted
@@ -553,6 +608,7 @@ object IncrementalEr {
           .unionAll(newEdges.select(col("eb").as("v"))).distinct()
           .localCheckpoint()
         val nEnd = endpoints.count()
+        mark("  endpoints")
         val standingEnd = last.map(up =>
           labelsLatestFor(spark, dir, up, endpoints,
             bcast = nEnd <= MaxBroadcastArrivals))
@@ -568,6 +624,7 @@ object IncrementalEr {
           .select(col("la").as("a"), col("lb").as("b")).distinct()
           .localCheckpoint()
         Components.dropCheckpoint(endpoints)
+        mark("  contracted")
         if (contracted.isEmpty) {
           Components.dropCheckpoint(contracted)
           arrivals.select(col("k").as("v"), col("k").as("component"))
@@ -580,14 +637,31 @@ object IncrementalEr {
             .select(col("v").as("component"), col("component").as("g_new"))
             .localCheckpoint()
           val nMerged = merged.count()
+          mark("  cc")
           def hM(df: DataFrame) =
             if (nMerged <= MaxBroadcastArrivals) broadcast(df) else df
           val arrivalRows = arrivals.select(col("k").as("v"), col("k").as("component"))
             .join(hM(merged), Seq("component"), "left")
             .select(col("v"), coalesce(col("g_new"), col("component")).as("component"))
+          // inlined [[membersOf]] with the candidate set CHECKPOINTED:
+          // labelsLatestFor executes its keys twice (residue collect +
+          // the fold join), so an un-checkpointed candidate plan (pruned
+          // members scan + semi-join + distinct) ran twice per batch.
+          // membersOf's final membership-in-touched semi-join is
+          // subsumed here by the inner join with `merged`, whose keys
+          // ARE the touched components.
+          var candCkpt: Option[DataFrame] = None
           val movedStanding = last.map { up =>
-            membersOf(spark, dir, up, touched,
-                bcast = nTouched <= MaxBroadcastArrivals)
+            def hT(df: DataFrame) =
+              if (nTouched <= MaxBroadcastArrivals) broadcast(df) else df
+            val cand = memberRows(spark, dir, up,
+                Some(touched.select(xxhash64(col("component")).as("h"))))
+              .join(hT(touched), Seq("component"), "left_semi")
+              .select("v").distinct().localCheckpoint()
+            candCkpt = Some(cand)
+            val nCand = cand.count()
+            labelsLatestFor(spark, dir, up, cand,
+                bcast = nCand <= MaxBroadcastArrivals)
               .join(hM(merged), Seq("component"))
               .filter(col("g_new") =!= col("component"))
               .select(col("v"), col("g_new").as("component"))
@@ -595,6 +669,8 @@ object IncrementalEr {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(labelsSchema.fields.take(2))))
           val d = arrivalRows.unionByName(movedStanding).localCheckpoint()
+          mark("  moved")
+          candCkpt.foreach(Components.dropCheckpoint)
           Components.dropCheckpoint(merged)
           Components.dropCheckpoint(touched)
           Components.dropCheckpoint(contracted)
@@ -603,17 +679,22 @@ object IncrementalEr {
       }
     mark("delta")
     // append-only commits: each batch overwrites exactly its own
-    // partitions (replay-idempotent), marker creation is the commit point
-    writeBucketed(arrivals.withColumn("wb",
-        pmod(xxhash64(col("w")), lit(lay.base)).cast("int")),
-      baseDir(dir), batchId, "wb")
-    writeBucketed(dels(arrivals).withColumn("vb",
-        pmod(col("g_vh"), lit(lay.variants)).cast("int")),
-      variantsDir(dir), batchId, "vb")
-    writeLabelDelta(delta, dir, batchId, lay.labels, lay.members)
+    // partitions (replay-idempotent), marker creation is the commit
+    // point — the four table writes are independent jobs over
+    // checkpointed relations into four directories, overlapped
+    // ([[inParallel]]); the marker lands only after ALL of them
+    inParallel(Seq(
+      () => writeBucketed(arrivals.withColumn("wb",
+          pmod(xxhash64(col("w")), lit(lay.base)).cast("int")),
+        baseDir(dir), batchId, "wb"),
+      () => writeBucketed(dA.withColumn("vb",
+          pmod(col("g_vh"), lit(lay.variants)).cast("int")),
+        variantsDir(dir), batchId, "vb")) ++
+      labelDeltaWrites(delta, dir, batchId, lay.labels, lay.members))
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
     mark("commit")
     Components.dropCheckpoint(arrivals)
+    Components.dropCheckpoint(dA)
     Components.dropCheckpoint(newEdges)
     Components.dropCheckpoint(delta)
   }
@@ -663,15 +744,24 @@ object IncrementalEr {
       commitNoOp(spark, dir, batchId, hasCommits = false); return
     }
     if (last >= batchId) return
-    if (ids.isEmpty) { commitNoOp(spark, dir, batchId, hasCommits = true); return }
     val lay = layoutOf(spark, dir)
+    // checkpoint the forget set once: it feeds four joins (locate,
+    // survivors, remaining, member relation) whose broadcast builds
+    // would each re-execute the ids plan; the count doubles as the
+    // emptiness gate (an isEmpty is a whole extra job)
     val del = ids.select(col(ids.columns.head).cast("long").as("k")).distinct()
+      .localCheckpoint()
     val nDel = del.count()
+    if (nDel == 0) {
+      Components.dropCheckpoint(del)
+      commitNoOp(spark, dir, batchId, hasCommits = true); return
+    }
     val affectedIds = labelsLatestFor(spark, dir, last,
         del.select(col("k").as("v")), bcast = nDel <= MaxBroadcastArrivals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (affectedIds.isEmpty) {
       affectedIds.unpersist()
+      Components.dropCheckpoint(del)
       commitNoOp(spark, dir, batchId, hasCommits = true); return
     }
     def hDel(df: DataFrame) =
@@ -684,8 +774,15 @@ object IncrementalEr {
     // rewrite unit for the index)
     val touchedLeafs = base0.join(hDel(del), Seq("k"), "left_semi")
       .select(col(BatchCol), col("wb")).distinct().localCheckpoint()
-    val touchedBatches = touchedLeafs.select(col(BatchCol)).distinct()
-    val survivors = base0.join(broadcast(touchedBatches), Seq(BatchCol), "left_semi")
+    // the touched BATCH ids are bounded by the commit count and
+    // already on the driver's path — collect them once and push an
+    // `isin` on the PARTITION column instead of semi-joining, so the
+    // survivor / variant reads prune at the directory listing rather
+    // than scanning every batch partition (r16)
+    val touchedBatchIds = touchedLeafs
+      .select(col(BatchCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val survivors = base0.filter(col(BatchCol).isin(touchedBatchIds: _*))
       .join(hDel(del), Seq("k"), "left_anti")
       .localCheckpoint()
     val rewritten = survivors
@@ -699,20 +796,38 @@ object IncrementalEr {
     // remaining members and their re-match edges are consumed by the
     // emptiness probes AND the CC/delta below — localCheckpoint so the
     // FastSS chain runs once, not once per action (measured: the
-    // probes re-running the whole chain tripled the forget pass)
-    val remaining = membersOf(spark, dir, last, affected,
-        bcast = nAffected <= MaxBroadcastArrivals)
+    // probes re-running the whole chain tripled the forget pass).
+    // [[membersOf]] is inlined with its candidate set CHECKPOINTED:
+    // labelsLatestFor executes its keys relation twice (residue
+    // collect + fold join), so the un-checkpointed candidate plan ran
+    // twice per forget (r16, same fix as the maintain fold).
+    def hAff(df: DataFrame) =
+      if (nAffected <= MaxBroadcastArrivals) broadcast(df) else df
+    val cand = memberRows(spark, dir, last,
+        Some(affected.select(xxhash64(col("component")).as("h"))))
+      .join(hAff(affected), Seq("component"), "left_semi")
+      .select("v").distinct().localCheckpoint()
+    val nCand = cand.count()
+    val remaining = labelsLatestFor(spark, dir, last, cand,
+        bcast = nCand <= MaxBroadcastArrivals)
+      .join(hAff(affected), Seq("component"), "left_semi")
       .join(hDel(del.select(col("k").as("v"))), Seq("v"), "left_anti")
       .select(col("v"))
       .localCheckpoint()
+    Components.dropCheckpoint(cand)
     val nRemaining = remaining.count()
+    // the member relation feeds edgesTouching through FIVE plan
+    // references (both sides of three joins) — checkpoint it so the
+    // base scan + semi-joins run once, not per reference (r16)
     val memRel = base0.select(col("blk"), col("k"), col("w"))
       .join(if (nRemaining <= MaxBroadcastArrivals)
           broadcast(remaining.select(col("v").as("k")))
         else remaining.select(col("v").as("k")), Seq("k"), "left_semi")
       .join(hDel(del), Seq("k"), "left_anti")
+      .localCheckpoint()
     val edges = edgesTouching(memRel, memRel,
       bcast = nRemaining <= MaxBroadcastArrivals).localCheckpoint()
+    Components.dropCheckpoint(memRel)
     val newLabels =
       if (remaining.isEmpty || edges.isEmpty)
         remaining.select(col("v"), col("v").as("component"))
@@ -746,18 +861,22 @@ object IncrementalEr {
       .localCheckpoint()
     val staleVar = leafSet(
       variantRows(spark, dir, last, None)
-        .join(broadcast(touchedBatches), Seq(BatchCol), "left_semi"), "vb") --
+        .filter(col(BatchCol).isin(touchedBatchIds: _*)), "vb") --
       leafSet(varRewrite, "vb")
-    // relations are materialized off the files; mutate base first
-    // (crash before the delta replays through the labels-presence test)
-    rewritten.repartition(col("wb"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol, "wb").parquet(baseDir(dir))
-    varRewrite.repartition(col("vb"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol, "vb").parquet(variantsDir(dir))
+    // relations are materialized off the files (localCheckpoint), so
+    // the two rewrites read blocks, not the directories they replace —
+    // independent jobs, overlapped; both complete before the label
+    // delta, preserving the crash-before-delta replay story (a retry
+    // recomputes both rewrites from the intact base read)
+    inParallel(Seq(
+      () => rewritten.repartition(col("wb"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol, "wb").parquet(baseDir(dir)),
+      () => varRewrite.repartition(col("vb"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol, "vb").parquet(variantsDir(dir))))
     val ctx = fc(spark, dir)
     emptiedBase.foreach { case (b, w) =>
       val p = new Path(baseDir(dir), s"$BatchCol=$b/wb=$w")
@@ -783,6 +902,7 @@ object IncrementalEr {
     spark.catalog.refreshByPath(variantsDir(dir))
     writeLabelDelta(delta, dir, batchId, lay.labels, lay.members)
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    Components.dropCheckpoint(del)
     Components.dropCheckpoint(touchedLeafs)
     Components.dropCheckpoint(survivors)
     Components.dropCheckpoint(rewritten)
@@ -864,12 +984,13 @@ object IncrementalEr {
         math.min(65536L, math.max(16L, (n + t - 1) / t)).toInt
       (size(nBase), size(nVar))
     }).getOrElse((lay.base, lay.variants))
-    writeBucketed(live.withColumn("wb",
-        pmod(xxhash64(col("w")), lit(bB)).cast("int")),
-      baseDir(dir), batchId, "wb")
-    writeBucketed(dels(live).withColumn("vb",
-        pmod(col("g_vh"), lit(bV)).cast("int")),
-      variantsDir(dir), batchId, "vb")
+    inParallel(Seq(
+      () => writeBucketed(live.withColumn("wb",
+          pmod(xxhash64(col("w")), lit(bB)).cast("int")),
+        baseDir(dir), batchId, "wb"),
+      () => writeBucketed(dels(live).withColumn("vb",
+          pmod(col("g_vh"), lit(bV)).cast("int")),
+        variantsDir(dir), batchId, "vb")))
     touchMarker(spark, dir, s"$BaseSnapPrefix${batchId}_${bB}_$bV")
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
     Components.dropCheckpoint(live)

@@ -78,7 +78,12 @@ class ComponentsSpec extends SparkSpec {
     // must throw rather than return them
     val es = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
     val ex = intercept[IllegalStateException] {
-      comps(es, 1L to 5L, maxIters = 1)
+      // localMaxRows = 0: the maxIters contract belongs to the
+      // DISTRIBUTED loop — the r16 union-find fast path has no
+      // iteration bound to trip (it always converges), so force the
+      // loop to pin its failure mode
+      Components.connectedComponents(es.toDF("a", "b"), (1L to 5L).toDF("v"),
+        maxIters = 1, localMaxRows = 0L)
     }
     assert(ex.getMessage.contains("did not converge"))
     val ex2 = intercept[IllegalStateException] {
@@ -179,5 +184,32 @@ class ComponentsSpec extends SparkSpec {
       .join(clusterSplit.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
       .filter(col("sa") =!= col("sb")).count()
     assert(clusterLeaks === 0L)
+  }
+
+  test("driver union-find fast path == distributed propagation (r16): fixed, randomized, and out-of-vertex-set edges") {
+    def both(es: Seq[(Long, Long)], vs: Seq[Long]): Unit = {
+      def run(cap: Long) = Components.connectedComponents(
+          es.toDF("a", "b"), vs.toDF("v"), maxIters = 500, localMaxRows = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = run(Components.LocalCcMaxRows) // fast path (graphs are tiny)
+      val dist = run(0L)                         // cap 0 disables → propagation loop
+      assert(local === dist, s"local != distributed on edges=$es vertices=$vs")
+    }
+    // fixed topologies: chain, star+cycle, isolated vertices
+    both(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)), 1L to 5L)
+    both((2L to 6L).map(x => (1L, x)) ++ Seq((20L, 21L), (21L, 22L), (22L, 20L)),
+      (1L to 6L) ++ (20L to 22L))
+    // an edge touching a vertex OUTSIDE the seeded set must not connect
+    // through it on either path (the propagation loop never labels it)
+    both(Seq((1L, 500L), (500L, 2L)), Seq(1L, 2L))
+    // randomized graphs, fixed seed
+    val rnd = new scala.util.Random(0xE5C0)
+    (1 to 3).foreach { _ =>
+      val n = 60 + rnd.nextInt(60)
+      val vs = (1L to n.toLong).toSeq
+      val es = Seq.fill(n)((1L + rnd.nextInt(n).toLong, 1L + rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      both(es, vs)
+    }
   }
 }
