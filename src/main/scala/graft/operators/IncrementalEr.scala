@@ -601,17 +601,21 @@ object IncrementalEr {
     // themselves; standing endpoints from one pruned key-restricted
     // read), CC over the contracted label graph only, then the DELTA:
     // arrivals plus touched-component members whose canonical moved
+    // one count on the checkpointed edges serves the emptiness gate
+    // AND (×2, since |endpoints| ≤ 2·|edges|) the endpoint broadcast
+    // cap — the endpoints relation itself stays LAZY: a distinct over
+    // checkpoint blocks is cheaper to run twice inside labelsLatestFor
+    // than a dedicated checkpoint + count job pair (r16)
+    val nNE = newEdges.count()
     val delta =
-      if (newEdges.isEmpty) arrivals.select(col("k").as("v"), col("k").as("component"))
+      if (nNE == 0) arrivals.select(col("k").as("v"), col("k").as("component"))
       else {
         val endpoints = newEdges.select(col("ea").as("v"))
           .unionAll(newEdges.select(col("eb").as("v"))).distinct()
-          .localCheckpoint()
-        val nEnd = endpoints.count()
         mark("  endpoints")
         val standingEnd = last.map(up =>
           labelsLatestFor(spark, dir, up, endpoints,
-            bcast = nEnd <= MaxBroadcastArrivals))
+            bcast = 2 * nNE <= MaxBroadcastArrivals))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(labelsSchema.fields.take(2))))
@@ -623,16 +627,18 @@ object IncrementalEr {
           .filter(col("la") =!= col("lb"))
           .select(col("la").as("a"), col("lb").as("b")).distinct()
           .localCheckpoint()
-        Components.dropCheckpoint(endpoints)
         mark("  contracted")
-        if (contracted.isEmpty) {
+        val nC = contracted.count()
+        if (nC == 0) {
           Components.dropCheckpoint(contracted)
           arrivals.select(col("k").as("v"), col("k").as("component"))
         } else {
+          // touched stays LAZY (a distinct over the contracted
+          // checkpoint blocks, cheap per consumer); its broadcast cap
+          // is bounded by 2·|contracted| from the one count above
+          val nTouched = 2 * nC
           val touched = contracted.select(col("a").as("component"))
             .unionAll(contracted.select(col("b").as("component"))).distinct()
-            .localCheckpoint()
-          val nTouched = touched.count()
           val merged = Components.connectedComponents(contracted, touched)
             .select(col("v").as("component"), col("component").as("g_new"))
             .localCheckpoint()
@@ -672,7 +678,6 @@ object IncrementalEr {
           mark("  moved")
           candCkpt.foreach(Components.dropCheckpoint)
           Components.dropCheckpoint(merged)
-          Components.dropCheckpoint(touched)
           Components.dropCheckpoint(contracted)
           d
         }
@@ -740,6 +745,13 @@ object IncrementalEr {
     * which the contraction drops). */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
              batchId: Long): Unit = {
+    val profile = sys.env.contains("SPARK_GRAFT_ER_PROFILE")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (profile) {
+      val now = System.nanoTime()
+      println(f"[er-forget] $phase%-12s ${(now - tLast) / 1e9}%.2fs")
+      tLast = now
+    }
     val last = lastCommitted(spark, dir).getOrElse {
       commitNoOp(spark, dir, batchId, hasCommits = false); return
     }
@@ -759,6 +771,7 @@ object IncrementalEr {
     val affectedIds = labelsLatestFor(spark, dir, last,
         del.select(col("k").as("v")), bcast = nDel <= MaxBroadcastArrivals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mark("locate")
     if (affectedIds.isEmpty) {
       affectedIds.unpersist()
       Components.dropCheckpoint(del)
@@ -788,6 +801,7 @@ object IncrementalEr {
     val rewritten = survivors
       .join(broadcast(touchedLeafs), Seq(BatchCol, "wb"), "left_semi")
       .localCheckpoint()
+    mark("survivors")
     // clusters touching a forgotten id: relabel their REMAINING
     // members from scratch — re-match (FastSS over members only) + CC
     val affected = affectedIds.select(col("component")).distinct()
@@ -816,6 +830,7 @@ object IncrementalEr {
       .localCheckpoint()
     Components.dropCheckpoint(cand)
     val nRemaining = remaining.count()
+    mark("members")
     // the member relation feeds edgesTouching through FIVE plan
     // references (both sides of three joins) — checkpoint it so the
     // base scan + semi-joins run once, not per reference (r16)
@@ -828,6 +843,7 @@ object IncrementalEr {
     val edges = edgesTouching(memRel, memRel,
       bcast = nRemaining <= MaxBroadcastArrivals).localCheckpoint()
     Components.dropCheckpoint(memRel)
+    mark("rematch")
     val newLabels =
       if (remaining.isEmpty || edges.isEmpty)
         remaining.select(col("v"), col("v").as("component"))
@@ -837,6 +853,7 @@ object IncrementalEr {
     val delta = newLabels.select(col("v"), col("component").cast("long"))
       .unionByName(tombstones)
       .localCheckpoint()
+    mark("cc-delta")
     // leafs whose every row was forgotten are absent from the rewrite
     // (dynamic overwrite can't emit an empty partition) and must be
     // dropped; COLLECTED (≤ touched leafs — bounded by the forget set
@@ -863,6 +880,7 @@ object IncrementalEr {
       variantRows(spark, dir, last, None)
         .filter(col(BatchCol).isin(touchedBatchIds: _*)), "vb") --
       leafSet(varRewrite, "vb")
+    mark("leafsets")
     // relations are materialized off the files (localCheckpoint), so
     // the two rewrites read blocks, not the directories they replace —
     // independent jobs, overlapped; both complete before the label
@@ -900,8 +918,10 @@ object IncrementalEr {
     // refresh — invalidate the listing so later scans re-list
     spark.catalog.refreshByPath(baseDir(dir))
     spark.catalog.refreshByPath(variantsDir(dir))
+    mark("rewrites")
     writeLabelDelta(delta, dir, batchId, lay.labels, lay.members)
     touchMarker(spark, dir, s"$MarkerPrefix$batchId")
+    mark("labels")
     Components.dropCheckpoint(del)
     Components.dropCheckpoint(touchedLeafs)
     Components.dropCheckpoint(survivors)
