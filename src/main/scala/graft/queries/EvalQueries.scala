@@ -492,7 +492,14 @@ object EvalQueries {
     val e = Tables.events(s, d).select(
       floor(col("value")).cast(LongType).as("x"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-    val root = bestStump(e)
+    // materialize the ONE-ROW root stump (spill-and-read, the
+    // TempDirs.spillParquet plan-truncation discipline): left and
+    // right each embed the threshold source, so a lazy root
+    // replicated its whole two-prefix-scan subtree THREE times into
+    // one ~440-Exchange plan — planning and codegen of that tree cost
+    // more than the query (guide §3.3: very wide plans, materialize
+    // intermediates)
+    val root = graft.pipeline.TempDirs.spillParquet(bestStump(e), "graft_q253_root_")
     val thr = broadcast(root.select(col("threshold").as("g_thr")))
     val left = bestStump(e.crossJoin(thr).filter(col("x") <= col("g_thr")).select("x", "y"))
     val right = bestStump(e.crossJoin(thr).filter(col("x") > col("g_thr")).select("x", "y"))
