@@ -39,12 +39,51 @@ object Bfs {
     * @param seeds hop-0 vertices, column `idCol`
     * @return (`idCol`, `hop`) — min hop per reached vertex, hop ≤ maxHops */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-                   seeds: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+                   seeds: DataFrame, idCol: String, maxHops: Int,
+                   localMaxRows: Long = LocalGraph.MaxRows): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     import graft.pipeline.TempDirs.spillParquet
     val e = edges.select(col(srcCol).as("g_src"), col(dstCol).as("g_dst"))
+    val seed0 = seeds.select(col(idCol)).distinct()
+    // SMALL-GRAPH FAST PATH (measured, capped — see [[LocalGraph]]):
+    // under the cap, collect and run the frontier loop on the driver;
+    // same min-hop semantics (a vertex enters once, at its first
+    // round), one job per side + one spill instead of ~3 jobs × rounds.
+    for (sRows <- LocalGraph.collectUnder(seed0, localMaxRows);
+         eRows <- LocalGraph.collectUnder(e, localMaxRows - sRows.length)) {
+      val adj = new scala.collection.mutable.HashMap[Any,
+        scala.collection.mutable.ArrayBuffer[Any]]
+      eRows.foreach { r =>
+        adj.getOrElseUpdate(r.get(0),
+          new scala.collection.mutable.ArrayBuffer[Any]) += r.get(1)
+      }
+      val hop = new scala.collection.mutable.HashMap[Any, Long]
+      sRows.foreach(r => hop.update(r.get(0), 0L))
+      var frontier: Iterable[Any] = hop.keysIterator.toSeq
+      var h = 1L
+      while (h <= maxHops && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[Any]
+        frontier.foreach { v =>
+          adj.get(v).foreach(_.foreach { d =>
+            if (!hop.contains(d)) { hop.update(d, h); next += d }
+          })
+        }
+        frontier = next
+        h += 1
+      }
+      val spark = edges.sparkSession
+      val schema = seed0.withColumn("hop", lit(0L)).schema
+      return spillParquet(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          hop.toSeq.map { case (v, hp) => org.apache.spark.sql.Row(v, hp) }, 1),
+        schema), "graft_bfs_local_")
+    }
+    // NOT persisted/pre-partitioned: the per-round joins BROADCAST the
+    // (small, staged) frontier over an edge-relation scan — the edge
+    // side never shuffles, so a repartition+persist of it up front is
+    // a pure extra shuffle (measured +1s on q190's 2.4 M edges, r16)
     var visited = spillParquet(
-      seeds.select(col(idCol)).distinct().withColumn("hop", lit(0L)),
+      seed0.withColumn("hop", lit(0L)),
       "graft_bfs_visited_")
     var frontier = visited.select(col(idCol))
     var h = 1

@@ -771,8 +771,15 @@ object IncrementalEr {
     val affectedIds = labelsLatestFor(spark, dir, last,
         del.select(col("k").as("v")), bcast = nDel <= MaxBroadcastArrivals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the touched-components set is needed below anyway (re-match
+    // scope), so ITS count doubles as the emptiness gate — one job
+    // instead of an isEmpty probe plus the later checkpoint+count (r16)
+    val affected = affectedIds.select(col("component")).distinct()
+      .localCheckpoint()
+    val nAffected = affected.count()
     mark("locate")
-    if (affectedIds.isEmpty) {
+    if (nAffected == 0) {
+      Components.dropCheckpoint(affected)
       affectedIds.unpersist()
       Components.dropCheckpoint(del)
       commitNoOp(spark, dir, batchId, hasCommits = true); return
@@ -787,14 +794,15 @@ object IncrementalEr {
     // rewrite unit for the index)
     val touchedLeafs = base0.join(hDel(del), Seq("k"), "left_semi")
       .select(col(BatchCol), col("wb")).distinct().localCheckpoint()
-    // the touched BATCH ids are bounded by the commit count and
-    // already on the driver's path — collect them once and push an
-    // `isin` on the PARTITION column instead of semi-joining, so the
-    // survivor / variant reads prune at the directory listing rather
-    // than scanning every batch partition (r16)
-    val touchedBatchIds = touchedLeafs
-      .select(col(BatchCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // ONE collect serves the touched-leaf set (emptied-leaf math below)
+    // AND the touched BATCH ids, which are bounded by the commit count
+    // and pushed as an `isin` on the PARTITION column, so the survivor
+    // / variant reads prune at the directory listing rather than
+    // scanning every batch partition (r16)
+    val touchedLeafSet = touchedLeafs
+      .select(col(BatchCol).cast("long"), col("wb").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val touchedBatchIds = touchedLeafSet.map(_._1).toSeq
     val survivors = base0.filter(col(BatchCol).isin(touchedBatchIds: _*))
       .join(hDel(del), Seq("k"), "left_anti")
       .localCheckpoint()
@@ -802,11 +810,9 @@ object IncrementalEr {
       .join(broadcast(touchedLeafs), Seq(BatchCol, "wb"), "left_semi")
       .localCheckpoint()
     mark("survivors")
-    // clusters touching a forgotten id: relabel their REMAINING
-    // members from scratch — re-match (FastSS over members only) + CC
-    val affected = affectedIds.select(col("component")).distinct()
-      .localCheckpoint()
-    val nAffected = affected.count()
+    // clusters touching a forgotten id (`affected`, computed with the
+    // gate above): relabel their REMAINING members from scratch —
+    // re-match (FastSS over members only) + CC
     // remaining members and their re-match edges are consumed by the
     // emptiness probes AND the CC/delta below — localCheckpoint so the
     // FastSS chain runs once, not once per action (measured: the
@@ -845,7 +851,7 @@ object IncrementalEr {
     Components.dropCheckpoint(memRel)
     mark("rematch")
     val newLabels =
-      if (remaining.isEmpty || edges.isEmpty)
+      if (nRemaining == 0 || edges.isEmpty) // count already taken above
         remaining.select(col("v"), col("v").as("component"))
       else Components.connectedComponents(edges, remaining)
     val tombstones = affectedIds.select(col("v"),
@@ -864,7 +870,7 @@ object IncrementalEr {
     def leafSet(df: DataFrame, bCol: String): Set[(Long, Int)] =
       df.select(col(BatchCol).cast("long"), col(bCol).cast("int"))
         .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val emptiedBase = leafSet(touchedLeafs, "wb") -- leafSet(rewritten, "wb")
+    val emptiedBase = touchedLeafSet -- leafSet(rewritten, "wb")
     // a touched batch that IS the base snapshot keeps the snapshot's
     // own variant modulus; every delta batch re-buckets under the
     // layout's
@@ -876,10 +882,21 @@ object IncrementalEr {
           lit(snapV.map(_._3).getOrElse(lay.variants)))
           .otherwise(lit(lay.variants))).cast("int"))
       .localCheckpoint()
-    val staleVar = leafSet(
-      variantRows(spark, dir, last, None)
-        .filter(col(BatchCol).isin(touchedBatchIds: _*)), "vb") --
-      leafSet(varRewrite, "vb")
+    // existing variant leafs of the touched batches come from a DRIVER
+    // directory listing, not a parquet scan: a leaf IS a partition
+    // directory (`_er_batch=<b>/vb=<v>`), writers only materialize
+    // non-empty leafs and deletes remove the dir, so dirs-on-disk ≡
+    // leafs-with-rows — the one remaining full variant-partition read
+    // on this path becomes a per-batch listStatus (r16)
+    val fcV = fc(spark, dir)
+    val existingVar = touchedBatchIds.flatMap { b =>
+      val p = new Path(variantsDir(dir), s"$BatchCol=$b")
+      if (!fcV.util.exists(p)) Seq.empty[(Long, Int)]
+      else fcV.util.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("vb="))
+        .map(n => (b, n.stripPrefix("vb=").toInt))
+    }.toSet
+    val staleVar = existingVar -- leafSet(varRewrite, "vb")
     mark("leafsets")
     // relations are materialized off the files (localCheckpoint), so
     // the two rewrites read blocks, not the directories they replace —

@@ -29,10 +29,36 @@ object KCore {
     * [[Sssp]]/[[Bfs]] convention); the returned `deg` is the vertex's
     * degree within the final peeled edge set, ≥ k for every row. */
   def peel(edges: DataFrame, srcCol: String, dstCol: String,
-           k: Int, rounds: Int): DataFrame = {
+           k: Int, rounds: Int,
+           localMaxRows: Long = LocalGraph.MaxRows): DataFrame = {
     require(k >= 1, s"k-core threshold must be >= 1, got $k")
     require(rounds >= 1, s"round budget must be >= 1, got $rounds")
     var e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+    // SMALL-GRAPH FAST PATH (measured, capped — see [[LocalGraph]]):
+    // the same bounded peel over collected rows — per round, degree =
+    // out-edge count per source (the symmetric-input convention makes
+    // that the vertex degree), then edges keep both-endpoints-alive;
+    // the FINAL round only recounts (the distributed loop's r == rounds
+    // shape), so the round budget binds identically.
+    LocalGraph.collectUnder(e, localMaxRows).foreach { eRows =>
+      var es: Seq[(Any, Any)] = eRows.toSeq.map(r => (r.get(0), r.get(1)))
+      var deg: Map[Any, Long] = Map.empty
+      for (r <- 1 to rounds) {
+        deg = es.groupBy(_._1).map { case (v, g) => v -> g.size.toLong }
+        if (r < rounds) {
+          val alive = deg.collect { case (v, d) if d >= k => v }.toSet
+          es = es.filter(t => alive(t._1) && alive(t._2))
+        }
+      }
+      val spark = edges.sparkSession
+      val schema = e.groupBy(col("x").as("v"))
+        .agg(count(lit(1)).as("deg")).schema
+      return spillParquet(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          deg.toSeq.collect { case (v, d) if d >= k =>
+            org.apache.spark.sql.Row(v, d) }, 1),
+        schema), "graft_kcore_local_")
+    }
     var deg: DataFrame = null
     for (r <- 1 to rounds) {
       deg = e.groupBy(col("x").as("v")).agg(count(lit(1)).as("deg"))

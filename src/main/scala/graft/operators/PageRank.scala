@@ -45,9 +45,63 @@ object PageRank {
   def fixedPointRanks(edges: DataFrame, nodes: DataFrame, idCol: String,
                       iterations: Int,
                       scale: Long = 1000000000000L,
-                      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                      dampNum: Long = 85L, dampDen: Long = 100L,
+                      localMaxRows: Long = LocalGraph.MaxRows): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    // SMALL-GRAPH FAST PATH (measured, capped — see [[LocalGraph]]):
+    // the identical integer fixed point over collected rows. Per
+    // iteration: contrib(v) = rank(v) / deg(v) for ranked vertices
+    // with symmetrized degree, sum_in(dst) accumulates along the
+    // symmetrized edges, and every NODE gets teleport +
+    // (dampNum·sum_in) / dampDen — floor division of nonnegative longs
+    // matches Spark's `div` term for term, so the ranks are bit-equal
+    // (pinned by LocalGraphSpec against the cap-0 distributed loop).
+    locally {
+      val nodeRel = nodes.select(col(idCol))
+      for (nRows <- LocalGraph.takeUnder(nodeRel, localMaxRows)
+             if nRows.nonEmpty; // n = 0 keeps the distributed shape (empty out)
+           eRows <- LocalGraph.takeUnder(
+             edges.select(col("a"), col("b")), localMaxRows - nRows.length)) {
+        val n = nRows.length.toLong
+        val adj = new scala.collection.mutable.HashMap[Any,
+          scala.collection.mutable.ArrayBuffer[Any]]
+        val deg = new scala.collection.mutable.HashMap[Any, Long]
+        eRows.foreach { r =>
+          val a = r.get(0); val b = r.get(1)
+          adj.getOrElseUpdate(a,
+            new scala.collection.mutable.ArrayBuffer[Any]) += b
+          adj.getOrElseUpdate(b,
+            new scala.collection.mutable.ArrayBuffer[Any]) += a
+          deg.update(a, deg.getOrElse(a, 0L) + 1L)
+          deg.update(b, deg.getOrElse(b, 0L) + 1L)
+        }
+        val teleport = (scale * (dampDen - dampNum)) / (dampDen * n)
+        var ranks = new scala.collection.mutable.HashMap[Any, Long]
+        nRows.foreach(r => ranks.update(r.get(0), scale / n))
+        for (_ <- 1 to iterations) {
+          val sumIn = new scala.collection.mutable.HashMap[Any, Long]
+          ranks.foreach { case (v, rank) =>
+            deg.get(v).foreach { d =>
+              val c = rank / d
+              adj(v).foreach(dst =>
+                sumIn.update(dst, sumIn.getOrElse(dst, 0L) + c))
+            }
+          }
+          val next = new scala.collection.mutable.HashMap[Any, Long]
+          ranks.keysIterator.foreach(v => next.update(v,
+            teleport + dampNum * sumIn.getOrElse(v, 0L) / dampDen))
+          ranks = next
+        }
+        val spark = edges.sparkSession
+        val schema = nodeRel.withColumn("rank", lit(0L)).schema
+        return graft.pipeline.TempDirs.spillParquet(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ranks.toSeq.map { case (v, rk) =>
+              org.apache.spark.sql.Row(v, rk) }, 1),
+          schema), "graft_pagerank_local_")
+      }
+    }
     // hash-partition the static edge list by the probe key ONCE before
     // caching: every round joins ranks on v, and a cache that already
     // carries HashPartitioning(v) feeds k sort-merge joins without k

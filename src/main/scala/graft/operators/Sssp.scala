@@ -36,15 +36,56 @@ object Sssp {
     *         edges of a seed */
   def boundedDistances(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, seeds: DataFrame, idCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       localMaxRows: Long = LocalGraph.MaxRows): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     import graft.pipeline.TempDirs.spillParquet
     val e = edges.select(col(srcCol).as("g_src"), col(dstCol).as("g_dst"),
       col(wCol).cast("long").as("g_w"))
+    val seed0 = seeds.select(col(idCol)).distinct()
+    // SMALL-GRAPH FAST PATH (measured, capped — see [[LocalGraph]]):
+    // the same Bellman–Ford relaxation rounds over collected rows —
+    // round r minimizes over dist(r−1) ∪ its one-hop relaxations,
+    // exact long arithmetic either way. The negative-weight contract
+    // is enforced on the collected rows (same loud failure, one fewer
+    // job than the distributed pre-scan).
+    for (sRows <- LocalGraph.collectUnder(seed0, localMaxRows);
+         eRows <- LocalGraph.collectUnder(e, localMaxRows - sRows.length)) {
+      require(!eRows.exists(_.getLong(2) < 0),
+        "Sssp.boundedDistances: negative edge weight")
+      val adj = new scala.collection.mutable.HashMap[Any,
+        scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+      eRows.foreach { r =>
+        adj.getOrElseUpdate(r.get(0),
+          new scala.collection.mutable.ArrayBuffer[(Any, Long)]) +=
+          ((r.get(1), r.getLong(2)))
+      }
+      var dist = new scala.collection.mutable.HashMap[Any, Long]
+      sRows.foreach(r => dist.update(r.get(0), 0L))
+      for (_ <- 1 to rounds) {
+        val next = dist.clone()
+        dist.foreach { case (v, dv) =>
+          adj.get(v).foreach(_.foreach { case (d, w) =>
+            val cand = dv + w
+            if (next.get(d).forall(cand < _)) next.update(d, cand)
+          })
+        }
+        dist = next
+      }
+      val spark = edges.sparkSession
+      val schema = seed0.withColumn("dist", lit(0L)).schema
+      return spillParquet(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dist.toSeq.map { case (v, dv) => org.apache.spark.sql.Row(v, dv) }, 1),
+        schema), "graft_sssp_local_")
+    }
+    // NOT persisted/pre-partitioned: the relaxation joins broadcast the
+    // (small, staged) distance relation over an edge scan — the edge
+    // side never shuffles (the Bfs measurement, r16)
     val negative = e.filter(col("g_w") < 0).limit(1).count()
     require(negative == 0, "Sssp.boundedDistances: negative edge weight")
     var dist = spillParquet(
-      seeds.select(col(idCol)).distinct().withColumn("dist", lit(0L)),
+      seed0.withColumn("dist", lit(0L)),
       "graft_sssp_d0_")
     for (r <- 1 to rounds) {
       val relaxed = dist.join(e, dist(idCol) === e("g_src"))
