@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   * round, map-side-combined distinct on the far side, and an anti-join
   * against the visited set so a vertex enters exactly once with its
   * MINIMUM hop (BFS order makes min-hop free — no re-labelling rounds
-  * like weighted SSSP would need). Each round's frontier and the
-  * visited accumulator are staged to scratch parquet
-  * ([[graft.pipeline.TempDirs.spillParquet]]), truncating the lineage
-  * so round k's plan does not re-derive rounds 1..k−1 — the iterative
-  * operator discipline used by the prefix-doubling and CC tiers. At
-  * 100 TB the cost is `maxHops` shuffles of frontier-sized rows; the
-  * visited set never shuffles (it is the anti-join's build side,
-  * partitioned once on write).
+  * like weighted SSSP would need). Each round's NEW frontier is staged
+  * to scratch parquet ([[graft.pipeline.TempDirs.spillParquet]]),
+  * truncating the lineage so round k's plan does not re-derive rounds
+  * 1..k−1 — the iterative operator discipline used by the
+  * prefix-doubling and CC tiers; the visited accumulator is a LAZY
+  * union over those per-round files (since r16 — re-spilling the
+  * whole accumulated set per round wrote O(V·hops) bytes where
+  * O(V) suffices). At 100 TB the cost is `maxHops` shuffles of
+  * frontier-sized rows; the visited set never shuffles (it is the
+  * anti-join's build side, read from the staged files).
   *
   * The per-round `isEmpty` early-exit costs one cheap job on an
   * already-staged (tiny-by-then) frontier and saves whole rounds once
@@ -82,27 +84,30 @@ object Bfs {
     // (small, staged) frontier over an edge-relation scan — the edge
     // side never shuffles, so a repartition+persist of it up front is
     // a pure extra shuffle (measured +1s on q190's 2.4 M edges, r16)
-    var visited = spillParquet(
-      seed0.withColumn("hop", lit(0L)),
-      "graft_bfs_visited_")
-    var frontier = visited.select(col(idCol))
+    val f0 = spillParquet(seed0, "graft_bfs_f0_")
+    // visited is a LAZY union over the per-round frontier spills —
+    // only each round's NEW frontier is ever written (O(V) spill bytes
+    // total), not the whole accumulated set per round (O(V·hops), the
+    // pre-r16 shape); the anti-join's build side is the same rows
+    // either way, read from the same files
+    var levels = Vector(f0.withColumn("hop", lit(0L)))
+    var frontier = f0
     var h = 1
     var done = frontier.isEmpty
     while (h <= maxHops && !done) {
+      val seen = levels.map(_.select(col(idCol))).reduce(_ unionAll _)
       val next = spillParquet(
         frontier.join(e, frontier(idCol) === e("g_src"))
           .select(col("g_dst").as(idCol)).distinct()
-          .join(visited.select(idCol), Seq(idCol), "left_anti"),
+          .join(seen, Seq(idCol), "left_anti"),
         s"graft_bfs_f${h}_")
       if (next.isEmpty) done = true
       else {
-        visited = spillParquet(
-          visited.unionAll(next.withColumn("hop", lit(h.toLong))),
-          s"graft_bfs_v${h}_")
+        levels :+= next.withColumn("hop", lit(h.toLong))
         frontier = next
       }
       h += 1
     }
-    visited
+    levels.reduce(_ unionAll _)
   }
 }
